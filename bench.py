@@ -1,0 +1,94 @@
+"""Benchmark harness: times the headline catalog queries.
+
+Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` (default 32) and prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+"sf": ...}``.
+
+Each query is forced with a ``noop``-format write — full computation,
+no driver-side collect, mirroring how a cluster job would sink.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from serverless_podcast_etl_spark.plans.catalog import CATALOG  # noqa: E402
+from serverless_podcast_etl_spark.session import get_spark  # noqa: E402
+
+# Headline set: the scan/join/window/agg core + corpus-curation ops.
+# Quadratic-candidate near-dup queries (q19/q23/q28) are excluded here:
+# on this synthetic small-vocabulary corpus every document shares
+# shingles with every other, so their candidate sets are adversarially
+# dense — they stay in the sf0.01 correctness gate.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_event_type_counts",
+    "q03_filtered_mention_counts",
+    "q04_segment_revenue",
+    "q05_left_join_sentiment_dist",
+    "q06_distinct_types",
+    "q07_rolling_mean",
+    "q08_latest_order_per_customer",
+    "q09_cumulative_offsets",
+    "q10_ordered_concat",
+    "q11_zip_join",
+    "q12_asof_join",
+    "q13_upsert_new_rows",
+    "q14_time_dimension",
+    "q15_word_frequencies",
+    "q16_text_quality",
+    "q17_language_id",
+    "q18_exact_dedup",
+    "q20_minhash_signatures",
+    "q21_simhash",
+    "q22_ann_topk",
+    "q24_fingerprints",
+    "q25_multimodal_chunks",
+    "q26_sentence_tokenize",
+    "q27_lsh_ann_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(
+        app_name="bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM + parquet footers so per-query timings measure the
+    # query, not session startup.
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = CATALOG[name].fn
+        start = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,88 @@
+"""Portable deterministic hashing (engine-independent).
+
+Everything that feeds a correctness oracle (MinHash, SimHash,
+fingerprints) needs a hash both Spark and ANSI-SQL engines compute
+identically.  ``xxhash64``/``hash`` are Spark-private, so we derive
+integers from md5 hex digests — available and bit-identical everywhere:
+
+    portable_hash48(s) = int(md5(s)[:12], 16)          # 48-bit
+    bit(s, i)          = high bit of md5 hex digit i    # 32 bits
+
+MinHash universal-hash family: h_i(x) = (a_i * x32 + b_i) mod p with
+p = 4294967311 (first prime > 2^32); x32 < 2^32 and a_i < 2^16 keep the
+product under 2^48 — no BIGINT overflow in either engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MERSENNE_P = 4294967311  # first prime > 2^32
+U32 = 4294967296
+
+# (a, b) parameters for the universal hash family — fixed constants so
+# Spark and the SQL oracle generate identical signatures.  Deterministic
+# pseudo-random values derived from a fixed seed (recorded, not computed
+# at runtime).
+MINHASH_PARAMS: list[tuple[int, int]] = [
+    (28393, 1190494759),
+    (12891, 2015905063),
+    (46829, 590434376),
+    (9241, 3267000013),
+    (60493, 1500450271),
+    (20903, 2860486313),
+    (38351, 198491317),
+    (5573, 3628273133),
+    (51437, 982451653),
+    (17389, 2760727302),
+    (44201, 413158511),
+    (30011, 1073676287),
+    (7919, 2038074743),
+    (57719, 122949829),
+    (24593, 3373587883),
+    (41179, 694847539),
+]
+
+
+def portable_hash48(col: Column) -> Column:
+    """48-bit integer from the first 12 hex chars of md5 — identical in
+    Spark (``conv``) and DuckDB (``('0x'||substr(md5(x),1,12))::BIGINT``)."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
+
+
+def portable_hash32(col: Column) -> Column:
+    """32-bit reduction of portable_hash48 for overflow-safe arithmetic."""
+    return portable_hash48(col) % F.lit(U32)
+
+
+def minhash_value(x32: Column, a: int, b: int) -> Column:
+    """One universal-hash application: (a*x + b) mod p."""
+    return (x32 * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)
+
+
+def portable_hash48_sql(expr: str) -> str:
+    """DuckDB SQL twin of ``portable_hash48``."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 12)) AS BIGINT)"
+
+
+def minhash_value_sql(x32_expr: str, a: int, b: int) -> str:
+    """DuckDB SQL twin of ``minhash_value``."""
+    return f"(({x32_expr}) * {a} + {b}) % {MERSENNE_P}"
+
+
+def simhash_bit(col: Column, i: int) -> Column:
+    """Bit i (0..31) of a token: the high bit of md5 hex digit i.
+
+    Gives 32 independent bits per token computable from
+    ``substring(md5(x), i+1, 1)`` in any engine.
+    """
+    return F.substring(F.md5(col), i + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f")
+
+
+def simhash_bit_sql(expr: str, i: int) -> str:
+    """DuckDB SQL twin of ``simhash_bit`` (as a 0/1 integer)."""
+    return (
+        f"(CASE WHEN substr(md5({expr}), {i + 1}, 1) IN "
+        f"('8','9','a','b','c','d','e','f') THEN 1 ELSE 0 END)"
+    )

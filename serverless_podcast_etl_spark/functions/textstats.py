@@ -1,0 +1,122 @@
+"""Text analysis for corpus curation: quality scoring, language ID,
+token counting, document fingerprinting.
+
+All JVM-side (split / higher-order functions / regexp) — these run over
+every document of a 100 TB corpus, so no Python appears in any of them.
+Each has an exact ANSI-SQL twin for the DuckDB oracle (plans/catalog).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import portable_hash32
+from .text import bpe_ish_tokens, word_tokens
+
+# Small fixed stopword list shared verbatim with the SQL oracle.
+STOPWORDS = ["the", "a", "an", "of", "and", "to", "in", "is", "it", "for"]
+
+# Marker words per language for the n-gram/stopword language heuristic.
+# Deterministic and oracle-expressible; a real system would use a
+# trained model (fastText) — this is the heuristic tier.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "zh": ["de", "shi", "le", "bu", "wo"],
+}
+
+
+def quality_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document quality metrics: length, token counts, ratios.
+
+    Columns: n_chars, n_tokens (whitespace), n_bpe_tokens (regex),
+    avg_token_len, stopword_ratio, punct_ratio — the standard cheap
+    quality filters of a pretraining data pipeline.
+    """
+    toks = word_tokens(F.col(text_col))
+    n_tokens = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    n_chars = F.length(F.col(text_col))
+    n_punct = n_chars - F.length(
+        F.regexp_replace(F.col(text_col), r"[^\w\s]", "")
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.size(bpe_ish_tokens(F.col(text_col))).alias("n_bpe_tokens"),
+        F.round(
+            F.length(F.regexp_replace(F.col(text_col), r"\s+", "")) / n_tokens, 4
+        ).alias("avg_token_len"),
+        F.round(stop_hits / n_tokens, 4).alias("stopword_ratio"),
+        F.round(n_punct / n_chars, 4).alias("punct_ratio"),
+    )
+
+
+def language_scores(text: Column) -> list[Column]:
+    """Marker-hit count per language (deterministic heuristic tier)."""
+    toks = word_tokens(text)
+    return [
+        F.size(F.filter(toks, lambda t: t.isin(*markers))).alias(f"score_{lang}")
+        for lang, markers in LANG_MARKERS.items()
+    ]
+
+
+def detect_language(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Heuristic language ID: argmax of marker-word hit counts, ties
+    broken by language code order (deterministic)."""
+    scored = df.select(F.col(id_col), F.col(text_col), *language_scores(F.col(text_col)))
+    langs = sorted(LANG_MARKERS)  # deterministic tie-break: alphabetical
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.coalesce(
+        *[
+            F.when((F.col(f"score_{lang}") == best) & (best > 0), F.lit(lang))
+            for lang in langs
+        ],
+        F.lit("und"),
+    )
+    return scored.select(
+        F.col(id_col),
+        pred.alias("predicted_lang"),
+        best.alias("marker_hits"),
+    )
+
+
+def rolling_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    keep_mod: int = 8,
+) -> DataFrame:
+    """Document fingerprinting: hash every k-token shingle, keep the
+    0-mod-``keep_mod`` subset (mod-p winnowing).
+
+    The kept hash set is a compact, alignment-free signature for
+    overlap detection (MOSS-style).  Portable hash ⇒ oracle-checkable.
+    """
+    toks = word_tokens(F.col(text_col))
+    # guard: sequence(0, -1) descends in Spark — emit no grams instead.
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = df.select(F.col(id_col), F.explode(grams).alias("gram"))
+    hashed = exploded.select(
+        F.col(id_col), portable_hash32(F.col("gram")).alias("gram_hash")
+    )
+    return (
+        hashed.filter(F.col("gram_hash") % keep_mod == 0)
+        .distinct()
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_fingerprints"),
+            F.min("gram_hash").alias("min_fingerprint"),
+        )
+    )

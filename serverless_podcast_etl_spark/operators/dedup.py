@@ -1,0 +1,278 @@
+"""Deduplication operators for large-scale corpus curation.
+
+The training-data-pipeline surface (BASELINE.json north star): exact
+dedup, shingle/Jaccard near-dup, MinHash+LSH, SimHash, and
+embedding-cosine near-dup.  Every operator is pure DataFrame — the
+candidate generation is always a self-equi-join on a derived key
+(shingle / band bucket / simhash band), never an O(n²) cross join, so
+each scales as (corpus size × duplicate density), not corpus².
+
+Portable hashing (functions/hashing.py) keeps MinHash/SimHash
+signatures bit-identical between Spark and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import hashing
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    normalize: bool = True,
+) -> DataFrame:
+    """Exact duplicate groups by content hash.
+
+    Returns one row per distinct content hash with the representative
+    (minimum) id and the duplicate count.  Hash-groupBy: map-side
+    partial aggregation, one shuffle on the 128-bit digest.
+    """
+    content = F.col(text_col)
+    if normalize:
+        content = F.lower(F.trim(content))
+    return (
+        df.select(F.md5(content).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("representative_id"),
+            F.count(F.lit(1)).alias("n_duplicates"),
+        )
+    )
+
+
+def shingles(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    shingle_col: str = "shingle",
+) -> DataFrame:
+    """Distinct word n-gram shingles per document.
+
+    Tokenize on whitespace, slide an n-window via transform over token
+    indices, explode, distinct.  All JVM-side higher-order functions —
+    no Python in the loop.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    # sequence(0, -1) would generate a DESCENDING range in Spark — guard
+    # short documents with an explicit empty array.
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col), F.explode(grams).alias(shingle_col))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Near-duplicate pairs by word-n-gram Jaccard similarity.
+
+    Candidate generation is a self-join on the shingle value (only
+    documents sharing ≥1 shingle ever meet — the scalable alternative
+    to a cross join), then Jaccard = |A∩B| / (|A|+|B|−|A∩B|) from
+    per-doc shingle counts.
+    """
+    sh = shingles(df, text_col, id_col, n=n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("sz_b"))
+    return (
+        shared.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_shared")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_shared")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_shared", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+) -> DataFrame:
+    """MinHash signature per document: num_hashes columns ``mh_i``.
+
+    Each hash i is min over shingles of (a_i·h32(shingle)+b_i) mod p
+    with the portable md5-derived base hash — bit-identical to the SQL
+    oracle.  One shuffle (groupBy id); hashes computed JVM-side.
+    """
+    params = hashing.MINHASH_PARAMS[:num_hashes]
+    sh = shingles(df, text_col, id_col, n=n)
+    h32 = hashing.portable_hash32(F.col("shingle"))
+    withh = sh.select(F.col(id_col), h32.alias("h32"))
+    return withh.groupBy(id_col).agg(
+        *[
+            F.min(hashing.minhash_value(F.col("h32"), a, b)).alias(f"mh_{i}")
+            for i, (a, b) in enumerate(params)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    verify_threshold: float = 0.2,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding + exact Jaccard verification.
+
+    Signature → split into ``bands`` bands of num_hashes/bands rows →
+    candidate pairs share any full band (equi-join on the band key —
+    the LSH trick that makes near-dup detection O(candidates) instead
+    of O(n²)) → verified with exact shingle Jaccard.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n=n, num_hashes=num_hashes)
+
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"mh_{bi * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("bucket"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    banded = sig.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
+        F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket")
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    candidates = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    verified = ngram_jaccard_pairs(df, text_col, id_col, n=n, threshold=verify_threshold)
+    return candidates.join(verified, ["id_a", "id_b"], "inner")
+
+
+def simhash_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 32,
+) -> DataFrame:
+    """32-bit SimHash per document from whitespace tokens.
+
+    Bit j of the fingerprint = sign of Σ_tokens (±1 by token-hash bit j)
+    — tokens vote per bit position, near-identical documents land at
+    small Hamming distance.  Implemented as explode → 32 conditional
+    sums in ONE hash aggregate (not 32 passes).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(hashing.simhash_bit(F.col("tok"), j), 1).otherwise(-1)
+            ).alias(f"v_{j}")
+            for j in range(bits)
+        ]
+    )
+    fingerprint = sum(
+        (
+            F.when(F.col(f"v_{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+            for j in range(bits)
+        ),
+        F.lit(0),
+    )
+    return votes.select(F.col(id_col), fingerprint.cast("long").alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 32,
+    band_bits: int = 8,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the fingerprint (pigeonhole — any
+    pair within ``max_hamming`` shares at least one exact band when
+    bands > max_hamming), equi-join per band, verify Hamming distance
+    via bit_count(xor).
+    """
+    n_bands = bits // band_bits
+    fp = simhash_fingerprints(df, text_col, id_col, bits=bits)
+    banded = fp.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), bi * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        .alias("bucket"),
+                    )
+                    for bi in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(F.col(id_col), "simhash", F.col("bk.band"), F.col("bk.bucket"))
+
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band", "bucket"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band", "bucket"
+    )
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

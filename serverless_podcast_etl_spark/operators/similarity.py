@@ -1,0 +1,204 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline, and an LSH-bucketed
+(random-hyperplane) variant as the scale path: at 100 TB the
+brute-force candidate set is |queries|×|corpus|; hyperplane bucketing
+cuts it to |queries|×|bucket| with an equi-join on the bucket key —
+the same candidate-generation shape as MinHash banding.
+
+All vector math stays JVM-side via higher-order functions
+(``zip_with`` dot products, ``aggregate`` norms) — no Python UDF in
+the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+        )
+    )
+
+
+def with_cosine(
+    df: DataFrame, a: str, b: str, out_col: str = "cosine", round_to: int | None = 4
+) -> DataFrame:
+    """Add cosine similarity between two array<double> columns."""
+    cos = _dot(F.col(a), F.col(b)) / (_norm(F.col(a)) * _norm(F.col(b)))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    return df.withColumn(out_col, cos)
+
+
+def _as_double(df: DataFrame, vec_col: str) -> DataFrame:
+    return df.withColumn(vec_col, F.col(vec_col).cast("array<double>"))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the
+    corpus, score every pair, per-query window top-k.
+
+    The corpus side is never shuffled for scoring (broadcast join);
+    the only shuffle is the per-query top-k window — |queries|×k rows.
+    """
+    q = _as_double(queries, vec_col).select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = _as_double(corpus, vec_col).select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("_qv"), F.col("_cv"))
+                / (_norm(F.col("_qv")) * _norm(F.col("_cv"))),
+                4,
+            ),
+        )
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def hyperplane_bucket(
+    df: DataFrame,
+    vec_col: str,
+    planes: list[list[float]],
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id: bit i = sign(v · plane_i).
+
+    ``planes`` are fixed constants (deterministic); the bucket id is an
+    integer in [0, 2^len(planes)).
+    """
+    v = F.col(vec_col).cast("array<double>")
+    bucket = sum(
+        (
+            F.when(
+                _dot(v, F.array(*[F.lit(float(x)) for x in plane])) > 0,
+                F.lit(2**i),
+            ).otherwise(F.lit(0))
+            for i, plane in enumerate(planes)
+        ),
+        F.lit(0),
+    )
+    return df.withColumn(out_col, bucket.cast("int"))
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    planes: list[list[float]],
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Approximate top-k: score only pairs sharing a hyperplane bucket.
+
+    Candidate generation is an equi-join on the bucket key (shuffle on
+    a small int key, prunes ~(1 - 1/2^planes) of the corpus per query);
+    recall < 1.0 by construction — the exact/approx trade documented at
+    the call site.
+    """
+    q = hyperplane_bucket(_as_double(queries, vec_col), vec_col, planes).select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        "bucket",
+    )
+    c = hyperplane_bucket(_as_double(corpus, vec_col), vec_col, planes).select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        "bucket",
+    )
+    scored = (
+        c.join(q, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("_qv"), F.col("_cv"))
+                / (_norm(F.col("_qv")) * _norm(F.col("_cv"))),
+                4,
+            ),
+        )
+        .select("query_id", "neighbor_id", "cosine")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    planes: list[list[float]] | None = None,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above a threshold.
+
+    With ``planes`` given, candidates come from shared LSH buckets
+    (scale path); without, all pairs are scored via a self-join keyed
+    on a constant — only for small corpora / oracle checks.
+    """
+    d = _as_double(df, vec_col)
+    if planes is not None:
+        banded = hyperplane_bucket(d, vec_col, planes)
+        a = banded.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "bucket"
+        )
+        b = banded.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "bucket"
+        )
+        cand = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    else:
+        a = d.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+        b = d.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+        cand = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        cand.withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("_va"), F.col("_vb"))
+                / (_norm(F.col("_va")) * _norm(F.col("_vb"))),
+                4,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+        .dropDuplicates(["id_a", "id_b"])
+    )

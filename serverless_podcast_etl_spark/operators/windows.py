@@ -1,0 +1,109 @@
+"""Window operators.
+
+Reference parity (SURVEY.md §2.5):
+  W1 rolling mean (50-row trailing, min_periods=1) → ``rolling_mean``
+     (reference: ec2_data/app.py:270,302-305 — pandas .rolling(50,
+      min_periods=1).mean(); Spark's ragged-head row frame matches
+      min_periods=1 exactly)
+  W2 top-1 per group by recency → ``top1_per_group``
+     (reference: src/lambda_3.py:57-68 — ORDER BY date DESC LIMIT 1)
+  A10/W3 prefix-sum character spans → ``prefix_sum_spans``
+     (reference: src/lambda_72.py:66-71 — cumulative offsets)
+
+Scale notes: every window here partitions by a key (episode, user,
+customer) — one hash shuffle, then a per-partition sort; no global
+ordering anywhere, so the plans scale linearly with partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rolling_mean(
+    df: DataFrame,
+    value: Column | str,
+    partition_by: list[str],
+    order_by: list[str],
+    window_rows: int = 50,
+    out_col: str = "rolling_mean",
+    exact_round_to: int | None = None,
+) -> DataFrame:
+    """Trailing row-frame rolling mean with min_periods=1 semantics.
+
+    Frame = (window_rows-1 preceding .. current row); Spark averages
+    whatever rows exist at the head of the partition, exactly matching
+    pandas ``rolling(window, min_periods=1).mean()``.
+
+    ``exact_round_to=k`` computes the mean rounded HALF_UP to k decimal
+    places entirely in integer arithmetic (micro-unit sums, integer
+    division) — float summation order and each engine's round() mode
+    then cannot perturb the result, so an independent engine (the
+    DuckDB oracle) reproduces it bit-for-bit.  Requires non-negative
+    values (integer-division HALF_UP trick).
+    """
+    val = F.col(value) if isinstance(value, str) else value
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(*order_by)
+        .rowsBetween(-(window_rows - 1), Window.currentRow)
+    )
+    if exact_round_to is None:
+        return df.withColumn(out_col, F.avg(val).over(w))
+    scale = 10**exact_round_to
+    # micro-unit integer sum: exact regardless of accumulation order
+    su = (F.sum(val.cast("decimal(18,6)")).over(w) * 1_000_000).cast("long")
+    cnt = F.count(F.lit(1)).over(w)
+    a = su * scale
+    b = cnt * 1_000_000
+    # HALF_UP for non-negative a/b: floor((2a + b) / (2b)).  The double
+    # division is exact-enough: ties divide exactly; non-ties sit
+    # ≥ 1/(2b) ≈ 1e-8 from an integer, far above double eps here.
+    m_scaled = F.floor((a * 2 + b) / (b * 2)).cast("long")
+    return df.withColumn(out_col, m_scaled.cast("double") / F.lit(float(scale)))
+
+
+def top1_per_group(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[Column],
+) -> DataFrame:
+    """Generalized "newest row per group" (ORDER BY … DESC LIMIT 1).
+
+    ``row_number`` (not rank) so exactly one row survives per group even
+    on ties — pass a unique tiebreaker column last in ``order_by`` for
+    deterministic output.
+    """
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def prefix_sum_spans(
+    df: DataFrame,
+    length_col: str,
+    partition_by: list[str],
+    order_by: list[str],
+    sep_len: int = 1,
+    start_col: str = "start_offset",
+    end_col: str = "end_offset",
+) -> DataFrame:
+    """Cumulative character spans: each row's [start, end) offset range.
+
+    start = sum(length + sep_len) over all preceding rows; end = start +
+    length + sep_len.  ``sep_len=1`` models the reference's trailing
+    '\\n' appended to every sentence (src/lambda_72.py:60,69).
+    """
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    piece = F.col(length_col) + F.lit(sep_len)
+    return df.withColumn(
+        start_col, F.coalesce(F.sum(piece).over(w), F.lit(0)).cast("long")
+    ).withColumn(end_col, (F.col(start_col) + piece).cast("long"))

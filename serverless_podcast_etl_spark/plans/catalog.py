@@ -1,0 +1,723 @@
+"""The analytics query catalog — the driver contract.
+
+One entry per implemented operator from SURVEY.md §2 (plus the
+corpus-curation operators mandated by BASELINE.json): a Spark callable
+``(spark, sf_dir) -> DataFrame`` and, where SQL-expressible, the exact
+ANSI/DuckDB oracle twin.  Column names and float rounding are kept
+IDENTICAL on both sides — the driver hash-compares values after
+sorting columns by name.
+
+Naming: q01… mirror the reference's dashboard/pipeline operators
+(reference file:line in each docstring); q16+ are the corpus-curation
+surface (dedup, similarity, text analysis, multimodal).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import dates, hashing, text, textstats
+from ..functions.textstats import LANG_MARKERS, STOPWORDS
+from ..operators import aggregates, dedup, joins, multimodal, similarity, windows
+from ..sources.tables import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    fn: QueryFn
+    sql: str | None  # DuckDB oracle; None → rows-only check
+    description: str
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _sql_list(words: list[str]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+_TOKS_CTE = (
+    "SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+    "x -> x <> '') AS t FROM documents"
+)
+
+
+def _shingle_cte(n: int) -> str:
+    """Distinct word n-gram shingles per doc (twin of dedup.shingles)."""
+    return (
+        f"SELECT DISTINCT doc_id, unnest(list_transform("
+        f"range(1, greatest(len(t) - {n} + 2, 1)), "
+        f"i -> array_to_string(t[i:i+{n - 1}], ' '))) AS shingle "
+        f"FROM ({_TOKS_CTE})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2/§2.4/§2.6 — scans, filters, hash aggregates, sorts
+# ---------------------------------------------------------------------------
+
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter → hash agg → sort (A1/A3/F9/P7/O4 in one plan).
+
+    The canonical scan-heavy aggregate: predicate pushed to parquet,
+    map-side partial aggregation, tiny shuffle (|groups| rows).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q02_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + COUNT + ORDER BY count DESC — the dashboard's entity
+    mention-count bar chart (A1/O1; ec2_data/app.py:180-187)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("num_occurences"))
+        .orderBy(F.desc("num_occurences"), "event_type")
+    )
+
+
+_Q02_SQL = """
+SELECT event_type, count(*) AS num_occurences
+FROM events GROUP BY event_type
+ORDER BY num_occurences DESC, event_type
+"""
+
+
+def q03_filtered_mention_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality predicates + group counts (P7 + A1 + O1): mention counts
+    under a dimension filter — the filtered bar-plot query
+    (ec2_data/app.py:180-187, WHERE entity_type=… AND episode_id=…)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter((F.col("event_type") == "click") & (F.col("user_id") < 50))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("num_occurences"))
+        .orderBy(F.desc("num_occurences"), "user_id")
+    )
+
+
+_Q03_SQL = """
+SELECT user_id, count(*) AS num_occurences
+FROM events WHERE event_type = 'click' AND user_id < 50
+GROUP BY user_id ORDER BY num_occurences DESC, user_id
+"""
+
+
+def q04_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim-lookup join + aggregate (J1; src/lambda_2.py:222-230
+    pulls the dim into a dict — here an explicit broadcast hash join)."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    joined = joins.dim_lookup_join(
+        orders,
+        customer.select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment"),
+        on="o_custkey",
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("num_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_Q04_SQL = """
+SELECT c_mktsegment, count(*) AS num_orders, round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def q05_left_join_sentiment_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT equi-join + group counts with an unmatched branch (J2 + A2;
+    ec2_data/app.py:230-238 — sentiment distribution via entity⟕sentence).
+    The restricted dim makes the null path observable."""
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
+    joined = ev.join(
+        cust.select(F.col("c_custkey").alias("user_id"), "c_mktsegment"),
+        on="user_id",
+        how="left",
+    )
+    return (
+        joined.groupBy(
+            F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment")
+        )
+        .agg(F.count(F.lit(1)).alias("num_events"))
+        .orderBy("segment")
+    )
+
+
+_Q05_SQL = """
+SELECT coalesce(c_mktsegment, 'UNKNOWN') AS segment, count(*) AS num_events
+FROM events LEFT JOIN (SELECT * FROM customer WHERE c_custkey < 100) c
+  ON user_id = c_custkey
+GROUP BY 1 ORDER BY segment
+"""
+
+
+def q06_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT (A4) — the dashboard's dropdown-population queries
+    (ec2_data/app.py:39,97-102,132-136)."""
+    return _t(spark, sf_dir, "events").select("event_type").distinct()
+
+
+_Q06_SQL = "SELECT DISTINCT event_type FROM events"
+
+
+def q07_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """50-row trailing rolling mean, min_periods=1 (W1;
+    ec2_data/app.py:270,302-305 — the sentiment time-series)."""
+    ev = _t(spark, sf_dir, "events")
+    out = windows.rolling_mean(
+        ev,
+        value="value",
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        window_rows=50,
+        exact_round_to=4,
+    )
+    return out.select("user_id", "event_id", "rolling_mean")
+
+
+_Q07_SQL = """
+WITH s AS (
+  SELECT user_id, event_id,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w * 1000000 AS BIGINT) AS su,
+         count(*) OVER w AS c
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id,
+       ((2 * su * 10000 + c * 1000000) // (2 * c * 1000000)) / 10000.0 AS rolling_mean
+FROM s
+"""
+
+
+def q08_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1 per group by recency (W2/O2; src/lambda_3.py:57-68 — newest
+    undownloaded episode of a podcast)."""
+    orders = _t(spark, sf_dir, "orders")
+    top = windows.top1_per_group(
+        orders,
+        partition_by=["o_custkey"],
+        order_by=[F.desc("o_orderdate"), F.desc("o_orderkey")],
+    )
+    return top.select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+
+
+_Q08_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+WHERE rn = 1
+"""
+
+
+def q09_cumulative_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-sum character spans (A10/W3; src/lambda_72.py:66-71 — the
+    sentence offset table feeding entity alignment)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = windows.prefix_sum_spans(
+        docs.select("doc_id", "source", "n_chars"),
+        length_col="n_chars",
+        partition_by=["source"],
+        order_by=["doc_id"],
+        sep_len=1,
+    )
+    return out.select("doc_id", "source", "n_chars", "start_offset", "end_offset")
+
+
+_Q09_SQL = """
+SELECT doc_id, source, n_chars,
+       CAST(coalesce(sum(n_chars + 1) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset,
+       CAST(coalesce(sum(n_chars + 1) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n_chars + 1 AS BIGINT) AS end_offset
+FROM documents
+"""
+
+
+def q10_ordered_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordered string concatenation (A5/O7;
+    src/lambda_5.py:71-81 — transcript chunks concatenated in
+    chunk_1..chunk_N order)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return aggregates.ordered_concat(
+        li,
+        group_by=["l_orderkey"],
+        order_col="l_linenumber",
+        text_col="l_returnflag",
+        sep=" ",
+        out_col="concatenated",
+    )
+
+
+_Q10_SQL = """
+SELECT l_orderkey,
+       string_agg(l_returnflag, ' ' ORDER BY l_linenumber, l_returnflag) AS concatenated
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+def q11_zip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional zip join (J3; src/lambda_71.py:74-89 — sentence i ↔
+    sentiment line i)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    out = joins.zip_join(
+        docs, emb, left_order=["doc_id"], right_order=["vec_id"]
+    )
+    return out.select("pos", "doc_id", "lang", "vec_id", "label")
+
+
+_Q11_SQL = """
+WITH d AS (SELECT doc_id, lang, row_number() OVER (ORDER BY doc_id) - 1 AS pos FROM documents),
+     e AS (SELECT vec_id, label, row_number() OVER (ORDER BY vec_id) - 1 AS pos FROM embeddings)
+SELECT pos, doc_id, lang, vec_id, label FROM d JOIN e USING (pos)
+"""
+
+
+def q12_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (J4; src/lambda_72.py:66-118 — forward-only offset →
+    span assignment): for each purchase, the latest click of the same
+    user at or before the purchase timestamp.  Union+window formulation
+    — one shuffle on the key, no nested-loop join (SURVEY §4.1)."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    return joins.asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["click_id", "click_ts"],
+        right_tiebreak="click_id",
+    ).select("user_id", "ts", "purchase_id", "click_id", "click_ts")
+
+
+_Q12_SQL = """
+WITH u AS (
+  SELECT user_id, ts, 0 AS side, event_id AS click_id, ts AS click_ts,
+         CAST(NULL AS BIGINT) AS purchase_id
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, ts, 1 AS side, CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP), event_id
+  FROM events WHERE event_type = 'purchase'
+), filled AS (
+  SELECT *,
+    LAST_VALUE(click_id IGNORE NULLS) OVER w AS asof_click_id,
+    LAST_VALUE(click_ts IGNORE NULLS) OVER w AS asof_click_ts
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, click_id NULLS FIRST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, ts, purchase_id, asof_click_id AS click_id, asof_click_ts AS click_ts
+FROM filled WHERE side = 1
+"""
+
+
+def q13_upsert_new_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-on-insert / INSERT IGNORE (A7; src/lambda_2.py:205-238):
+    the incoming rows an idempotent append would actually write."""
+    customer = _t(spark, sf_dir, "customer")
+    existing = customer.filter(F.col("c_custkey") < 1000)
+    return aggregates.dedup_insert(existing, customer, keys=["c_custkey"])
+
+
+_Q13_SQL = """
+SELECT * FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM customer e
+                  WHERE e.c_custkey < 1000 AND e.c_custkey = c.c_custkey)
+"""
+
+
+def q14_time_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-dimension derivation + dedup (F5/F6/A4/U2;
+    src/lambda_2.py:93-106,192-202)."""
+    orders = _t(spark, sf_dir, "orders")
+    return dates.time_dimension(orders, "o_orderdate")
+
+
+_Q14_SQL = """
+SELECT DISTINCT CAST(o_orderdate AS DATE) AS date,
+       year(o_orderdate) AS year,
+       monthname(o_orderdate) AS month,
+       month(o_orderdate) AS month_number,
+       day(o_orderdate) AS day
+FROM orders WHERE o_orderdate IS NOT NULL
+"""
+
+
+def q15_word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-frequency aggregate with stopword removal (A8/F7/F11;
+    ec2_data/app.py:365-406 — the wordcloud input)."""
+    docs = _t(spark, sf_dir, "documents")
+    return aggregates.word_frequencies(
+        docs, text_col="text", stopwords=STOPWORDS
+    )
+
+
+_Q15_SQL = f"""
+SELECT word, count(*) AS num_occurences
+FROM (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS word FROM documents)
+WHERE word <> '' AND word NOT IN ({_sql_list(STOPWORDS)})
+GROUP BY word
+"""
+
+
+# ---------------------------------------------------------------------------
+# Corpus-curation surface (BASELINE.json north star)
+# ---------------------------------------------------------------------------
+
+
+def q16_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality stats: lengths, token counts (whitespace +
+    BPE-ish regex), avg token length, stopword/punctuation ratios."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.quality_stats(docs, text_col="text", id_col="doc_id")
+
+
+_Q16_SQL = f"""
+WITH t AS ({_TOKS_CTE.replace("SELECT doc_id,", "SELECT doc_id, text,")})
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(t) AS n_tokens,
+       len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_bpe_tokens,
+       round(length(regexp_replace(text, '\\s+', '', 'g')) / len(t), 4) AS avg_token_len,
+       round(len(list_filter(t, x -> x IN ({_sql_list(STOPWORDS)}))) / len(t), 4) AS stopword_ratio,
+       round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / length(text), 4) AS punct_ratio
+FROM t
+"""
+
+
+def q17_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: argmax of marker-word hits (deterministic
+    n-gram heuristic tier; a trained model slots into the same seam)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.detect_language(docs, text_col="text", id_col="doc_id")
+
+
+def _lang_id_sql() -> str:
+    langs = sorted(LANG_MARKERS)
+    scores = ", ".join(
+        f"len(list_filter(t, x -> x IN ({_sql_list(LANG_MARKERS[lang])}))) AS score_{lang}"
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    case = " ".join(
+        f"WHEN score_{lang} = {best} AND {best} > 0 THEN '{lang}'" for lang in langs
+    )
+    return f"""
+WITH t AS ({_TOKS_CTE}), s AS (SELECT doc_id, {scores} FROM t)
+SELECT doc_id, CASE {case} ELSE 'und' END AS predicted_lang,
+       {best} AS marker_hits
+FROM s
+"""
+
+
+def q18_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized content hash (hash-groupBy)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, text_col="text", id_col="doc_id")
+
+
+_Q18_SQL = """
+SELECT md5(lower(trim(text))) AS content_hash,
+       min(doc_id) AS representative_id,
+       count(*) AS n_duplicates
+FROM documents GROUP BY 1
+"""
+
+
+def q19_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by word-2-gram Jaccard — candidates from a
+    shingle self-join (never a cross join)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(
+        docs, text_col="text", id_col="doc_id", n=2, threshold=0.3
+    )
+
+
+_Q19_SQL = f"""
+WITH sh AS ({_shingle_cte(2)}),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_shared,
+       round(n_shared / (sa.n + sb.n - n_shared), 4) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(n_shared / (sa.n + sb.n - n_shared), 4) >= 0.3
+"""
+
+
+def q20_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 hashes over 3-gram shingles) with the
+    portable md5-derived hash family — bit-identical to the oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_signatures(
+        docs, text_col="text", id_col="doc_id", n=3, num_hashes=8
+    )
+
+
+def _minhash_sql(n: int = 3, num_hashes: int = 8) -> str:
+    h32 = f"{hashing.portable_hash48_sql('shingle')} % {hashing.U32}"
+    mins = ", ".join(
+        f"min({hashing.minhash_value_sql('h32', a, b)}) AS mh_{i}"
+        for i, (a, b) in enumerate(hashing.MINHASH_PARAMS[:num_hashes])
+    )
+    return f"""
+WITH sh AS ({_shingle_cte(n)}),
+h AS (SELECT doc_id, {h32} AS h32 FROM sh)
+SELECT doc_id, {mins} FROM h GROUP BY doc_id
+"""
+
+
+def q21_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints (token bit votes, one hash agg)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_fingerprints(docs, text_col="text", id_col="doc_id")
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN {hashing.simhash_bit_sql('tok', j)} = 1 THEN 1 ELSE -1 END) AS v_{j}"
+        for j in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN v_{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(bits))
+    return f"""
+WITH tk AS (SELECT doc_id, unnest(list_filter(
+        regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS tok
+     FROM documents),
+v AS (SELECT doc_id, {votes} FROM tk GROUP BY doc_id)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM v
+"""
+
+
+def q22_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 5 query vectors (exact ANN
+    baseline; broadcast queries, JVM-side dot products)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return similarity.brute_force_topk(
+        queries_df, emb, query_id="vec_id", corpus_id="vec_id", k=10
+    )
+
+
+_Q22_SQL = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 5),
+     c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4) AS cosine
+  FROM q, c WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank
+FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        ORDER BY cosine DESC, neighbor_id) AS INT) AS rank FROM scored)
+WHERE rank <= 10
+"""
+
+
+def q23_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact all-pairs variant — the
+    oracle-checkable baseline; the LSH-bucketed path is q27)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup_pairs(
+        emb, id_col="vec_id", threshold=0.8
+    )
+
+
+_Q23_SQL = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.e, b.e) /
+             (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) AS cosine
+FROM v a, v b
+WHERE a.vec_id < b.vec_id
+  AND round(list_dot_product(a.e, b.e) /
+            (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) >= 0.8
+"""
+
+
+def q24_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: portable-hashed 5-gram shingles, mod-8
+    winnowing (MOSS-style overlap signatures)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.rolling_fingerprints(
+        docs, text_col="text", id_col="doc_id", k=5, keep_mod=8
+    )
+
+
+def _fingerprint_sql(k: int = 5, keep_mod: int = 8) -> str:
+    h32 = f"{hashing.portable_hash48_sql('shingle')} % {hashing.U32}"
+    return f"""
+WITH sh AS ({_shingle_cte(k)}),
+kept AS (SELECT DISTINCT doc_id, {h32} AS gram_hash FROM sh
+         WHERE ({h32}) % {keep_mod} = 0)
+SELECT doc_id, count(*) AS n_fingerprints, min(gram_hash) AS min_fingerprint
+FROM kept GROUP BY doc_id
+"""
+
+
+def q25_multimodal_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: encode text → binary payload, fixed-size
+    chunking (S9; src/lambda_3.py:91-114), per-asset chunk accounting."""
+    docs = _t(spark, sf_dir, "documents")
+    assets = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    chunked = multimodal.chunk_binary(assets, "payload", chunk_bytes=100)
+    return chunked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.octet_length("chunk")).alias("total_bytes"),
+    )
+
+
+_Q25_SQL = """
+SELECT doc_id, CAST(ceil(strlen(text) / 100.0) AS BIGINT) AS n_chunks,
+       strlen(text) AS total_bytes
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rows-only entries (non-SQL-expressible: Python UDF / approximate)
+# ---------------------------------------------------------------------------
+
+
+def q26_sentence_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence tokenization via the Arrow-batched pandas UDF (F13;
+    src/lambda_5.py:84-87).  Python UDF ⇒ rows-only driver check."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.tokenize_sentences(docs, text_col="text", id_cols=["doc_id"])
+
+
+# Fixed random hyperplanes (seed recorded; deterministic constants).
+_PLANES_8 = [
+    [((i * 37 + j * 17 + 11) % 23) - 11.0 for j in range(64)] for i in range(8)
+]
+
+
+def q27_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN: random-hyperplane LSH buckets prune candidates
+    before scoring (recall < 1 by construction ⇒ rows-only check)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return similarity.lsh_topk(
+        queries_df, emb, query_id="vec_id", corpus_id="vec_id",
+        planes=_PLANES_8, k=10,
+    )
+
+
+def q28_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via band pigeonholing + Hamming verify
+    (approximate candidate generation ⇒ rows-only check)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_neardup_pairs(
+        docs, text_col="text", id_col="doc_id", max_hamming=6
+    )
+
+
+def q29_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode seam: Arrow-batched mapInPandas over binary
+    payloads (deterministic stub codec ⇒ rows-only check)."""
+    docs = _t(spark, sf_dir, "documents")
+    assets = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    return multimodal.decode_images(assets, id_col="doc_id", binary_col="payload")
+
+
+CATALOG: dict[str, QueryDef] = {
+    "q01_pricing_summary": QueryDef(q01_pricing_summary, _Q01_SQL, "filter+agg+sort (A1/A3)"),
+    "q02_event_type_counts": QueryDef(q02_event_type_counts, _Q02_SQL, "groupBy count desc (A1/O1)"),
+    "q03_filtered_mention_counts": QueryDef(q03_filtered_mention_counts, _Q03_SQL, "P7 filters + counts"),
+    "q04_segment_revenue": QueryDef(q04_segment_revenue, _Q04_SQL, "broadcast dim join (J1)"),
+    "q05_left_join_sentiment_dist": QueryDef(q05_left_join_sentiment_dist, _Q05_SQL, "left join + counts (J2/A2)"),
+    "q06_distinct_types": QueryDef(q06_distinct_types, _Q06_SQL, "DISTINCT (A4)"),
+    "q07_rolling_mean": QueryDef(q07_rolling_mean, _Q07_SQL, "50-row rolling mean (W1)"),
+    "q08_latest_order_per_customer": QueryDef(q08_latest_order_per_customer, _Q08_SQL, "top-1 per group (W2)"),
+    "q09_cumulative_offsets": QueryDef(q09_cumulative_offsets, _Q09_SQL, "prefix-sum spans (A10)"),
+    "q10_ordered_concat": QueryDef(q10_ordered_concat, _Q10_SQL, "ordered concat (A5)"),
+    "q11_zip_join": QueryDef(q11_zip_join, _Q11_SQL, "positional zip join (J3)"),
+    "q12_asof_join": QueryDef(q12_asof_join, _Q12_SQL, "as-of join (J4)"),
+    "q13_upsert_new_rows": QueryDef(q13_upsert_new_rows, _Q13_SQL, "INSERT IGNORE anti-join (A7)"),
+    "q14_time_dimension": QueryDef(q14_time_dimension, _Q14_SQL, "time dim (F5/F6)"),
+    "q15_word_frequencies": QueryDef(q15_word_frequencies, _Q15_SQL, "word freq (A8)"),
+    "q16_text_quality": QueryDef(q16_text_quality, _Q16_SQL, "quality stats"),
+    "q17_language_id": QueryDef(q17_language_id, _lang_id_sql(), "language ID heuristic"),
+    "q18_exact_dedup": QueryDef(q18_exact_dedup, _Q18_SQL, "exact dedup"),
+    "q19_ngram_jaccard": QueryDef(q19_ngram_jaccard, _Q19_SQL, "n-gram Jaccard near-dup"),
+    "q20_minhash_signatures": QueryDef(q20_minhash_signatures, _minhash_sql(), "MinHash signatures"),
+    "q21_simhash": QueryDef(q21_simhash, _simhash_sql(), "SimHash fingerprints"),
+    "q22_ann_topk": QueryDef(q22_ann_topk, _Q22_SQL, "brute-force cosine top-k"),
+    "q23_embedding_neardup": QueryDef(q23_embedding_neardup, _Q23_SQL, "embedding near-dup"),
+    "q24_fingerprints": QueryDef(q24_fingerprints, _fingerprint_sql(), "winnowing fingerprints"),
+    "q25_multimodal_chunks": QueryDef(q25_multimodal_chunks, _Q25_SQL, "binary chunking (S9)"),
+    "q26_sentence_tokenize": QueryDef(q26_sentence_tokenize, None, "sentence tokenizer UDF (F13)"),
+    "q27_lsh_ann_topk": QueryDef(q27_lsh_ann_topk, None, "LSH approximate ANN"),
+    "q28_simhash_neardup": QueryDef(q28_simhash_neardup, None, "SimHash near-dup pairs"),
+    "q29_image_decode": QueryDef(q29_image_decode, None, "multimodal decode seam"),
+}
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: d.fn for name, d in CATALOG.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: d.sql for name, d in CATALOG.items() if d.sql is not None}
