@@ -11,16 +11,19 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-RFC2822_FORMAT = "EEE, dd MMM yyyy HH:mm:ss Z"
+RFC2822_FORMAT = "dd MMM yyyy HH:mm:ss Z"
 
 
 def parse_rfc2822(col: Column) -> Column:
     """Parse 'Mon, 15 May 2023 10:30:00 +0000' → timestamp; null on
     failure (the reference's permissive behavior, src/lambda_2.py:112-114).
 
-    ``try_to_timestamp`` keeps parsing JVM-side and never throws.
+    Spark ≥3 refuses day-of-week fields in parse patterns, so the
+    optional 'EEE, ' prefix is stripped first; ``try_to_timestamp``
+    keeps parsing JVM-side and never throws.
     """
-    return F.try_to_timestamp(col, F.lit(RFC2822_FORMAT))
+    stripped = F.regexp_replace(col, r"^[A-Za-z]{3},\s*", "")
+    return F.try_to_timestamp(stripped, F.lit(RFC2822_FORMAT))
 
 
 def time_dimension(df: DataFrame, date_col: str) -> DataFrame:

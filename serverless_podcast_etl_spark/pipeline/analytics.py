@@ -1,0 +1,136 @@
+"""Entry point 3 — the dashboard query library (ec2_data/app.py).
+
+All 8 dashboard queries as DataFrame functions over the warehouse
+dimensions.  Join-key note (SURVEY §7.4.2): the reference joins
+entity→sentence on ``sentence_index`` ONLY (a latent bug masked by its
+single-episode filters); we join on the full UNIQUE key
+``(sentence_index, episode_id)`` — identical results under the
+reference's own usage, correct with many episodes loaded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.aggregates import ratio_of_avgs, word_frequencies
+from ..operators.windows import rolling_mean
+
+# English stopword list for the wordcloud query (the reference
+# delegates to wordcloud.STOPWORDS; fixed list here for determinism).
+WORDCLOUD_STOPWORDS = [
+    "the", "a", "an", "of", "and", "to", "in", "is", "it", "for",
+    "on", "with", "that", "this", "was", "as", "at", "be", "are", "but",
+]
+
+
+def distinct_podcasts(podcast_dim: DataFrame) -> DataFrame:
+    """Dropdown: all podcasts (app.py:39)."""
+    return podcast_dim.select("podcast_title", "podcast_id").distinct()
+
+
+def episodes_newest_first(episode_dim: DataFrame, podcast_id: int) -> DataFrame:
+    """Dropdown: a podcast's episodes, newest first (app.py:97-102)."""
+    return (
+        episode_dim.filter(F.col("podcast_id") == podcast_id)
+        .select("episode_title", "episode_id", "episode_release_date")
+        .orderBy(F.desc("episode_release_date"), "episode_id")
+    )
+
+
+def distinct_entity_types(entity_dim: DataFrame, episode_id: int) -> DataFrame:
+    """Dropdown: entity types present in an episode (app.py:132-136)."""
+    return (
+        entity_dim.filter(F.col("episode_id") == episode_id)
+        .select("entity_type")
+        .distinct()
+    )
+
+
+def entity_mention_counts(
+    entity_dim: DataFrame, episode_id: int, entity_type: str
+) -> DataFrame:
+    """Bar plot: mention counts for a type in an episode, descending
+    (app.py:180-187)."""
+    return (
+        entity_dim.filter(
+            (F.col("entity_type") == entity_type)
+            & (F.col("episode_id") == episode_id)
+        )
+        .groupBy("entity_text")
+        .agg(F.count(F.lit(1)).alias("num_occurences"))
+        .orderBy(F.desc("num_occurences"), "entity_text")
+    )
+
+
+def sentiment_distribution(
+    entity_dim: DataFrame,
+    sentence_dim: DataFrame,
+    episode_id: int,
+    entity_type: str,
+) -> DataFrame:
+    """Pie chart: sentiment class counts over an entity type's
+    sentences (app.py:230-238) — corrected composite-key join."""
+    ents = entity_dim.filter(
+        (F.col("entity_type") == entity_type) & (F.col("episode_id") == episode_id)
+    )
+    joined = ents.join(
+        sentence_dim.select("sentence_index", "episode_id", "overall_sentiment"),
+        on=["sentence_index", "episode_id"],
+        how="left",
+    )
+    return joined.groupBy("overall_sentiment").agg(
+        F.count(F.lit(1)).alias("num_sentences")
+    )
+
+
+def sentiment_timeseries(sentence_dim: DataFrame, episode_id: int) -> DataFrame:
+    """Line chart: 50-row rolling mean of (positive - negative) over
+    sentence order (app.py:270,282-305)."""
+    scored = sentence_dim.filter(F.col("episode_id") == episode_id).withColumn(
+        "score", F.col("positive_score") - F.col("negative_score")
+    )
+    return rolling_mean(
+        scored,
+        value="score",
+        partition_by=["episode_id"],
+        order_by=["sentence_index"],
+        window_rows=50,
+        out_col="rolling_sentiment",
+    ).select("episode_id", "sentence_index", "score", "rolling_sentiment")
+
+
+def entity_sentiment_proportions(
+    entity_dim: DataFrame,
+    sentence_dim: DataFrame,
+    episode_id: int,
+    entity_type: str,
+) -> DataFrame:
+    """Stacked bars: per-entity sentiment share (ratio of AVGs,
+    app.py:333-346), descending by positive share."""
+    ents = entity_dim.filter(
+        (F.col("entity_type") == entity_type) & (F.col("episode_id") == episode_id)
+    )
+    joined = ents.join(
+        sentence_dim.select(
+            "sentence_index", "episode_id",
+            "positive_score", "neutral_score", "negative_score",
+        ),
+        on=["sentence_index", "episode_id"],
+        how="left",
+    )
+    out = ratio_of_avgs(
+        joined,
+        group_by=["entity_text"],
+        cols=["positive_score", "neutral_score", "negative_score"],
+    )
+    return out.orderBy(F.desc("positive_score_share"), "entity_text")
+
+
+def episode_word_frequencies(sentence_dim: DataFrame, episode_id: int) -> DataFrame:
+    """Wordcloud input: word counts over an episode's sentences with
+    stopwords removed (app.py:365-367,385-406)."""
+    sents = sentence_dim.filter(F.col("episode_id") == episode_id)
+    return word_frequencies(
+        sents, text_col="sentence_text", stopwords=WORDCLOUD_STOPWORDS
+    ).orderBy(F.desc("num_occurences"), "word")

@@ -1,0 +1,86 @@
+"""The 8 dashboard queries (ec2_data/app.py) over a pipeline-built
+warehouse — entry point 3 of the reference (SURVEY §3)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from serverless_podcast_etl_spark.pipeline import analytics
+from serverless_podcast_etl_spark.pipeline.runner import run_full_pipeline
+from serverless_podcast_etl_spark.pipeline.warehouse import Warehouse
+
+from .fixtures import make_audio, make_rss_docs
+
+
+@pytest.fixture(scope="module")
+def wh(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("dash_wh"))
+    w = Warehouse(spark, root)
+    run_full_pipeline(
+        w, make_rss_docs(spark), make_audio(spark, [1, 2, 3], 200), chunk_bytes=200
+    )
+    return w
+
+
+def _an_episode_with_entities(wh) -> tuple[int, str]:
+    row = (
+        wh.read("entity_dimension")
+        .groupBy("episode_id", "entity_type")
+        .count()
+        .orderBy(F.desc("count"))
+        .first()
+    )
+    return row["episode_id"], row["entity_type"]
+
+
+def test_dropdown_queries(wh):
+    assert analytics.distinct_podcasts(wh.read("podcast_dimension")).count() == 3
+    eps = analytics.episodes_newest_first(wh.read("episode_dimension"), 1)
+    dates = [r["episode_release_date"] for r in eps.collect() if r[2] is not None]
+    assert dates == sorted(dates, reverse=True)
+    ep, _ = _an_episode_with_entities(wh)
+    assert analytics.distinct_entity_types(wh.read("entity_dimension"), ep).count() > 0
+
+
+def test_mention_counts_descending(wh):
+    ep, et = _an_episode_with_entities(wh)
+    out = analytics.entity_mention_counts(wh.read("entity_dimension"), ep, et)
+    counts = [r["num_occurences"] for r in out.collect()]
+    assert counts == sorted(counts, reverse=True) and len(counts) > 0
+
+
+def test_sentiment_distribution_and_proportions(wh):
+    ep, et = _an_episode_with_entities(wh)
+    dist = analytics.sentiment_distribution(
+        wh.read("entity_dimension"), wh.read("sentence_dimension"), ep, et
+    )
+    assert dist.agg(F.sum("num_sentences")).collect()[0][0] > 0
+
+    props = analytics.entity_sentiment_proportions(
+        wh.read("entity_dimension"), wh.read("sentence_dimension"), ep, et
+    ).collect()
+    for r in props:
+        total = (
+            r["positive_score_share"]
+            + r["neutral_score_share"]
+            + r["negative_score_share"]
+        )
+        assert abs(total - 1.0) < 0.01  # shares sum to 1
+
+
+def test_sentiment_timeseries_rolling(wh):
+    ep, _ = _an_episode_with_entities(wh)
+    out = analytics.sentiment_timeseries(wh.read("sentence_dimension"), ep).collect()
+    assert len(out) > 0
+    # first row's rolling mean equals its own score (min_periods=1)
+    first = min(out, key=lambda r: r["sentence_index"])
+    assert abs(first["rolling_sentiment"] - first["score"]) < 1e-9
+
+
+def test_word_frequencies_no_stopwords(wh):
+    ep, _ = _an_episode_with_entities(wh)
+    out = analytics.episode_word_frequencies(wh.read("sentence_dimension"), ep)
+    words = {r["word"] for r in out.collect()}
+    assert words and not (words & set(analytics.WORDCLOUD_STOPWORDS))

@@ -1,0 +1,117 @@
+"""Unit tests per operator (SURVEY §5.2.2) on tiny in-memory frames."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from serverless_podcast_etl_spark.functions.dates import parse_rfc2822
+from serverless_podcast_etl_spark.operators.aggregates import (
+    dedup_insert,
+    ordered_concat,
+)
+from serverless_podcast_etl_spark.operators.joins import range_join, zip_join
+from serverless_podcast_etl_spark.operators.multimodal import chunk_binary
+from serverless_podcast_etl_spark.operators.windows import rolling_mean
+
+
+def test_rolling_mean_matches_pandas(spark):
+    """W1 parity: Spark row-frame == pandas rolling(50, min_periods=1)
+    (ec2_data/app.py:270,302-305)."""
+    pdf = pd.DataFrame(
+        {
+            "ep": [1] * 80 + [2] * 40,
+            "idx": list(range(80)) + list(range(40)),
+            "score": [((i * 37) % 100) / 100 - 0.5 for i in range(120)],
+        }
+    )
+    expected = (
+        pdf.groupby("ep")["score"]
+        .rolling(window=50, min_periods=1)
+        .mean()
+        .reset_index(drop=True)
+    )
+    df = spark.createDataFrame(pdf)
+    out = (
+        rolling_mean(df, "score", ["ep"], ["idx"], window_rows=50)
+        .orderBy("ep", "idx")
+        .collect()
+    )
+    for row, exp in zip(out, expected):
+        assert abs(row["rolling_mean"] - exp) < 1e-12
+
+
+def test_ordered_concat_respects_order(spark):
+    df = spark.createDataFrame(
+        [(1, 3, "c"), (1, 1, "a"), (1, 2, "b"), (2, 1, "x")],
+        "g long, o int, t string",
+    )
+    out = {
+        r["g"]: r["concatenated"]
+        for r in ordered_concat(df, ["g"], "o", "t").collect()
+    }
+    assert out == {1: "a b c", 2: "x"}
+
+
+def test_dedup_insert_is_idempotent(spark):
+    existing = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    incoming = spark.createDataFrame(
+        [(2, "b2"), (3, "c"), (3, "c-dup")], "k long, v string"
+    )
+    fresh = dedup_insert(existing, incoming, ["k"])
+    rows = fresh.collect()
+    # key 2 ignored (exists), key 3 kept once (in-batch dedup)
+    assert sorted(r["k"] for r in rows) == [3]
+    # re-inserting the union is a no-op
+    merged = existing.union(fresh.select("k", "v"))
+    assert dedup_insert(merged, incoming, ["k"]).count() == 0
+
+
+def test_parse_rfc2822_permissive(spark):
+    df = spark.createDataFrame(
+        [("Mon, 15 May 2023 10:30:00 +0000",), ("garbage",), (None,)],
+        "s string",
+    )
+    out = df.select(parse_rfc2822(F.col("s")).alias("ts")).collect()
+    assert out[0]["ts"] is not None
+    assert out[0]["ts"].year == 2023
+    assert out[1]["ts"] is None  # no crash (src/lambda_2.py:112-114)
+    assert out[2]["ts"] is None
+
+
+def test_zip_join_positional(spark):
+    left = spark.createDataFrame([(1, 10, "s0"), (1, 20, "s1"), (2, 5, "t0")],
+                                 "ep long, ord int, text string")
+    right = spark.createDataFrame([(1, 100, "NEU"), (1, 200, "POS"), (2, 50, "NEG")],
+                                  "ep long, line int, label string")
+    out = zip_join(left, right, ["ord"], ["line"], partition_by=["ep"])
+    got = {(r["ep"], r["pos"]): (r["text"], r["label"]) for r in out.collect()}
+    assert got == {
+        (1, 0): ("s0", "NEU"),
+        (1, 1): ("s1", "POS"),
+        (2, 0): ("t0", "NEG"),
+    }
+
+
+def test_chunk_binary_exact_sizes(spark):
+    payload = bytes(range(256)) * 10  # 2560 bytes
+    df = spark.createDataFrame([(1, payload)], "episode_id long, content binary")
+    chunks = chunk_binary(df, "content", chunk_bytes=1000).collect()
+    sizes = {r["chunk_num"]: len(r["chunk"]) for r in chunks}
+    assert sizes == {1: 1000, 2: 1000, 3: 560}
+    reassembled = b"".join(
+        r["chunk"] for r in sorted(chunks, key=lambda r: r["chunk_num"])
+    )
+    assert reassembled == payload
+
+
+def test_range_join_containment(spark):
+    probe = spark.createDataFrame([(1, 4), (1, 6), (1, 17)], "ep long, point long")
+    spans = spark.createDataFrame(
+        [(1, 0, 6, 0), (1, 6, 12, 1), (1, 12, 18, 2)],
+        "ep long, s long, e long, idx int",
+    )
+    out = range_join(probe, spans, "point", "s", "e", on=["ep"])
+    got = sorted((r["point"], r["idx"]) for r in out.collect())
+    assert got == [(4, 0), (6, 1), (17, 2)]

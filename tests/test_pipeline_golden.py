@@ -1,0 +1,86 @@
+"""Golden end-to-end pipeline test (SURVEY §5.2.3): staging fixtures →
+all 5 dims; re-run ⇒ zero new rows (the INSERT IGNORE contract)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from serverless_podcast_etl_spark.pipeline.runner import run_full_pipeline
+from serverless_podcast_etl_spark.pipeline.warehouse import Warehouse
+
+from .fixtures import make_audio, make_rss_docs
+
+
+@pytest.fixture(scope="module")
+def loaded(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("wh"))
+    wh = Warehouse(spark, root)
+    rss = make_rss_docs(spark)
+    audio = make_audio(spark, episode_ids=[1, 2, 3], chunk_bytes=200)
+    counts = run_full_pipeline(wh, rss, audio, chunk_bytes=200)
+    return wh, rss, audio, counts
+
+
+def test_dimensions_populated(loaded):
+    wh, _, _, counts = loaded
+    assert counts["podcast_dimension"] == 3
+    # 12 episodes, 1 unparseable pubDate still ingests (null date)
+    assert counts["episode_dimension"] == 12
+    assert counts["time_dimension"] > 0
+    assert counts["sentence_dimension"] > 0
+    assert counts["entity_dimension"] > 0
+
+
+def test_fk_integrity(loaded):
+    wh, _, _, _ = loaded
+    eps = wh.read("episode_dimension")
+    pods = wh.read("podcast_dimension")
+    dangling = eps.join(pods, "podcast_id", "left_anti")
+    assert dangling.count() == 0
+
+    sents = wh.read("sentence_dimension")
+    ents = wh.read("entity_dimension")
+    dangling_e = ents.join(
+        sents.select("sentence_index", "episode_id"),
+        on=["sentence_index", "episode_id"],
+        how="left_anti",
+    )
+    assert dangling_e.count() == 0
+
+
+def test_sentence_index_contiguous(loaded):
+    wh, _, _, _ = loaded
+    sents = wh.read("sentence_dimension")
+    per_ep = sents.groupBy("episode_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("sentence_index").alias("lo"),
+        F.max("sentence_index").alias("hi"),
+    )
+    bad = per_ep.filter((F.col("lo") != 0) | (F.col("hi") != F.col("n") - 1))
+    assert bad.count() == 0
+
+
+def test_unparseable_pubdate_is_null_not_crash(loaded):
+    wh, _, _, _ = loaded
+    eps = wh.read("episode_dimension")
+    assert eps.filter(F.col("episode_release_date").isNull()).count() == 1
+
+
+def test_rerun_is_noop(loaded, spark):
+    wh, rss, audio, _ = loaded
+    before = {
+        t: wh.read(t).count()
+        for t in [
+            "time_dimension",
+            "podcast_dimension",
+            "episode_dimension",
+            "sentence_dimension",
+            "entity_dimension",
+        ]
+    }
+    counts2 = run_full_pipeline(wh, rss, audio, chunk_bytes=200)
+    assert all(v == 0 for v in counts2.values()), counts2
+    after = {t: wh.read(t).count() for t in before}
+    assert before == after
