@@ -71,6 +71,52 @@ def minhash_value_sql(x32_expr: str, a: int, b: int) -> str:
     return f"(({x32_expr}) * {a} + {b}) % {MERSENNE_P}"
 
 
+# Polynomial combiner for token-hash shingling: shingle hash =
+# fold(h_i) = ((h_1·B + h_2) mod 2^32 · B + h_3) mod 2^32 … — position
+# sensitive, overflow-safe (h < 2^32, B·h < 2^52), and string-free:
+# shingles never materialize as strings, only token hashes combine.
+SHINGLE_B = 1_000_003
+
+
+def shingle_hash_array(tok_hashes: Column, n: int) -> Column:
+    """Array of word-n-gram shingle hashes from an array of token
+    hashes (both array<long>), computed entirely in-row."""
+    def fold(i: Column) -> Column:
+        acc = F.element_at(tok_hashes, i + 1)
+        for k in range(1, n):
+            acc = (acc * F.lit(SHINGLE_B) + F.element_at(tok_hashes, i + 1 + k)) % F.lit(U32)
+        return acc
+
+    return F.when(
+        F.size(tok_hashes) >= n,
+        F.transform(F.sequence(F.lit(0), F.size(tok_hashes) - n), fold),
+    ).otherwise(F.array().cast("array<long>"))
+
+
+def token_hashes(toks: Column) -> Column:
+    """array<long> of portable 32-bit token hashes."""
+    return F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast("long") % F.lit(U32)
+    )
+
+
+def token_hashes_sql(toks_expr: str) -> str:
+    """DuckDB twin of ``token_hashes`` over a VARCHAR[] expression."""
+    return (
+        f"list_transform({toks_expr}, x -> "
+        f"CAST(('0x' || substr(md5(x), 1, 12)) AS BIGINT) % {U32})"
+    )
+
+
+def shingle_hash_sql(th: str, i: str, n: int) -> str:
+    """DuckDB twin of one fold step: shingle hash at 1-based index i
+    over token-hash list ``th``."""
+    acc = f"{th}[{i}]"
+    for k in range(1, n):
+        acc = f"(({acc}) * {SHINGLE_B} + {th}[{i}+{k}]) % {U32}"
+    return acc
+
+
 def simhash_bit(col: Column, i: int) -> Column:
     """Bit i (0..31) of a token: the high bit of md5 hex digit i.
 

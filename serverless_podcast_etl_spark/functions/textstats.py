@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .hashing import portable_hash32
+from . import hashing
 from .text import bpe_ish_tokens, word_tokens
 
 # Small fixed stopword list shared verbatim with the SQL oracle.
@@ -97,26 +97,19 @@ def rolling_fingerprints(
 
     The kept hash set is a compact, alignment-free signature for
     overlap detection (MOSS-style).  Portable hash ⇒ oracle-checkable.
+    Computed inside the row (higher-order array ops) — zero shuffles;
+    documents with no kept fingerprints produce no row (parity with
+    the exploded formulation and the SQL oracle).
     """
-    toks = word_tokens(F.col(text_col))
-    # guard: sequence(0, -1) descends in Spark — emit no grams instead.
-    grams = F.when(
-        F.size(toks) >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - k),
-            lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    exploded = df.select(F.col(id_col), F.explode(grams).alias("gram"))
-    hashed = exploded.select(
-        F.col(id_col), portable_hash32(F.col("gram")).alias("gram_hash")
+    grams = hashing.shingle_hash_array(
+        hashing.token_hashes(word_tokens(F.col(text_col))), k
     )
-    return (
-        hashed.filter(F.col("gram_hash") % keep_mod == 0)
-        .distinct()
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_fingerprints"),
-            F.min("gram_hash").alias("min_fingerprint"),
-        )
+    kept = F.array_distinct(F.filter(grams, lambda h: h % keep_mod == 0))
+    # Generate barrier: compute the hash/filter/distinct chain once per
+    # row (explode of a 1-element array), not once per consumer.
+    materialized = df.select(F.col(id_col), F.explode(F.array(kept)).alias("_kept"))
+    return materialized.filter(F.size("_kept") > 0).select(
+        F.col(id_col),
+        F.size("_kept").cast("long").alias("n_fingerprints"),
+        F.array_min("_kept").alias("min_fingerprint"),
     )

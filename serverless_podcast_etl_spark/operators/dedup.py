@@ -44,6 +44,10 @@ def exact_dedup(
     )
 
 
+def _word_tokens(text_col: str):
+    return F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+
+
 def shingles(
     df: DataFrame,
     text_col: str,
@@ -51,22 +55,13 @@ def shingles(
     n: int = 3,
     shingle_col: str = "shingle",
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document.
-
-    Tokenize on whitespace, slide an n-window via transform over token
-    indices, explode, distinct.  All JVM-side higher-order functions —
-    no Python in the loop.
+    """Distinct word n-gram shingle HASHES per document (array<long>
+    token hashes folded pairwise — shingle strings never materialize;
+    see functions/hashing.py).  All JVM-side; one explode feeding the
+    downstream join, no string allocation per shingle.
     """
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
-    # sequence(0, -1) would generate a DESCENDING range in Spark — guard
-    # short documents with an explicit empty array.
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    tok_h = hashing.token_hashes(_word_tokens(text_col))
+    grams = hashing.shingle_hash_array(tok_h, n)
     return (
         df.select(F.col(id_col), F.explode(grams).alias(shingle_col))
         .distinct()
@@ -116,6 +111,19 @@ def ngram_jaccard_pairs(
     )
 
 
+def _once(df: DataFrame, id_col: str, expr, name: str) -> DataFrame:
+    """Materialize an expensive per-row expression exactly once.
+
+    Column expressions are duplicated into every consumer after
+    ProjectCollapse, so an md5-transform referenced by 8 output
+    columns would run 8×.  ``explode(array(expr))`` wraps it in a
+    Generate node (always exactly 1 output row per input row), which
+    the collapse rule cannot inline through — downstream projections
+    see a bound attribute, not the expression tree.
+    """
+    return df.select(F.col(id_col), F.explode(F.array(expr)).alias(name))
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str,
@@ -127,17 +135,26 @@ def minhash_signatures(
 
     Each hash i is min over shingles of (a_i·h32(shingle)+b_i) mod p
     with the portable md5-derived base hash — bit-identical to the SQL
-    oracle.  One shuffle (groupBy id); hashes computed JVM-side.
+    oracle.  Computed entirely inside the row with higher-order array
+    functions: ZERO shuffles, perfectly data-parallel at any scale
+    (min over duplicate shingles == min over distinct shingles, so no
+    dedup pass is needed either).  The md5 base hashes are computed
+    once per shingle via the ``_once`` barrier; the per-function mins
+    are cheap arithmetic re-scans of that array.
     """
     params = hashing.MINHASH_PARAMS[:num_hashes]
-    sh = shingles(df, text_col, id_col, n=n)
-    h32 = hashing.portable_hash32(F.col("shingle"))
-    withh = sh.select(F.col(id_col), h32.alias("h32"))
-    return withh.groupBy(id_col).agg(
+    h32s = hashing.shingle_hash_array(
+        hashing.token_hashes(_word_tokens(text_col)), n
+    )
+    hashed = _once(df, id_col, h32s, "_h32s")
+    return hashed.select(
+        F.col(id_col),
         *[
-            F.min(hashing.minhash_value(F.col("h32"), a, b)).alias(f"mh_{i}")
+            F.array_min(
+                F.transform(F.col("_h32s"), lambda h: hashing.minhash_value(h, a, b))
+            ).alias(f"mh_{i}")
             for i, (a, b) in enumerate(params)
-        ]
+        ],
     )
 
 
@@ -201,29 +218,31 @@ def simhash_fingerprints(
 
     Bit j of the fingerprint = sign of Σ_tokens (±1 by token-hash bit j)
     — tokens vote per bit position, near-identical documents land at
-    small Hamming distance.  Implemented as explode → 32 conditional
-    sums in ONE hash aggregate (not 32 passes).
+    small Hamming distance.  Computed inside the row: one md5 prefix
+    per token (shared subexpression), then ``bits`` cheap filtered
+    counts over the hash array — ZERO shuffles at any corpus size.
     """
-    toks = df.select(
-        F.col(id_col),
-        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
-    ).filter(F.col("tok") != "")
-    votes = toks.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(hashing.simhash_bit(F.col("tok"), j), 1).otherwise(-1)
-            ).alias(f"v_{j}")
-            for j in range(bits)
-        ]
-    )
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    # one md5 per token (via the _once barrier), reused by all bits
+    hashes = F.transform(toks, lambda t: F.substring(F.md5(t), 1, bits))
+    hashed = _once(df, id_col, hashes, "_h")
+    n_tok = F.size(F.col("_h"))
+    hexhi = list("89abcdef")
+
+    def vote(j: int):
+        hits = F.size(
+            F.filter(F.col("_h"), lambda h: F.substring(h, j + 1, 1).isin(*hexhi))
+        )
+        return hits * 2 - n_tok  # (+1 per hit, -1 per miss)
+
     fingerprint = sum(
         (
-            F.when(F.col(f"v_{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+            F.when(vote(j) > 0, F.lit(2**j)).otherwise(F.lit(0))
             for j in range(bits)
         ),
         F.lit(0),
     )
-    return votes.select(F.col(id_col), fingerprint.cast("long").alias("simhash"))
+    return hashed.select(F.col(id_col), fingerprint.cast("long").alias("simhash"))
 
 
 def simhash_neardup_pairs(

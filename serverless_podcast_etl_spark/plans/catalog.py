@@ -50,12 +50,14 @@ _TOKS_CTE = (
 
 
 def _shingle_cte(n: int) -> str:
-    """Distinct word n-gram shingles per doc (twin of dedup.shingles)."""
+    """Distinct word n-gram shingle hashes per doc (twin of
+    dedup.shingles — token md5 hashes folded polynomially)."""
+    th_cte = f"SELECT doc_id, {hashing.token_hashes_sql('t')} AS th FROM ({_TOKS_CTE})"
     return (
         f"SELECT DISTINCT doc_id, unnest(list_transform("
-        f"range(1, greatest(len(t) - {n} + 2, 1)), "
-        f"i -> array_to_string(t[i:i+{n - 1}], ' '))) AS shingle "
-        f"FROM ({_TOKS_CTE})"
+        f"range(1, greatest(len(th) - {n} + 2, 1)), "
+        f"i -> {hashing.shingle_hash_sql('th', 'i', n)})) AS shingle "
+        f"FROM ({th_cte})"
     )
 
 
@@ -515,15 +517,13 @@ def q20_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sql(n: int = 3, num_hashes: int = 8) -> str:
-    h32 = f"{hashing.portable_hash48_sql('shingle')} % {hashing.U32}"
     mins = ", ".join(
-        f"min({hashing.minhash_value_sql('h32', a, b)}) AS mh_{i}"
+        f"min({hashing.minhash_value_sql('shingle', a, b)}) AS mh_{i}"
         for i, (a, b) in enumerate(hashing.MINHASH_PARAMS[:num_hashes])
     )
     return f"""
-WITH sh AS ({_shingle_cte(n)}),
-h AS (SELECT doc_id, {h32} AS h32 FROM sh)
-SELECT doc_id, {mins} FROM h GROUP BY doc_id
+WITH sh AS ({_shingle_cte(n)})
+SELECT doc_id, {mins} FROM sh GROUP BY doc_id
 """
 
 
@@ -607,11 +607,10 @@ def q24_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _fingerprint_sql(k: int = 5, keep_mod: int = 8) -> str:
-    h32 = f"{hashing.portable_hash48_sql('shingle')} % {hashing.U32}"
     return f"""
 WITH sh AS ({_shingle_cte(k)}),
-kept AS (SELECT DISTINCT doc_id, {h32} AS gram_hash FROM sh
-         WHERE ({h32}) % {keep_mod} = 0)
+kept AS (SELECT DISTINCT doc_id, shingle AS gram_hash FROM sh
+         WHERE shingle % {keep_mod} = 0)
 SELECT doc_id, count(*) AS n_fingerprints, min(gram_hash) AS min_fingerprint
 FROM kept GROUP BY doc_id
 """
