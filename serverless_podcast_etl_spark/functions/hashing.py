@@ -80,17 +80,27 @@ SHINGLE_B = 1_000_003
 
 def shingle_hash_array(tok_hashes: Column, n: int) -> Column:
     """Array of word-n-gram shingle hashes from an array of token
-    hashes (both array<long>), computed entirely in-row."""
-    def fold(i: Column) -> Column:
-        acc = F.element_at(tok_hashes, i + 1)
-        for k in range(1, n):
-            acc = (acc * F.lit(SHINGLE_B) + F.element_at(tok_hashes, i + 1 + k)) % F.lit(U32)
-        return acc
+    hashes (both array<long>), computed entirely in-row.
 
-    return F.when(
-        F.size(tok_hashes) >= n,
-        F.transform(F.sequence(F.lit(0), F.size(tok_hashes) - n), fold),
-    ).otherwise(F.array().cast("array<long>"))
+    Formulated as ``zip_with`` over n shifted slices — NOT as
+    ``transform(sequence, i -> element_at(tok_hashes, i+k))``: inside a
+    higher-order lambda each ``element_at`` re-evaluates the whole
+    ``tok_hashes`` expression tree, turning an O(len) fold into
+    O(len²) md5 calls when tok_hashes is an unbound transform.  The
+    slice form evaluates ``tok_hashes`` exactly n times per row
+    regardless of how the input column was produced.
+    """
+    m = F.size(tok_hashes) - (n - 1)  # number of shingles
+    acc = F.slice(tok_hashes, 1, m)
+    for k in range(1, n):
+        acc = F.zip_with(
+            acc,
+            F.slice(tok_hashes, k + 1, m),
+            lambda a, h: (a * F.lit(SHINGLE_B) + h) % F.lit(U32),
+        )
+    return F.when(F.size(tok_hashes) >= n, acc).otherwise(
+        F.array().cast("array<long>")
+    )
 
 
 def token_hashes(toks: Column) -> Column:

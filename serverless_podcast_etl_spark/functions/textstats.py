@@ -101,13 +101,14 @@ def rolling_fingerprints(
     documents with no kept fingerprints produce no row (parity with
     the exploded formulation and the SQL oracle).
     """
-    grams = hashing.shingle_hash_array(
-        hashing.token_hashes(word_tokens(F.col(text_col))), k
-    )
+    from ..operators.dedup import _bound_token_hashes
+
+    bound = _bound_token_hashes(df, text_col, id_col)
+    grams = hashing.shingle_hash_array(F.col("_th"), k)
     kept = F.array_distinct(F.filter(grams, lambda h: h % keep_mod == 0))
     # Generate barrier: compute the hash/filter/distinct chain once per
     # row (explode of a 1-element array), not once per consumer.
-    materialized = df.select(F.col(id_col), F.explode(F.array(kept)).alias("_kept"))
+    materialized = bound.select(F.col(id_col), F.explode(F.array(kept)).alias("_kept"))
     return materialized.filter(F.size("_kept") > 0).select(
         F.col(id_col),
         F.size("_kept").cast("long").alias("n_fingerprints"),

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import hashing
+from .scale import ensure_parallelism
 
 
 def exact_dedup(
@@ -48,6 +49,19 @@ def _word_tokens(text_col: str):
     return F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
 
 
+def _bound_token_hashes(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, _th array<long>) with the md5 token hashes materialized
+    behind a Generate barrier (see ``_once``) so every downstream
+    consumer reads a bound attribute — the md5 pass runs exactly once
+    per row.  Also fans a single-row-group scan out across cores."""
+    return _once(
+        ensure_parallelism(df),
+        id_col,
+        hashing.token_hashes(_word_tokens(text_col)),
+        "_th",
+    )
+
+
 def shingles(
     df: DataFrame,
     text_col: str,
@@ -60,10 +74,10 @@ def shingles(
     see functions/hashing.py).  All JVM-side; one explode feeding the
     downstream join, no string allocation per shingle.
     """
-    tok_h = hashing.token_hashes(_word_tokens(text_col))
-    grams = hashing.shingle_hash_array(tok_h, n)
+    hashed = _bound_token_hashes(df, text_col, id_col)
+    grams = hashing.shingle_hash_array(F.col("_th"), n)
     return (
-        df.select(F.col(id_col), F.explode(grams).alias(shingle_col))
+        hashed.select(F.col(id_col), F.explode(grams).alias(shingle_col))
         .distinct()
     )
 
@@ -143,10 +157,10 @@ def minhash_signatures(
     are cheap arithmetic re-scans of that array.
     """
     params = hashing.MINHASH_PARAMS[:num_hashes]
-    h32s = hashing.shingle_hash_array(
-        hashing.token_hashes(_word_tokens(text_col)), n
+    bound = _bound_token_hashes(df, text_col, id_col)
+    hashed = _once(
+        bound, id_col, hashing.shingle_hash_array(F.col("_th"), n), "_h32s"
     )
-    hashed = _once(df, id_col, h32s, "_h32s")
     return hashed.select(
         F.col(id_col),
         *[
@@ -222,10 +236,10 @@ def simhash_fingerprints(
     per token (shared subexpression), then ``bits`` cheap filtered
     counts over the hash array — ZERO shuffles at any corpus size.
     """
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    toks = _word_tokens(text_col)
     # one md5 per token (via the _once barrier), reused by all bits
     hashes = F.transform(toks, lambda t: F.substring(F.md5(t), 1, bits))
-    hashed = _once(df, id_col, hashes, "_h")
+    hashed = _once(ensure_parallelism(df), id_col, hashes, "_h")
     n_tok = F.size(F.col("_h"))
     hexhi = list("89abcdef")
 
