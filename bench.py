@@ -22,7 +22,7 @@ from serverless_podcast_etl_spark.plans.catalog import CATALOG  # noqa: E402
 from serverless_podcast_etl_spark.session import get_spark  # noqa: E402
 
 # Headline set: the scan/join/window/agg core + corpus-curation ops.
-# Quadratic-candidate near-dup queries (q19/q23/q28) are excluded here:
+# Quadratic-candidate near-dup queries (q19/q23/q28/q30) are excluded here:
 # on this synthetic small-vocabulary corpus every document shares
 # shingles with every other, so their candidate sets are adversarially
 # dense — they stay in the sf0.01 correctness gate.
@@ -52,6 +52,9 @@ HEADLINE = [
     "q25_multimodal_chunks",
     "q26_sentence_tokenize",
     "q27_lsh_ann_topk",
+    "q31_nested_explode",
+    "q32_rfc2822_parse",
+    "q33_json_extract",
 ]
 
 

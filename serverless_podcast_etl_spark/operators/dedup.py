@@ -186,7 +186,9 @@ def minhash_lsh_pairs(
     Signature → split into ``bands`` bands of num_hashes/bands rows →
     candidate pairs share any full band (equi-join on the band key —
     the LSH trick that makes near-dup detection O(candidates) instead
-    of O(n²)) → verified with exact shingle Jaccard.
+    of O(n²)) → verified with exact shingle Jaccard computed ONLY for
+    candidate pairs (the whole point of LSH: verification cost scales
+    with candidates, never with all n² pairs).
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, n=n, num_hashes=num_hashes)
@@ -218,8 +220,35 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    verified = ngram_jaccard_pairs(df, text_col, id_col, n=n, threshold=verify_threshold)
-    return candidates.join(verified, ["id_a", "id_b"], "inner")
+    # Exact-Jaccard verify restricted to candidates: intersect shingle
+    # sets pair-by-pair via two equi-joins (candidate × its shingles),
+    # then |A∩B| / (|A|+|B|−|A∩B|).
+    sh = shingles(df, text_col, id_col, n=n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    shared = (
+        candidates.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("sz_b"))
+    return (
+        shared.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_shared")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_shared")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= verify_threshold)
+        .select("id_a", "id_b", "n_shared", "jaccard")
+    )
 
 
 def simhash_fingerprints(

@@ -673,6 +673,150 @@ def q28_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q30_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH near-dup: band the 8-hash signature into 4 bands,
+    candidates share a full band, verify candidates (only) with exact
+    shingle Jaccard.  Deterministic given the fixed hash family ⇒
+    fully oracle-checkable."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, text_col="text", id_col="doc_id",
+        n=3, num_hashes=8, bands=4, verify_threshold=0.3,
+    )
+
+
+def _minhash_lsh_sql(
+    n: int = 3, num_hashes: int = 8, bands: int = 4, threshold: float = 0.3
+) -> str:
+    rpb = num_hashes // bands
+    mins = ", ".join(
+        f"min({hashing.minhash_value_sql('shingle', a, b)}) AS mh_{i}"
+        for i, (a, b) in enumerate(hashing.MINHASH_PARAMS[:num_hashes])
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, "
+        + " || '_' || ".join(
+            f"CAST(mh_{bi * rpb + r} AS VARCHAR)" for r in range(rpb)
+        )
+        + " AS bucket FROM sig"
+        for bi in range(bands)
+    )
+    jac = "round(n_shared / (sa.n + sb.n - n_shared), 4)"
+    return f"""
+WITH sh AS ({_shingle_cte(n)}),
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bands AS ({band_selects}),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+         WHERE a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+shared AS (SELECT c.id_a, c.id_b, count(*) AS n_shared
+           FROM cand c
+           JOIN sh a ON a.doc_id = c.id_a
+           JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+           GROUP BY 1, 2)
+SELECT id_a, id_b, n_shared, {jac} AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE {jac} >= {threshold}
+"""
+
+
+def q31_nested_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-array build + flatten round trip (P5/P6;
+    src/lambda_2.py:173-189 — rss.channel.item[] explode).  Orders are
+    nested into one array<struct> per customer (the RSS channel→items
+    shape), then exploded back and the struct fields projected."""
+    orders = _t(spark, sf_dir, "orders")
+    nested = orders.groupBy("o_custkey").agg(
+        F.collect_list(
+            F.struct("o_orderkey", "o_orderstatus", "o_totalprice")
+        ).alias("items")
+    )
+    return (
+        nested.select(
+            F.col("o_custkey").alias("custkey"), F.explode("items").alias("item")
+        )
+        .select(
+            "custkey",
+            F.col("item.o_orderkey").alias("orderkey"),
+            F.col("item.o_orderstatus").alias("status"),
+            F.col("item.o_totalprice").alias("totalprice"),
+        )
+    )
+
+
+_Q31_SQL = """
+SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+       o_orderstatus AS status, o_totalprice AS totalprice
+FROM orders
+"""
+
+
+_RFC2822_FMT = "EEE, dd MMM yyyy HH:mm:ss Z"
+# Spark >= 3 refuses day-of-week fields in PARSE patterns (they are
+# redundant with the date); parse after stripping the "EEE, " prefix.
+_RFC2822_PARSE = "dd MMM yyyy HH:mm:ss Z"
+_RFC2822_DUCK = "%a, %d %b %Y %H:%M:%S %z"
+
+
+def _parse_rfc2822(col) -> F.Column:
+    stripped = F.regexp_replace(col, r"^[A-Za-z]{3}, ", "")
+    return F.try_to_timestamp(stripped, F.lit(_RFC2822_PARSE))
+
+
+def q32_rfc2822_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC-2822 datetime roundtrip + permissive parse (F4/F5/F6;
+    src/lambda_2.py:108-114 parses '%a, %d %b %Y %H:%M:%S %z' and
+    returns None on failure — try_to_timestamp gives the same
+    null-not-throw semantics under ANSI mode)."""
+    orders = _t(spark, sf_dir, "orders")
+    rfc = F.date_format("o_orderdate", _RFC2822_FMT)
+    parsed = _parse_rfc2822(rfc)
+    return orders.select(
+        "o_orderkey",
+        F.to_date(parsed).alias("parsed_date"),
+        F.year(parsed).alias("yr"),
+        F.date_format(parsed, "MMMM").alias("month_name"),
+        F.dayofmonth(parsed).alias("day"),
+        F.to_date(_parse_rfc2822(F.lit("not a date"))).alias("bad_parse"),
+    )
+
+
+_Q32_SQL = f"""
+WITH p AS (
+  SELECT o_orderkey,
+         try_strptime(strftime(o_orderdate, '{_RFC2822_DUCK}'),
+                      '{_RFC2822_DUCK}') AS ts
+  FROM orders
+)
+SELECT o_orderkey, CAST(ts AS DATE) AS parsed_date,
+       year(ts) AS yr, strftime(ts, '%B') AS month_name, day(ts) AS day,
+       CAST(try_strptime('not a date', '{_RFC2822_DUCK}') AS DATE) AS bad_parse
+FROM p
+"""
+
+
+def q33_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction + aggregate (F10; src/lambda_5.py:79 pulls
+    data['results']['transcripts'][0]['transcript'] from Transcribe
+    output — here get_json_object over the events.props payload)."""
+    events = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+    )
+
+
+_Q33_SQL = """
+SELECT event_type, count(*) AS n_events,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+FROM events GROUP BY 1
+"""
+
+
 def q29_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode seam: Arrow-batched mapInPandas over binary
     payloads (deterministic stub codec ⇒ rows-only check)."""
@@ -711,6 +855,18 @@ CATALOG: dict[str, QueryDef] = {
     "q27_lsh_ann_topk": QueryDef(q27_lsh_ann_topk, None, "LSH approximate ANN"),
     "q28_simhash_neardup": QueryDef(q28_simhash_neardup, None, "SimHash near-dup pairs"),
     "q29_image_decode": QueryDef(q29_image_decode, None, "multimodal decode seam"),
+    "q30_minhash_lsh_neardup": QueryDef(
+        q30_minhash_lsh_neardup, _minhash_lsh_sql(), "MinHash LSH near-dup pairs"
+    ),
+    "q31_nested_explode": QueryDef(
+        q31_nested_explode, _Q31_SQL, "nested array build+flatten (P6)"
+    ),
+    "q32_rfc2822_parse": QueryDef(
+        q32_rfc2822_parse, _Q32_SQL, "RFC-2822 permissive parse (F4/F5/F6)"
+    ),
+    "q33_json_extract": QueryDef(
+        q33_json_extract, _Q33_SQL, "JSON path extraction (F10)"
+    ),
 }
 
 
