@@ -66,9 +66,26 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM + parquet footers so per-query timings measure the
-    # query, not session startup.
+    # Warm the JVM, parquet reader, codegen, noop-sink and Python-UDF
+    # worker paths with untimed work so per-query timings measure the
+    # query, not session startup (first-query JIT/classloading is
+    # ~2.5 s; first pandas-UDF worker spawn+imports are ~3.5 s).
     spark.range(1).count()
+    CATALOG["q06_distinct_types"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    import pandas as pd  # noqa: F401  (imported for the warmup UDF)
+    from pyspark.sql import functions as F
+
+    # no type annotations: `from __future__ import annotations` turns
+    # them into strings, which pandas_udf's signature check rejects
+    def _warm_fn(s):
+        return s
+
+    _warm = F.pandas_udf(_warm_fn, "long")
+
+    spark.range(8).select(_warm("id")).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

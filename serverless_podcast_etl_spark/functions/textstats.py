@@ -36,6 +36,9 @@ def quality_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     avg_token_len, stopword_ratio, punct_ratio — the standard cheap
     quality filters of a pretraining data pipeline.
     """
+    from ..operators.scale import ensure_parallelism
+
+    df = ensure_parallelism(df)
     toks = word_tokens(F.col(text_col))
     n_tokens = F.size(toks)
     stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
@@ -68,6 +71,9 @@ def language_scores(text: Column) -> list[Column]:
 def detect_language(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Heuristic language ID: argmax of marker-word hit counts, ties
     broken by language code order (deterministic)."""
+    from ..operators.scale import ensure_parallelism
+
+    df = ensure_parallelism(df)
     scored = df.select(F.col(id_col), F.col(text_col), *language_scores(F.col(text_col)))
     langs = sorted(LANG_MARKERS)  # deterministic tie-break: alphabetical
     best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
