@@ -162,6 +162,125 @@ def lsh_topk(
     )
 
 
+def _sq_l2(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    seed: int = 7,
+    sample_fraction: float | None = None,
+    max_iter: int = 10,
+) -> list[list[float]]:
+    """Coarse quantizer for IVF: k-means over (a sample of) the corpus.
+
+    Returns plain Python lists so the (tiny) centroid table can be
+    inlined as literals into the assignment expression — no join, no
+    shuffle for assignment.  At 100 TB: train on ``sample_fraction``
+    (k-means quality needs only a sample), assign everything.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    d = _as_double(corpus, vec_col)
+    if sample_fraction is not None:
+        d = d.sample(fraction=sample_fraction, seed=seed)
+    train = d.select(array_to_vector(F.col(vec_col)).alias("features"))
+    model = KMeans(k=n_clusters, seed=seed, maxIter=max_iter).fit(train)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
+def _centroid_distances(vec: Column, centroids: list[list[float]]) -> Column:
+    cents = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    return F.transform(cents, lambda c: _sq_l2(vec, c))
+
+
+def assign_ivf_cluster(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Nearest-centroid id per row (in-row argmin, JVM-side)."""
+    d = _as_double(df, vec_col)
+    dists = _centroid_distances(F.col(vec_col), centroids)
+    cl = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    return d.withColumn(out_col, cl)
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    centroids: list[list[float]] | None = None,
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 2,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF approximate top-k: corpus is inverted-listed by nearest
+    centroid; each query probes its ``nprobe`` nearest cells and scores
+    only those candidates (equi-join on the cluster id).
+
+    The scale path when hyperplane LSH recall is too bucket-sensitive:
+    candidate count ≈ |corpus|·nprobe/n_clusters per query, tunable at
+    runtime without re-hashing.  Recall < 1 by construction.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, vec_col, n_clusters=n_clusters, seed=seed
+        )
+    c = assign_ivf_cluster(corpus, centroids, vec_col).select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        "cluster",
+    )
+    qd = _as_double(queries, vec_col)
+    dists = _centroid_distances(F.col(vec_col), centroids)
+    probed = F.slice(
+        F.array_sort(
+            F.transform(dists, lambda d, i: F.struct(d.alias("d"), i.alias("i")))
+        ),
+        1,
+        nprobe,
+    )
+    q = qd.select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(F.transform(probed, lambda s: s["i"])).alias("cluster"),
+    )
+    scored = (
+        c.join(q, "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("_qv"), F.col("_cv"))
+                / (_norm(F.col("_qv")) * _norm(F.col("_cv"))),
+                4,
+            ),
+        )
+        .select("query_id", "neighbor_id", "cosine")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str,

@@ -673,6 +673,18 @@ def q28_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q34_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate ANN: k-means coarse quantizer, inverted lists by
+    cluster id, nprobe=2 probing (approximate candidate generation +
+    iterative training ⇒ rows-only check)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivf_topk(
+        queries_df, emb, query_id="vec_id", corpus_id="vec_id",
+        k=10, n_clusters=16, nprobe=2,
+    )
+
+
 def q30_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH near-dup: band the 8-hash signature into 4 bands,
     candidates share a full band, verify candidates (only) with exact
@@ -867,6 +879,7 @@ CATALOG: dict[str, QueryDef] = {
     "q33_json_extract": QueryDef(
         q33_json_extract, _Q33_SQL, "JSON path extraction (F10)"
     ),
+    "q34_ivf_ann_topk": QueryDef(q34_ivf_ann_topk, None, "IVF approximate ANN"),
 }
 
 
