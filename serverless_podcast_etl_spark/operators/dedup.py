@@ -261,20 +261,22 @@ def simhash_fingerprints(
 
     Bit j of the fingerprint = sign of Σ_tokens (±1 by token-hash bit j)
     — tokens vote per bit position, near-identical documents land at
-    small Hamming distance.  Computed inside the row: one md5 prefix
-    per token (shared subexpression), then ``bits`` cheap filtered
-    counts over the hash array — ZERO shuffles at any corpus size.
+    small Hamming distance.  Computed inside the row: one md5+conv per
+    token (materialized once via the ``_once`` barrier), then ``bits``
+    integer bit-test counts over the long array — ZERO shuffles at any
+    corpus size, and no per-bit string ops in the codegen'd tree.
     """
     toks = _word_tokens(text_col)
-    # one md5 per token (via the _once barrier), reused by all bits
-    hashes = F.transform(toks, lambda t: F.substring(F.md5(t), 1, bits))
+    hashes = F.transform(toks, hashing.simhash_token_hash)
     hashed = _once(ensure_parallelism(df), id_col, hashes, "_h")
     n_tok = F.size(F.col("_h"))
-    hexhi = list("89abcdef")
 
     def vote(j: int):
         hits = F.size(
-            F.filter(F.col("_h"), lambda h: F.substring(h, j + 1, 1).isin(*hexhi))
+            F.filter(
+                F.col("_h"),
+                lambda h: F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1,
+            )
         )
         return hits * 2 - n_tok  # (+1 per hit, -1 per miss)
 

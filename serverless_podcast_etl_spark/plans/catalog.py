@@ -535,7 +535,7 @@ def q21_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _simhash_sql(bits: int = 32) -> str:
     votes = ", ".join(
-        f"sum(CASE WHEN {hashing.simhash_bit_sql('tok', j)} = 1 THEN 1 ELSE -1 END) AS v_{j}"
+        f"sum(CASE WHEN (th >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{j}"
         for j in range(bits)
     )
     fp = " + ".join(f"(CASE WHEN v_{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(bits))
@@ -543,7 +543,8 @@ def _simhash_sql(bits: int = 32) -> str:
 WITH tk AS (SELECT doc_id, unnest(list_filter(
         regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS tok
      FROM documents),
-v AS (SELECT doc_id, {votes} FROM tk GROUP BY doc_id)
+th AS (SELECT doc_id, {hashing.simhash_token_hash_sql('tok')} AS th FROM tk),
+v AS (SELECT doc_id, {votes} FROM th GROUP BY doc_id)
 SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM v
 """
 
