@@ -38,6 +38,30 @@ def episodes_newest_first(episode_dim: DataFrame, podcast_id: int) -> DataFrame:
     )
 
 
+def next_undownloaded_episode(
+    episode_dim: DataFrame, podcast_dim: DataFrame, podcast_title: str
+) -> DataFrame:
+    """The download selector (src/lambda_3.py:40-68): broadcast
+    title→id lookup (J1), then the newest not-yet-downloaded episode
+    of that podcast (W2/O2) — 0 or 1 rows."""
+    pod = podcast_dim.filter(F.col("podcast_title") == podcast_title).select(
+        "podcast_id"
+    )
+    return (
+        episode_dim.join(F.broadcast(pod), "podcast_id")
+        .filter(~F.col("downloaded"))
+        .orderBy(F.desc("episode_release_date"), F.desc("episode_id"))
+        .limit(1)
+        .select(
+            "episode_id",
+            "link",
+            "episode_title",
+            "episode_release_date",
+            "podcast_id",
+        )
+    )
+
+
 def distinct_entity_types(entity_dim: DataFrame, episode_id: int) -> DataFrame:
     """Dropdown: entity types present in an episode (app.py:132-136)."""
     return (

@@ -33,6 +33,17 @@ def run_transcription(
     """
     chunks = transcripts.chunk_audio(audio, chunk_bytes=chunk_bytes)
     expected = chunks.select("episode_id", "num_chunks").distinct()
+    # write back download state (src/lambda_3.py:127-133: UPDATE …
+    # SET downloaded=TRUE, num_chunks=N) for episodes present in the dim
+    wh.update_rows(
+        "episode_dimension",
+        expected.select(
+            "episode_id",
+            F.lit(True).alias("downloaded"),
+            F.col("num_chunks").cast("int").alias("num_chunks"),
+        ),
+        keys=["episode_id"],
+    )
     payloads = transcripts.transcribe_chunks(chunks)
     return transcripts.reduce_transcripts(payloads, expected)
 

@@ -72,6 +72,37 @@ class Warehouse:
             ).parquet(self.path(table))
         return n
 
+    def update_rows(
+        self, table: str, updates: DataFrame, keys: list[str]
+    ) -> int:
+        """Keyed column UPDATE (src/lambda_3.py:127-133's ``UPDATE …
+        SET downloaded=TRUE, num_chunks=N``).
+
+        Non-key columns of ``updates`` replace the stored values for
+        matching keys; rows with no update and columns not present in
+        ``updates`` are untouched (null update values keep the stored
+        value).  Parquet has no in-place update, so this is
+        read → merge → overwrite with the lineage broken by an eager
+        localCheckpoint; a production deployment swaps this for a
+        Delta/Iceberg ``MERGE`` — the call signature is the contract.
+        Returns the number of matched (updated) rows.
+        """
+        existing = self.read(table)
+        upd_cols = [c for c in updates.columns if c not in keys]
+        aliased = updates.select(
+            *keys, *[F.col(c).alias(f"_u_{c}") for c in upd_cols]
+        )
+        n_matched = existing.join(F.broadcast(aliased), keys, "left_semi").count()
+        merged = existing.join(F.broadcast(aliased), keys, "left")
+        for c in upd_cols:
+            merged = merged.withColumn(c, F.coalesce(F.col(f"_u_{c}"), F.col(c)))
+        merged = merged.select(*[f.name for f in DIM_SCHEMAS[table].fields])
+        if self.exists(table):
+            # break lineage so the overwrite doesn't read its own input
+            merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(self.path(table))
+        return n_matched
+
     def next_surrogate_base(self, table: str, id_col: str) -> int:
         existing = self.read(table)
         row = existing.agg(F.max(id_col).alias("m")).collect()[0]

@@ -84,3 +84,63 @@ def test_rerun_is_noop(loaded, spark):
     assert all(v == 0 for v in counts2.values()), counts2
     after = {t: wh.read(t).count() for t in before}
     assert before == after
+
+
+def test_download_state_written_back(loaded):
+    """lambda_3's UPDATE … SET downloaded=TRUE, num_chunks=N: episodes
+    that went through transcription are flagged with their chunk count;
+    untouched episodes keep the defaults."""
+    wh, _, _, _ = loaded
+    eps = wh.read("episode_dimension")
+    done = eps.filter(F.col("downloaded"))
+    assert done.count() == 3  # the 3 audio episodes
+    assert done.filter(F.col("num_chunks") <= 0).count() == 0
+    untouched = eps.filter(~F.col("downloaded"))
+    assert untouched.filter(F.col("num_chunks") != 0).count() == 0
+
+
+def test_next_undownloaded_episode(loaded, spark):
+    from serverless_podcast_etl_spark.pipeline.analytics import (
+        next_undownloaded_episode,
+    )
+
+    wh, _, _, _ = loaded
+    eps = wh.read("episode_dimension")
+    pods = wh.read("podcast_dimension")
+    title = pods.orderBy("podcast_id").first()["podcast_title"]
+    got = next_undownloaded_episode(eps, pods, title).collect()
+    assert len(got) == 1
+    row = got[0]
+    # newest undownloaded episode of that podcast, verified directly
+    cand = (
+        eps.join(pods.filter(F.col("podcast_title") == title), "podcast_id")
+        .filter(~F.col("downloaded"))
+        .orderBy(F.desc("episode_release_date"), F.desc("episode_id"))
+        .first()
+    )
+    assert row["episode_id"] == cand["episode_id"]
+
+
+def test_update_rows_idempotent(spark, tmp_path):
+    from serverless_podcast_etl_spark import schemas
+    from serverless_podcast_etl_spark.pipeline.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh2"))
+    rows = spark.createDataFrame(
+        [
+            (1, "l1", 1, None, "e1", "d", False, 0),
+            (2, "l2", 1, None, "e2", "d", False, 0),
+        ],
+        schemas.EPISODE_DIM,
+    )
+    wh.insert_ignore("episode_dimension", rows)
+    upd = spark.createDataFrame(
+        [(1, True, 7)], "episode_id long, downloaded boolean, num_chunks int"
+    )
+    assert wh.update_rows("episode_dimension", upd, ["episode_id"]) == 1
+    assert wh.update_rows("episode_dimension", upd, ["episode_id"]) == 1  # idempotent
+    got = {
+        r["episode_id"]: (r["downloaded"], r["num_chunks"])
+        for r in wh.read("episode_dimension").collect()
+    }
+    assert got == {1: (True, 7), 2: (False, 0)}
