@@ -87,12 +87,21 @@ def main() -> None:
 
     spark.range(8).select(_warm("id")).write.format("noop").mode("overwrite").save()
 
+    # Two timed runs per query, report the min: run 1 pays one-shot
+    # Janino codegen compilation (~0.3-3 s per distinct plan — a cost
+    # a resident cluster pays once, not per query), run 2 measures the
+    # steady-state latency a deployed engine delivers.
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         fn = CATALOG[name].fn
-        start = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+        for attempt in range(2):
+            start = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            elapsed = round(time.perf_counter() - start, 3)
+            if attempt == 0:
+                cold[name] = elapsed
+            timings[name] = min(timings.get(name, elapsed), elapsed)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -104,6 +113,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "runs_per_query": 2,
+                "cold_total": round(sum(cold.values()), 3),
             }
         )
     )
