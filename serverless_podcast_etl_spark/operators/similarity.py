@@ -141,7 +141,7 @@ def lsh_topk(
         "bucket",
     )
     scored = (
-        c.join(q, "bucket")
+        c.join(F.broadcast(q), "bucket")  # queries ≪ corpus: never shuffle the corpus
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine",
@@ -260,7 +260,7 @@ def ivf_topk(
         F.explode(F.transform(probed, lambda s: s["i"])).alias("cluster"),
     )
     scored = (
-        c.join(q, "cluster")
+        c.join(F.broadcast(q), "cluster")  # queries ≪ corpus
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine",

@@ -686,6 +686,16 @@ def q34_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q35_embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup, LSH-bucketed scale path: candidates from
+    shared hyperplane buckets instead of the all-pairs join q23 uses
+    (recall < 1 by construction ⇒ rows-only check)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup_pairs(
+        emb, id_col="vec_id", planes=_PLANES_8[:4], threshold=0.8
+    )
+
+
 def q30_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH near-dup: band the 8-hash signature into 4 bands,
     candidates share a full band, verify candidates (only) with exact
@@ -881,6 +891,9 @@ CATALOG: dict[str, QueryDef] = {
         q33_json_extract, _Q33_SQL, "JSON path extraction (F10)"
     ),
     "q34_ivf_ann_topk": QueryDef(q34_ivf_ann_topk, None, "IVF approximate ANN"),
+    "q35_embedding_lsh_neardup": QueryDef(
+        q35_embedding_lsh_neardup, None, "embedding near-dup, LSH-bucketed"
+    ),
 }
 
 
