@@ -89,6 +89,76 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_np(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k via an Arrow-batched numpy kernel — the
+    vectorized alternative to ``brute_force_topk``'s JVM higher-order
+    functions (which interpret one lambda call per vector element).
+
+    The query matrix is collected to the driver (queries ≪ corpus — the
+    same smallness assumption the broadcast join makes) and closed over
+    by a ``mapInPandas`` kernel; each Arrow batch of corpus vectors is
+    scored with one BLAS matmul.  Returns per-(query, candidate-batch)
+    partial top-k rows; the global per-query top-k window reduces them
+    — identical results to the JVM form, bit-for-bit (same rounding).
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = _as_double(queries, vec_col).select(
+        F.col(query_id).alias("qid"), F.col(vec_col).alias("qv")
+    ).collect()
+    q_ids = np.array([r["qid"] for r in q_rows])
+    q_mat = np.array([r["qv"] for r in q_rows])  # (nq, dim)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+
+    def score(batches):
+        for pdf in batches:
+            c_mat = np.array(pdf["_cv"].tolist())  # (nc, dim)
+            c_ids = pdf["_cid"].to_numpy()
+            sims = (c_mat @ q_mat.T) / (
+                np.linalg.norm(c_mat, axis=1)[:, None] * q_norm[None, :]
+            )  # (nc, nq)
+            keep = min(k + 1, sims.shape[0])  # +1: self-match dropped later
+            out = []
+            for j, qid in enumerate(q_ids):
+                # partial cut under the SAME total order the global
+                # window uses — (rounded cosine desc, neighbor_id asc)
+                # — so batch-local top-(k+1) provably contains the
+                # batch's contribution to the global top-k even on ties
+                rounded = np.round(sims[:, j], 4)
+                top = np.lexsort((c_ids, -rounded))[:keep]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": c_ids[top],
+                            "cosine": rounded[top],
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    c = _as_double(corpus, vec_col).select(
+        F.col(corpus_id).alias("_cid"), F.col(vec_col).alias("_cv")
+    )
+    partial = c.mapInPandas(
+        score, "query_id long, neighbor_id long, cosine double"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def hyperplane_bucket(
     df: DataFrame,
     vec_col: str,

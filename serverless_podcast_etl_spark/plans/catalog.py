@@ -674,6 +674,17 @@ def q28_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q36_ann_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ANN again, but scored by the Arrow-batched numpy kernel
+    (mapInPandas, one BLAS matmul per batch) — same results as q22's
+    JVM higher-order-function form, same oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return similarity.brute_force_topk_np(
+        queries_df, emb, query_id="vec_id", corpus_id="vec_id", k=10
+    )
+
+
 def q34_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate ANN: k-means coarse quantizer, inverted lists by
     cluster id, nprobe=2 probing (approximate candidate generation +
@@ -893,6 +904,9 @@ CATALOG: dict[str, QueryDef] = {
     "q34_ivf_ann_topk": QueryDef(q34_ivf_ann_topk, None, "IVF approximate ANN"),
     "q35_embedding_lsh_neardup": QueryDef(
         q35_embedding_lsh_neardup, None, "embedding near-dup, LSH-bucketed"
+    ),
+    "q36_ann_topk_vectorized": QueryDef(
+        q36_ann_topk_vectorized, _Q22_SQL, "exact ANN, numpy mapInPandas kernel"
     ),
 }
 

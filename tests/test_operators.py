@@ -143,3 +143,25 @@ def test_ivf_topk_properties_and_recall(spark, sf_dir):
     # nprobe=2 of 16 cells scans ~1/8 of the corpus; on clusterless
     # synthetic vectors that yields ~0.4 recall — assert a safe floor.
     assert len(bf_set & ivf_set) / len(bf_set) >= 0.2
+
+
+def test_brute_force_topk_np_equals_jvm(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from serverless_podcast_etl_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_np,
+    )
+    from serverless_podcast_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 3)
+    jvm = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in brute_force_topk(qs, emb, "vec_id", "vec_id", k=5).collect()
+    }
+    np_ = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in brute_force_topk_np(qs, emb, "vec_id", "vec_id", k=5).collect()
+    }
+    assert jvm == np_
