@@ -165,3 +165,24 @@ def test_brute_force_topk_np_equals_jvm(spark, sf_dir):
         for r in brute_force_topk_np(qs, emb, "vec_id", "vec_id", k=5).collect()
     }
     assert jvm == np_
+
+
+def test_salted_ordered_concat_equals_plain(spark):
+    from serverless_podcast_etl_spark.operators.aggregates import (
+        ordered_concat,
+        salted_ordered_concat,
+    )
+
+    rows = [(ep, i, f"w{ep}_{i}") for ep in (1, 2) for i in range(1, 12)]
+    df = spark.createDataFrame(rows, "ep long, num int, txt string")
+    plain = {
+        r["ep"]: r["concatenated"]
+        for r in ordered_concat(df, ["ep"], "num", "txt").collect()
+    }
+    salted = {
+        r["ep"]: r["concatenated"]
+        for r in salted_ordered_concat(
+            df, ["ep"], "num", "txt", range_size=3
+        ).collect()
+    }
+    assert salted == plain
