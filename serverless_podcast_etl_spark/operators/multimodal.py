@@ -175,11 +175,107 @@ def sample_frames(
     touches Python.
     """
     total = F.octet_length(F.col(binary_col))
-    n_frames = F.greatest(F.floor(total / F.lit(every_n_bytes)).cast("int"), F.lit(0))
-    frames = F.transform(
-        F.sequence(F.lit(0), n_frames - 1),
-        lambda i: F.col(binary_col).substr(i * every_n_bytes + 1, F.lit(frame_bytes)),
-    )
+    n_frames = F.floor(total / F.lit(every_n_bytes)).cast("int")
+    # sequence(0, -1) generates a DESCENDING range in Spark — guard
+    # assets smaller than one frame stride with an explicit empty array
+    frames = F.when(
+        n_frames > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_frames - 1),
+            lambda i: F.col(binary_col).substr(
+                i * every_n_bytes + 1, F.lit(frame_bytes)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<binary>"))
     return (
         df.select(F.col(id_col).alias("asset_id"), F.posexplode(frames).alias("frame_index", "frame"))
+    )
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("rms_energy", StringType()),  # stub: hex digest stand-in
+        StructField("n_samples", LongType()),
+    ]
+)
+
+
+def extract_audio_features(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    bytes_per_ms: int = 16,
+) -> DataFrame:
+    """Audio feature-extraction seam (STUB codec, real plumbing).
+
+    A real implementation decodes mp3 frames (libmpg123/ffmpeg) and
+    computes RMS/spectral features; the deterministic stand-in derives
+    duration from byte length and a digest-based pseudo-energy so the
+    Arrow batch shape and schema contract are fully exercised.
+    """
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [bytes(p) for p in pdf[binary_col]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col].astype("int64"),
+                    "duration_ms": pd.array(
+                        [len(p) // bytes_per_ms for p in payloads], dtype="int64"
+                    ),
+                    "rms_energy": [
+                        hashlib.md5(p).hexdigest()[:8] for p in payloads
+                    ],
+                    "n_samples": pd.array(
+                        [len(p) // 2 for p in payloads], dtype="int64"
+                    ),
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
+def resize_images(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    target_w: int = 224,
+    target_h: int = 224,
+) -> DataFrame:
+    """Image resize seam (STUB codec, real plumbing).
+
+    A real implementation decodes, resamples (Pillow), and re-encodes;
+    the stand-in truncates/pads the payload to a deterministic size so
+    the binary-in/binary-out Arrow contract is tested end-to-end.
+    """
+    target_len = target_w * target_h // 8  # deterministic stub size
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [
+                bytes(p)[:target_len].ljust(target_len, b"\0")
+                for p in pdf[binary_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col].astype("int64"),
+                    "width": pd.array([target_w] * len(resized), dtype="int32"),
+                    "height": pd.array([target_h] * len(resized), dtype="int32"),
+                    "payload": resized,
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(
+        run,
+        StructType(
+            [
+                StructField("asset_id", LongType()),
+                StructField("width", IntegerType()),
+                StructField("height", IntegerType()),
+                StructField("payload", BinaryType()),
+            ]
+        ),
     )

@@ -186,3 +186,34 @@ def test_salted_ordered_concat_equals_plain(spark):
         ).collect()
     }
     assert salted == plain
+
+
+def test_sample_frames_small_asset_yields_no_frames(spark):
+    from serverless_podcast_etl_spark.operators.multimodal import sample_frames
+
+    df = spark.createDataFrame(
+        [(1, b"x" * 500), (2, b"y" * 2100)], "asset_id long, content binary"
+    )
+    rows = sample_frames(df, "asset_id", "content", every_n_bytes=1024).collect()
+    per_asset: dict[int, int] = {}
+    for r in rows:
+        per_asset[r["asset_id"]] = per_asset.get(r["asset_id"], 0) + 1
+    # 500 bytes < stride -> no frames (not the sequence(0,-1) ghost rows)
+    assert per_asset == {2: 2}
+
+
+def test_audio_and_resize_seams(spark):
+    from serverless_podcast_etl_spark.operators.multimodal import (
+        extract_audio_features,
+        resize_images,
+    )
+
+    df = spark.createDataFrame(
+        [(1, b"a" * 3200), (2, b"")], "asset_id long, content binary"
+    )
+    audio = {r["asset_id"]: r for r in extract_audio_features(df, "asset_id", "content").collect()}
+    assert audio[1]["duration_ms"] == 200 and audio[1]["n_samples"] == 1600
+    assert audio[2]["duration_ms"] == 0
+    rs = {r["asset_id"]: r for r in resize_images(df, "asset_id", "content", 16, 16).collect()}
+    assert len(rs[1]["payload"]) == 32 and len(rs[2]["payload"]) == 32
+    assert (rs[1]["width"], rs[1]["height"]) == (16, 16)
