@@ -74,12 +74,16 @@ def chunk_binary(
     """
     total = F.octet_length(F.col(binary_col))
     n_chunks = F.ceil(total / F.lit(chunk_bytes)).cast("int")
-    pieces = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.col(binary_col).substr(
-            i * chunk_bytes + 1, F.lit(chunk_bytes)
+    # sequence(0, -1) descends in Spark — empty payloads get no chunks
+    pieces = F.when(
+        n_chunks > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.col(binary_col).substr(
+                i * chunk_bytes + 1, F.lit(chunk_bytes)
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<binary>"))
     exploded = df.select(
         "*", F.posexplode(pieces).alias("_pos", chunk_col)
     )

@@ -217,3 +217,14 @@ def test_audio_and_resize_seams(spark):
     rs = {r["asset_id"]: r for r in resize_images(df, "asset_id", "content", 16, 16).collect()}
     assert len(rs[1]["payload"]) == 32 and len(rs[2]["payload"]) == 32
     assert (rs[1]["width"], rs[1]["height"]) == (16, 16)
+
+
+def test_chunk_binary_empty_payload_yields_no_chunks(spark):
+    from serverless_podcast_etl_spark.operators.multimodal import chunk_binary
+
+    df = spark.createDataFrame(
+        [(1, b""), (2, b"abc")], "episode_id long, content binary"
+    )
+    rows = chunk_binary(df, "content", chunk_bytes=2).collect()
+    got = sorted((r["episode_id"], r["chunk_num"]) for r in rows)
+    assert got == [(2, 1), (2, 2)]
