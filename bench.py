@@ -55,6 +55,7 @@ HEADLINE = [
     "q31_nested_explode",
     "q32_rfc2822_parse",
     "q33_json_extract",
+    "q36_ann_topk_vectorized",
 ]
 
 
