@@ -789,15 +789,8 @@ FROM orders
 
 
 _RFC2822_FMT = "EEE, dd MMM yyyy HH:mm:ss Z"
-# Spark >= 3 refuses day-of-week fields in PARSE patterns (they are
-# redundant with the date); parse after stripping the "EEE, " prefix.
-_RFC2822_PARSE = "dd MMM yyyy HH:mm:ss Z"
 _RFC2822_DUCK = "%a, %d %b %Y %H:%M:%S %z"
-
-
-def _parse_rfc2822(col) -> F.Column:
-    stripped = F.regexp_replace(col, r"^[A-Za-z]{3}, ", "")
-    return F.try_to_timestamp(stripped, F.lit(_RFC2822_PARSE))
+_parse_rfc2822 = dates.parse_rfc2822  # the engine's F4 implementation
 
 
 def q32_rfc2822_parse(spark: SparkSession, sf_dir: str) -> DataFrame:

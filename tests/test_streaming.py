@@ -94,3 +94,56 @@ def test_stateful_barrier_state_survives_restart(spark, tmp_path):
     run_once()
     emitted = [r for batch in outputs for r in batch]
     assert [(r["episode_id"], r["transcript"]) for r in emitted] == [(1, "hello world")]
+
+
+def test_streaming_edge_chains_into_warehouse(spark, tmp_path):
+    """End-to-end §2.9 topology: chunk arrivals drain through the
+    reduce edge, completed transcripts tokenize and land in the
+    sentence dimension via INSERT IGNORE — and a replay of the same
+    staging dir appends nothing."""
+    from pyspark.sql import functions as F
+
+    from serverless_podcast_etl_spark import schemas
+    from serverless_podcast_etl_spark.functions.text import tokenize_sentences
+    from serverless_podcast_etl_spark.pipeline.warehouse import Warehouse
+    from serverless_podcast_etl_spark.streaming.orchestrate import (
+        stream_chunk_payloads,
+    )
+
+    chunks_dir = str(tmp_path / "chunks")
+    os.makedirs(chunks_dir)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    expected = spark.createDataFrame([(7, 2)], "episode_id long, num_chunks int")
+
+    def on_transcript(transcripts):
+        sentences = tokenize_sentences(
+            transcripts, text_col="transcript", id_cols=["episode_id"]
+        )
+        rows = sentences.select(
+            (F.col("episode_id") * 1_000_000 + F.col("sentence_index")).alias(
+                "sentence_id"
+            ),
+            "sentence_text",
+            F.col("sentence_index").cast("int").alias("sentence_index"),
+            F.lit(None).cast("string").alias("overall_sentiment"),
+            F.lit(None).cast("float").alias("negative_score"),
+            F.lit(None).cast("float").alias("neutral_score"),
+            F.lit(None).cast("float").alias("positive_score"),
+            F.lit(None).cast("float").alias("mixed_score"),
+            "episode_id",
+        )
+        wh.insert_ignore("sentence_dimension", rows)
+
+    _write_chunk(chunks_dir, 7, 1, "First sentence. Second sentence.")
+    _write_chunk(chunks_dir, 7, 2, "Third one!")
+    stream_chunk_payloads(
+        spark, wh, chunks_dir, str(tmp_path / "c1"), expected, on_transcript
+    )
+    got = wh.read("sentence_dimension")
+    assert got.count() == 3
+
+    # replay the whole staging dir (fresh checkpoint = full redelivery)
+    stream_chunk_payloads(
+        spark, wh, chunks_dir, str(tmp_path / "c2"), expected, on_transcript
+    )
+    assert wh.read("sentence_dimension").count() == 3  # idempotent
