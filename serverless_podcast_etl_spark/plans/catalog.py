@@ -685,6 +685,23 @@ def q36_ann_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q37_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregate (Structured Streaming's
+    windowed-agg surface, run in batch — same expression streams with
+    a watermark; see streaming/windowed.py and its test)."""
+    from ..streaming.windowed import windowed_event_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return windowed_event_counts(ev, window="5 minutes")
+
+
+_Q37_SQL = """
+SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
 def q34_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate ANN: k-means coarse quantizer, inverted lists by
     cluster id, nprobe=2 probing (approximate candidate generation +
@@ -900,6 +917,9 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "q36_ann_topk_vectorized": QueryDef(
         q36_ann_topk_vectorized, _Q22_SQL, "exact ANN, numpy mapInPandas kernel"
+    ),
+    "q37_windowed_event_counts": QueryDef(
+        q37_windowed_event_counts, _Q37_SQL, "tumbling event-time windows"
     ),
 }
 

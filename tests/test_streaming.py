@@ -147,3 +147,53 @@ def test_streaming_edge_chains_into_warehouse(spark, tmp_path):
         spark, wh, chunks_dir, str(tmp_path / "c2"), expected, on_transcript
     )
     assert wh.read("sentence_dimension").count() == 3  # idempotent
+
+
+def test_windowed_event_counts_streaming_matches_batch(spark, tmp_path):
+    """The same windowed-agg expression runs as a watermarked stream
+    and as a batch query; draining the staged events produces the
+    batch answer (complete mode: all windows emitted)."""
+    from serverless_podcast_etl_spark.streaming.windowed import (
+        windowed_event_counts,
+    )
+
+    src = str(tmp_path / "events")
+    rows = [
+        (1, "2024-01-01 00:01:00", "click", 2.0),
+        (2, "2024-01-01 00:03:30", "click", 1.0),
+        (3, "2024-01-01 00:07:10", "view", 4.5),
+        (4, "2024-01-01 00:12:00", "click", 0.5),
+    ]
+    batch_df = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).withColumn("ts", __import__("pyspark").sql.functions.to_timestamp("ts"))
+    batch_df.write.parquet(src)
+
+    expected = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["total_value"])
+        for r in windowed_event_counts(batch_df).collect()
+    }
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, event_type string, value double"
+        ).parquet(src)
+    )
+    agg = windowed_event_counts(stream, watermark="10 minutes")
+    assert agg.isStreaming
+    got_rows: list = []
+    q = (
+        agg.writeStream.foreachBatch(lambda df, _e: got_rows.extend(df.collect()))
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["total_value"])
+        for r in got_rows
+    }
+    assert got == expected
+    # 00:00 click(x2), 00:05 view, 00:10 click
+    assert len(expected) == 3
