@@ -56,6 +56,7 @@ HEADLINE = [
     "q32_rfc2822_parse",
     "q33_json_extract",
     "q36_ann_topk_vectorized",
+    "q37_windowed_event_counts",
 ]
 
 

@@ -84,3 +84,33 @@ def test_word_frequencies_no_stopwords(wh):
     out = analytics.episode_word_frequencies(wh.read("sentence_dimension"), ep)
     words = {r["word"] for r in out.collect()}
     assert words and not (words & set(analytics.WORDCLOUD_STOPWORDS))
+
+
+def test_sql_over_registered_views_matches_dataframe(spark, sf_dir):
+    """Entry point 3's other face: every warehouse query is equally
+    expressible as spark.sql over registered views (SURVEY §3)."""
+    from serverless_podcast_etl_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    sql = spark.sql(
+        """
+        SELECT event_type, count(*) AS n
+        FROM events WHERE user_id < 50
+        GROUP BY event_type ORDER BY n DESC, event_type
+        """
+    ).collect()
+    from pyspark.sql import functions as F
+
+    from serverless_podcast_etl_spark.sources.tables import load_table
+
+    df = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 50)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "event_type")
+        .collect()
+    )
+    assert [(r["event_type"], r["n"]) for r in sql] == [
+        (r["event_type"], r["n"]) for r in df
+    ]
