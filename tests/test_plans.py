@@ -80,3 +80,37 @@ def test_shingle_ops_have_no_shuffle(spark, sf_dir):
     # node-name counts)
     assert "hashpartitioning" not in plan
     assert "rangepartitioning" not in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Fact-to-fact join over tables bucketed on the key: the physical
+    plan must contain no hashpartitioning Exchange — the write-time
+    bucketing already co-located both sides."""
+    from serverless_podcast_etl_spark.sources.bucketed import (
+        bucketed_join,
+        write_bucketed,
+    )
+    from serverless_podcast_etl_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).withColumnRenamed("o_orderkey", "l_orderkey")
+    write_bucketed(li, "b_lineitem", ["l_orderkey"], n_buckets=8,
+                   sort_cols=["l_orderkey"])
+    write_bucketed(orders, "b_orders", ["l_orderkey"], n_buckets=8,
+                   sort_cols=["l_orderkey"])
+    # disable auto-broadcast so the join would otherwise shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "b_lineitem", "b_orders", ["l_orderkey"])
+        plan = physical_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "hashpartitioning" not in plan  # zero exchanges: co-located
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
