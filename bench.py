@@ -57,6 +57,7 @@ HEADLINE = [
     "q33_json_extract",
     "q36_ann_topk_vectorized",
     "q37_windowed_event_counts",
+    "q38_language_id_ngram",
 ]
 
 

@@ -91,6 +91,69 @@ def detect_language(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+# Char-trigram profiles per language (fixed public-knowledge lists of
+# high-frequency trigrams) — the n-gram tier of language ID, next to
+# the marker-word tier above.  Deterministic and oracle-expressible.
+TRIGRAM_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "ing", "ion", "ent", "her", "for", "tha"],
+    "es": ["que", "ent", "ado", "los", "cio", "nte", "con", "sta"],
+    "fr": ["les", "ent", "des", "ion", "eur", "ait", "ous", "que"],
+    "de": ["der", "ein", "ich", "und", "sch", "die", "den", "ung"],
+}
+
+
+def detect_language_ngram(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Char-trigram language ID: argmax of profile-trigram hit counts,
+    ties broken by language code order.
+
+    Trigrams are computed once per row behind a Generate barrier (see
+    operators/dedup._once) and each language's score is a filtered
+    count over the bound array — in-row, shuffle-free.
+    """
+    from ..operators.scale import ensure_parallelism
+
+    # bind lower(text) behind a barrier FIRST: substring(expr, i, 3)
+    # inside the transform lambda would re-evaluate the lower() over
+    # the whole document once per trigram (O(len²) char copies)
+    lowered = ensure_parallelism(df).select(
+        F.col(id_col), F.explode(F.array(F.lower(F.col(text_col)))).alias("_lt")
+    )
+    n = F.length(F.col("_lt"))
+    trigrams = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.substring(F.col("_lt"), i, 3),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bound = lowered.select(
+        F.col(id_col), F.explode(F.array(trigrams)).alias("_tg")
+    )
+    langs = sorted(TRIGRAM_PROFILES)
+    scored = bound.select(
+        F.col(id_col),
+        *[
+            F.size(
+                F.filter(F.col("_tg"), lambda t: t.isin(*TRIGRAM_PROFILES[lang]))
+            ).alias(f"score_{lang}")
+            for lang in langs
+        ],
+    )
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.coalesce(
+        *[
+            F.when((F.col(f"score_{lang}") == best) & (best > 0), F.lit(lang))
+            for lang in langs
+        ],
+        F.lit("und"),
+    )
+    return scored.select(
+        F.col(id_col),
+        pred.alias("predicted_lang"),
+        best.alias("trigram_hits"),
+    )
+
+
 def rolling_fingerprints(
     df: DataFrame,
     text_col: str,

@@ -685,6 +685,40 @@ def q36_ann_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q38_language_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram language ID (the n-gram tier next to q17's
+    marker-word tier): argmax of profile-trigram hits, alphabetical
+    tie-break."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.detect_language_ngram(docs, text_col="text", id_col="doc_id")
+
+
+def _lang_ngram_sql() -> str:
+    from ..functions.textstats import TRIGRAM_PROFILES
+
+    langs = sorted(TRIGRAM_PROFILES)
+    scores = ", ".join(
+        f"len(list_filter(tg, t -> t IN ({_sql_list(TRIGRAM_PROFILES[lang])}))) "
+        f"AS score_{lang}"
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN score_{lang} = {best} AND {best} > 0 THEN '{lang}'" for lang in langs
+    ) + " ELSE 'und' END"
+    return f"""
+WITH tg AS (
+  SELECT doc_id, CASE WHEN strlen(lower(text)) >= 3 THEN
+      list_transform(range(1, strlen(lower(text)) - 1),
+                     i -> substr(lower(text), i, 3))
+      ELSE [] END AS tg
+  FROM documents
+),
+s AS (SELECT doc_id, {scores} FROM tg)
+SELECT doc_id, {pred} AS predicted_lang, {best} AS trigram_hits FROM s
+"""
+
+
 def q37_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling event-time window aggregate (Structured Streaming's
     windowed-agg surface, run in batch — same expression streams with
@@ -920,6 +954,9 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "q37_windowed_event_counts": QueryDef(
         q37_windowed_event_counts, _Q37_SQL, "tumbling event-time windows"
+    ),
+    "q38_language_id_ngram": QueryDef(
+        q38_language_id_ngram, _lang_ngram_sql(), "char-trigram language ID"
     ),
 }
 
