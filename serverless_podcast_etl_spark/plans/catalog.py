@@ -685,6 +685,48 @@ def q36_ann_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q39_key_path_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Object-key path parsing (P10 + F2/F3/F12): split an S3-style
+    key into podcast / episode-id / chunk components — the projections
+    of src/lambda_5.py:24-38, src/lambda_6.py:19-23,
+    src/lambda_71.py:57-66 as one query."""
+    docs = _t(spark, sf_dir, "documents")
+    key = F.concat_ws(
+        "/",
+        F.col("source"),
+        F.concat(F.lit("episode_id_"), F.col("doc_id")),
+        F.concat(F.lit("chunk_"), (F.col("doc_id") % 7 + 1), F.lit(".json")),
+    )
+    parts = F.split(key, "/")
+    fname = F.element_at(parts, -1)  # F2: split + last element
+    stem = F.substring(fname, 1, F.length(fname) - 5)  # F3: strip ".json"
+    return docs.select(
+        key.alias("key"),
+        F.element_at(parts, 1).alias("source_name"),
+        F.regexp_extract(F.element_at(parts, 2), r"(\d+)$", 1)
+        .cast("long")
+        .alias("episode_id"),  # F12: int cast from key suffix
+        stem.alias("chunk_stem"),
+        F.regexp_extract(stem, r"_(\d+)$", 1).cast("int").alias("chunk_num"),
+    )
+
+
+_Q39_SQL = """
+WITH k AS (
+  SELECT source || '/' || 'episode_id_' || CAST(doc_id AS VARCHAR) || '/' ||
+         'chunk_' || CAST(doc_id % 7 + 1 AS VARCHAR) || '.json' AS key
+  FROM documents
+),
+p AS (SELECT key, string_split(key, '/') AS parts FROM k),
+f AS (SELECT key, parts, parts[-1] AS fname FROM p)
+SELECT key, parts[1] AS source_name,
+       CAST(regexp_extract(parts[2], '(\\d+)$', 1) AS BIGINT) AS episode_id,
+       substr(fname, 1, strlen(fname) - 5) AS chunk_stem,
+       CAST(regexp_extract(substr(fname, 1, strlen(fname) - 5), '_(\\d+)$', 1) AS INT) AS chunk_num
+FROM f
+"""
+
+
 def q38_language_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-trigram language ID (the n-gram tier next to q17's
     marker-word tier): argmax of profile-trigram hits, alphabetical
@@ -957,6 +999,9 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "q38_language_id_ngram": QueryDef(
         q38_language_id_ngram, _lang_ngram_sql(), "char-trigram language ID"
+    ),
+    "q39_key_path_parsing": QueryDef(
+        q39_key_path_parsing, _Q39_SQL, "object-key path parsing (P10)"
     ),
 }
 
