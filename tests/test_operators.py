@@ -228,3 +228,23 @@ def test_chunk_binary_empty_payload_yields_no_chunks(spark):
     rows = chunk_binary(df, "content", chunk_bytes=2).collect()
     got = sorted((r["episode_id"], r["chunk_num"]) for r in rows)
     assert got == [(2, 1), (2, 2)]
+
+
+def test_minhash_lsh_finds_known_neardups(spark):
+    from serverless_podcast_etl_spark.operators.dedup import minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base + " okay"  # shares almost all 3-gram shingles
+    far = "completely different words having nothing in common whatsoever here"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(
+            df, "text", "doc_id", n=3, num_hashes=8, bands=4,
+            verify_threshold=0.5,
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 0.5
+    assert all(3 not in k for k in pairs)
