@@ -248,3 +248,33 @@ def test_minhash_lsh_finds_known_neardups(spark):
     }
     assert (1, 2) in pairs and pairs[(1, 2)] >= 0.5
     assert all(3 not in k for k in pairs)
+
+
+def test_rolling_mean_pandas_matches_jvm_window(spark, sf_dir):
+    """Grouped applyInPandas (the reference's literal pandas rolling)
+    agrees with the JVM window formulation to float tolerance."""
+    from pyspark.sql import functions as F
+
+    from serverless_podcast_etl_spark.operators.windows import (
+        rolling_mean,
+        rolling_mean_pandas,
+    )
+    from serverless_podcast_etl_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    jvm = {
+        (r["user_id"], r["event_id"]): r["rolling_mean"]
+        for r in rolling_mean(
+            ev, value="value", partition_by=["user_id"],
+            order_by=["ts", "event_id"], window_rows=50,
+        ).select("user_id", "event_id", "rolling_mean").collect()
+    }
+    pdv = {
+        (r["user_id"], r["event_id"]): r["rolling_mean"]
+        for r in rolling_mean_pandas(
+            ev, value="value", partition_by=["user_id"],
+            order_by=["ts", "event_id"], window_rows=50,
+        ).select("user_id", "event_id", "rolling_mean").collect()
+    }
+    assert jvm.keys() == pdv.keys() and len(jvm) > 0
+    assert all(abs(jvm[k] - pdv[k]) < 1e-9 for k in jvm)
