@@ -14,9 +14,77 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
 from ..functions import dates
 from ..operators.joins import dim_lookup_join
 from .warehouse import Warehouse, with_surrogate_key
+
+# XML-parse schema for raw RSS documents (S5; src/lambda_2.py:168-171
+# uses requests + xmltodict).  Spark's native from_xml maps XML
+# attributes with a '_' prefix, so enclosure/@url arrives as `_url`
+# and is renamed to the canonical RSS_DOC shape afterwards.
+RSS_XML_SCHEMA = StructType(
+    [
+        StructField(
+            "channel",
+            StructType(
+                [
+                    StructField("title", StringType()),
+                    StructField("description", StringType()),
+                    StructField(
+                        "item",
+                        ArrayType(
+                            StructType(
+                                [
+                                    StructField("title", StringType()),
+                                    StructField("description", StringType()),
+                                    StructField("pubDate", StringType()),
+                                    StructField(
+                                        "enclosure",
+                                        StructType(
+                                            [StructField("_url", StringType())]
+                                        ),
+                                    ),
+                                ]
+                            )
+                        ),
+                    ),
+                ]
+            ),
+        )
+    ]
+)
+
+
+def parse_rss_xml(df: DataFrame, xml_col: str = "xml") -> DataFrame:
+    """Raw RSS XML strings → RSS_DOC-shaped structs (S5), fully
+    JVM-side via ``from_xml`` — no xmltodict, no Python in the loop.
+    Malformed documents parse to null structs (PERMISSIVE mode), the
+    same swallow-don't-crash posture as F4 date parsing.
+    """
+    p = F.from_xml(F.col(xml_col), RSS_XML_SCHEMA)
+    chan = p["channel"]
+    rebuilt = F.struct(
+        F.struct(
+            F.struct(
+                chan["title"].alias("title"),
+                chan["description"].alias("description"),
+                F.transform(
+                    chan["item"],
+                    lambda i: F.struct(
+                        i["title"].alias("title"),
+                        i["description"].alias("description"),
+                        i["pubDate"].alias("pubDate"),
+                        F.struct(i["enclosure"]["_url"].alias("url")).alias(
+                            "enclosure"
+                        ),
+                    ),
+                ).alias("item"),
+            ).alias("channel")
+        ).alias("rss")
+    )
+    return df.select(rebuilt["rss"].alias("rss"))
 
 
 def parse_rss_docs(rss_docs: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -28,10 +96,16 @@ def parse_rss_docs(rss_docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     (null on parse failure, :112-114), title, description.
     """
     chan = F.col("rss.channel")
-    podcasts = rss_docs.select(
-        chan["title"].alias("podcast_title"),
-        chan["description"].alias("description"),
-    ).dropDuplicates(["podcast_title"])
+    podcasts = (
+        rss_docs.select(
+            chan["title"].alias("podcast_title"),
+            chan["description"].alias("description"),
+        )
+        # malformed feeds parse to null structs (PERMISSIVE from_xml);
+        # drop them rather than crash — same posture as F4 dates
+        .filter(F.col("podcast_title").isNotNull())
+        .dropDuplicates(["podcast_title"])
+    )
 
     episodes = (
         rss_docs.select(

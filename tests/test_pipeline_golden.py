@@ -144,3 +144,32 @@ def test_update_rows_idempotent(spark, tmp_path):
         for r in wh.read("episode_dimension").collect()
     }
     assert got == {1: (True, 7), 2: (False, 0)}
+
+
+def test_parse_rss_xml_feeds_the_ingest_path(spark):
+    """S5 end-to-end: raw RSS XML strings parse JVM-side (from_xml)
+    into the same struct shape the ingest stage consumes; malformed
+    XML degrades to null instead of crashing."""
+    from serverless_podcast_etl_spark.pipeline.ingest import (
+        parse_rss_docs,
+        parse_rss_xml,
+    )
+
+    xml = (
+        "<rss><channel><title>PodX</title><description>D</description>"
+        "<item><title>E1</title><description>d1</description>"
+        "<pubDate>Mon, 15 May 2023 10:30:00 +0000</pubDate>"
+        '<enclosure url="http://x/1.mp3" length="1" type="audio/mpeg"/></item>'
+        "<item><title>E2</title><description>d2</description>"
+        "<pubDate>not a date</pubDate>"
+        '<enclosure url="http://x/2.mp3"/></item>'
+        "</channel></rss>"
+    )
+    df = spark.createDataFrame([(xml,), ("<not-xml",)], "xml string")
+    docs = parse_rss_xml(df)
+    podcasts, episodes = parse_rss_docs(docs)
+    assert [r["podcast_title"] for r in podcasts.collect()] == ["PodX"]
+    eps = {r["link"]: r for r in episodes.collect()}
+    assert set(eps) == {"http://x/1.mp3", "http://x/2.mp3"}
+    assert str(eps["http://x/1.mp3"]["episode_release_date"]) == "2023-05-15"
+    assert eps["http://x/2.mp3"]["episode_release_date"] is None  # permissive F4
