@@ -58,6 +58,7 @@ HEADLINE = [
     "q36_ann_topk_vectorized",
     "q37_windowed_event_counts",
     "q38_language_id_ngram",
+    "q40_sessionization",
 ]
 
 

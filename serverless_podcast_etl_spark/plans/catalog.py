@@ -727,6 +727,37 @@ FROM f
 """
 
 
+def q40_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user over the event stream —
+    Spark session_window, verified against the classic gaps-and-islands
+    SQL formulation."""
+    from ..streaming.windowed import sessionized_event_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return sessionized_event_stats(ev, gap="30 minutes")
+
+
+_Q40_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL '30 minutes' OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start,
+       count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM sessions GROUP BY user_id, session_id
+"""
+
+
 def q38_language_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-trigram language ID (the n-gram tier next to q17's
     marker-word tier): argmax of profile-trigram hits, alphabetical
@@ -1002,6 +1033,9 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "q39_key_path_parsing": QueryDef(
         q39_key_path_parsing, _Q39_SQL, "object-key path parsing (P10)"
+    ),
+    "q40_sessionization": QueryDef(
+        q40_sessionization, _Q40_SQL, "session windows (30-min gap)"
     ),
 }
 

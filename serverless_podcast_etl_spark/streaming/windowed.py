@@ -47,3 +47,37 @@ def windowed_event_counts(
             "total_value",
         )
     )
+
+
+def sessionized_event_stats(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str | None = "1 hour",
+) -> DataFrame:
+    """Session windows: events of one key closer than ``gap`` merge
+    into one session (Spark ``session_window``; batch and streaming).
+
+    Session start = first event; per-session count and value sum.  The
+    batch form is oracle-expressible as the classic gaps-and-islands
+    SQL (lag → new-session flag → cumulative session id), which is
+    exactly how q40's DuckDB twin verifies it.
+    """
+    df = events
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    win = F.session_window(F.col(ts_col), gap)
+    return (
+        df.groupBy(win, key)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col(key),
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
