@@ -727,6 +727,33 @@ FROM f
 """
 
 
+def q41_corpus_profile_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profiling with sketches — the constant-memory tier that
+    replaces exact DISTINCT/percentile at 100 TB: HLL++ approximate
+    distinct words and approximate length quantiles per source.
+    Approximate by construction ⇒ rows-only check; tolerance vs exact
+    is asserted in tests/test_operators.py."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "source", F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    vocab = words.groupBy("source").agg(
+        F.approx_count_distinct("w", rsd=0.02).alias("approx_vocab")
+    )
+    lengths = docs.groupBy("source").agg(
+        F.percentile_approx("n_chars", [0.5, 0.9, 0.99], 10_000).alias("len_pcts"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return vocab.join(lengths, "source").select(
+        "source",
+        "n_docs",
+        "approx_vocab",
+        F.col("len_pcts")[0].alias("p50_chars"),
+        F.col("len_pcts")[1].alias("p90_chars"),
+        F.col("len_pcts")[2].alias("p99_chars"),
+    )
+
+
 def q40_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-min gap) per user over the event stream —
     Spark session_window, verified against the classic gaps-and-islands
@@ -1036,6 +1063,9 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "q40_sessionization": QueryDef(
         q40_sessionization, _Q40_SQL, "session windows (30-min gap)"
+    ),
+    "q41_corpus_profile_sketches": QueryDef(
+        q41_corpus_profile_sketches, None, "HLL/quantile-sketch corpus profile"
     ),
 }
 

