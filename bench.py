@@ -59,6 +59,7 @@ HEADLINE = [
     "q37_windowed_event_counts",
     "q38_language_id_ngram",
     "q40_sessionization",
+    "q41_corpus_profile_sketches",
 ]
 
 
