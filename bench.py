@@ -60,6 +60,7 @@ HEADLINE = [
     "q38_language_id_ngram",
     "q40_sessionization",
     "q41_corpus_profile_sketches",
+    "q42_text_normalize",
 ]
 
 

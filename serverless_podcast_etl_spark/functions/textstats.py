@@ -91,6 +91,28 @@ def detect_language(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def normalize_text(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Pretraining text cleanup: strip control characters, collapse
+    whitespace runs, trim — the first pass of every corpus pipeline.
+    Pure regexp_replace (JVM, codegen'd); exact SQL twin in the
+    catalog.  Emits before/after char counts so the filter stage can
+    drop documents the cleanup gutted.
+    """
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col(text_col), "[\\x00-\\x1F\\x7F]", " "),
+            "\\s+",
+            " ",
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        cleaned.alias("text_clean"),
+        F.length(F.col(text_col)).alias("n_chars_raw"),
+        F.length(cleaned).alias("n_chars_clean"),
+    )
+
+
 # Char-trigram profiles per language (fixed public-knowledge lists of
 # high-frequency trigrams) — the n-gram tier of language ID, next to
 # the marker-word tier above.  Deterministic and oracle-expressible.

@@ -727,6 +727,27 @@ FROM f
 """
 
 
+def q42_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus text cleanup (control-char strip, whitespace collapse,
+    trim) with before/after char accounting — all codegen'd
+    regexp_replace."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.normalize_text(docs, text_col="text", id_col="doc_id")
+
+
+_Q42_SQL = r"""
+WITH c AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(regexp_replace(text, '[\x00-\x1F\x7F]', ' ', 'g'),
+                             '\s+', ' ', 'g')) AS text_clean
+  FROM documents
+)
+SELECT doc_id, text_clean, strlen(text) AS n_chars_raw,
+       strlen(text_clean) AS n_chars_clean
+FROM c
+"""
+
+
 def q41_corpus_profile_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus profiling with sketches — the constant-memory tier that
     replaces exact DISTINCT/percentile at 100 TB: HLL++ approximate
@@ -1066,6 +1087,9 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "q41_corpus_profile_sketches": QueryDef(
         q41_corpus_profile_sketches, None, "HLL/quantile-sketch corpus profile"
+    ),
+    "q42_text_normalize": QueryDef(
+        q42_text_normalize, _Q42_SQL, "text normalization (corpus cleanup)"
     ),
 }
 
