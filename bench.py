@@ -61,6 +61,8 @@ HEADLINE = [
     "q40_sessionization",
     "q41_corpus_profile_sketches",
     "q42_text_normalize",
+    "q43_quality_filter",
+    "q44_exact_dedup_keep_first",
 ]
 
 

@@ -59,6 +59,29 @@ def quality_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def quality_filter(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_chars: int = 50,
+    min_tokens: int = 10,
+    max_punct_ratio: float = 0.2,
+    max_stopword_ratio: float = 0.6,
+) -> DataFrame:
+    """The applied form of ``quality_stats``: documents that pass the
+    standard cheap pretraining filters, with their stats attached.
+    One projection + filter over the stats — the scan stays pruned and
+    the thresholds are plan literals (Catalyst folds them).
+    """
+    stats = quality_stats(df, text_col, id_col)
+    return stats.filter(
+        (F.col("n_chars") >= min_chars)
+        & (F.col("n_tokens") >= min_tokens)
+        & (F.col("punct_ratio") <= max_punct_ratio)
+        & (F.col("stopword_ratio") <= max_stopword_ratio)
+    )
+
+
 def language_scores(text: Column) -> list[Column]:
     """Marker-hit count per language (deterministic heuristic tier)."""
     toks = word_tokens(text)

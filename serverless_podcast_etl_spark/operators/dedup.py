@@ -45,6 +45,30 @@ def exact_dedup(
     )
 
 
+def exact_dedup_keep_first(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    normalize: bool = True,
+) -> DataFrame:
+    """The applied form of ``exact_dedup``: the corpus with exact
+    duplicates removed, keeping the minimum-id representative of each
+    content group.  Same single shuffle (window over the content
+    hash) — no join back to the group table needed.
+    """
+    from pyspark.sql import Window
+
+    content = F.col(text_col)
+    if normalize:
+        content = F.lower(F.trim(content))
+    w = Window.partitionBy(F.md5(content)).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def _word_tokens(text_col: str):
     return F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
 

@@ -727,6 +727,42 @@ FROM f
 """
 
 
+def q43_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Applied quality gate: documents passing the cheap pretraining
+    filters (length / token count / punct ratio / stopword ratio),
+    stats attached."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.quality_filter(
+        docs, text_col="text", id_col="doc_id",
+        min_chars=50, min_tokens=10, max_punct_ratio=0.2,
+        max_stopword_ratio=0.6,
+    )
+
+
+_Q43_SQL = f"""
+WITH s AS ({_Q16_SQL})
+SELECT * FROM s
+WHERE n_chars >= 50 AND n_tokens >= 10
+  AND punct_ratio <= 0.2 AND stopword_ratio <= 0.6
+"""
+
+
+def q44_exact_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Applied exact dedup: the corpus with duplicate content removed,
+    min-id representative kept."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup_keep_first(docs, text_col="text", id_col="doc_id")
+
+
+_Q44_SQL = """
+SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+FROM documents d
+JOIN (SELECT md5(lower(trim(text))) AS h, min(doc_id) AS keep
+      FROM documents GROUP BY 1) k
+  ON md5(lower(trim(d.text))) = k.h AND d.doc_id = k.keep
+"""
+
+
 def q42_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus text cleanup (control-char strip, whitespace collapse,
     trim) with before/after char accounting — all codegen'd
@@ -1090,6 +1126,12 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "q42_text_normalize": QueryDef(
         q42_text_normalize, _Q42_SQL, "text normalization (corpus cleanup)"
+    ),
+    "q43_quality_filter": QueryDef(
+        q43_quality_filter, _Q43_SQL, "applied quality gate"
+    ),
+    "q44_exact_dedup_keep_first": QueryDef(
+        q44_exact_dedup_keep_first, _Q44_SQL, "applied exact dedup (keep first)"
     ),
 }
 
