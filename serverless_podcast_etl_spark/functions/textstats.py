@@ -51,11 +51,17 @@ def quality_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
         F.size(bpe_ish_tokens(F.col(text_col))).alias("n_bpe_tokens"),
+        # try_divide: empty/whitespace-only docs have 0 tokens/chars —
+        # ANSI mode (Spark 4 default) would throw on integer x/0; null
+        # ratios instead, which the quality gate then rejects
         F.round(
-            F.length(F.regexp_replace(F.col(text_col), r"\s+", "")) / n_tokens, 4
+            F.try_divide(
+                F.length(F.regexp_replace(F.col(text_col), r"\s+", "")), n_tokens
+            ),
+            4,
         ).alias("avg_token_len"),
-        F.round(stop_hits / n_tokens, 4).alias("stopword_ratio"),
-        F.round(n_punct / n_chars, 4).alias("punct_ratio"),
+        F.round(F.try_divide(stop_hits, n_tokens), 4).alias("stopword_ratio"),
+        F.round(F.try_divide(n_punct, n_chars), 4).alias("punct_ratio"),
     )
 
 

@@ -305,3 +305,45 @@ def test_corpus_profile_sketches_tolerance(spark, sf_dir):
     for src, row in got.items():
         assert abs(row["approx_vocab"] - exact[src][1]) / exact[src][1] < 0.05
         assert row["p50_chars"] <= row["p90_chars"] <= row["p99_chars"]
+
+
+def test_quality_stats_empty_doc_does_not_crash(spark):
+    """ANSI mode (Spark 4 default) throws on integer division by zero;
+    empty/whitespace-only docs must yield null ratios, and the quality
+    gate must drop them."""
+    from serverless_podcast_etl_spark.functions.textstats import (
+        quality_filter,
+        quality_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "the cat sat on the mat with a hat today ok")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in quality_stats(df, "text", "doc_id").collect()}
+    assert rows[1]["stopword_ratio"] is None
+    assert rows[2]["avg_token_len"] is None
+    assert rows[3]["n_tokens"] == 11
+    kept = quality_filter(
+        df, "text", "doc_id", min_chars=5, min_tokens=3,
+        max_punct_ratio=1.0, max_stopword_ratio=1.0,
+    ).collect()
+    assert [r["doc_id"] for r in kept] == [3]
+
+
+def test_minhash_signature_multiset_invariant(spark):
+    """Min over duplicate shingles == min over distinct shingles:
+    repeating a document's text must not change its signature."""
+    from serverless_podcast_etl_spark.operators.dedup import minhash_signatures
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [(1, base), (2, (base + " ") * 5)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in minhash_signatures(df, "text", "doc_id").collect()}
+    # doc 2 repeats the token stream, adding only boundary shingles of
+    # the SAME tokens; each mh_i is a min, so equal shingle sets give
+    # equal mins for the shared shingles — signatures may only differ
+    # via the new boundary shingles being smaller, never larger
+    for i in range(8):
+        assert rows[2][f"mh_{i}"] <= rows[1][f"mh_{i}"]
