@@ -704,10 +704,10 @@ def q39_key_path_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
         key.alias("key"),
         F.element_at(parts, 1).alias("source_name"),
         F.regexp_extract(F.element_at(parts, 2), r"(\d+)$", 1)
-        .cast("long")
-        .alias("episode_id"),  # F12: int cast from key suffix
+        .try_cast("long")
+        .alias("episode_id"),  # F12: int cast; try_cast — ANSI-safe on non-matches
         stem.alias("chunk_stem"),
-        F.regexp_extract(stem, r"_(\d+)$", 1).cast("int").alias("chunk_num"),
+        F.regexp_extract(stem, r"_(\d+)$", 1).try_cast("int").alias("chunk_num"),
     )
 
 
@@ -720,9 +720,9 @@ WITH k AS (
 p AS (SELECT key, string_split(key, '/') AS parts FROM k),
 f AS (SELECT key, parts, parts[-1] AS fname FROM p)
 SELECT key, parts[1] AS source_name,
-       CAST(regexp_extract(parts[2], '(\\d+)$', 1) AS BIGINT) AS episode_id,
+       TRY_CAST(regexp_extract(parts[2], '(\\d+)$', 1) AS BIGINT) AS episode_id,
        substr(fname, 1, strlen(fname) - 5) AS chunk_stem,
-       CAST(regexp_extract(substr(fname, 1, strlen(fname) - 5), '_(\\d+)$', 1) AS INT) AS chunk_num
+       TRY_CAST(regexp_extract(substr(fname, 1, strlen(fname) - 5), '_(\\d+)$', 1) AS INT) AS chunk_num
 FROM f
 """
 
@@ -1038,7 +1038,7 @@ def q33_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     data['results']['transcripts'][0]['transcript'] from Transcribe
     output — here get_json_object over the events.props payload)."""
     events = _t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
+    k = F.get_json_object("props", "$.k").try_cast("long")
     return events.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(k).alias("sum_k"),
@@ -1047,7 +1047,7 @@ def q33_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q33_SQL = """
 SELECT event_type, count(*) AS n_events,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+       sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
 FROM events GROUP BY 1
 """
 
