@@ -63,6 +63,7 @@ HEADLINE = [
     "q42_text_normalize",
     "q43_quality_filter",
     "q44_exact_dedup_keep_first",
+    "q45_rollup_revenue",
 ]
 
 

@@ -763,6 +763,42 @@ JOIN (SELECT md5(lower(trim(text))) AS h, min(doc_id) AS keep
 """
 
 
+def q45_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals via ROLLUP (segment → order-priority →
+    grand total) — subtotal analytics the dashboard tier would add;
+    one pass, no self-union."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(
+            customer.select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+        ),
+        "o_custkey",
+    )
+    return (
+        joined.rollup("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("num_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce(F.col("c_mktsegment"), F.lit("ALL")).alias("segment"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "num_orders",
+            "revenue",
+        )
+    )
+
+
+_Q45_SQL = """
+SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS num_orders, round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY ROLLUP (c_mktsegment, o_orderpriority)
+"""
+
+
 def q42_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus text cleanup (control-char strip, whitespace collapse,
     trim) with before/after char accounting — all codegen'd
@@ -1132,6 +1168,9 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "q44_exact_dedup_keep_first": QueryDef(
         q44_exact_dedup_keep_first, _Q44_SQL, "applied exact dedup (keep first)"
+    ),
+    "q45_rollup_revenue": QueryDef(
+        q45_rollup_revenue, _Q45_SQL, "ROLLUP hierarchical totals"
     ),
 }
 
