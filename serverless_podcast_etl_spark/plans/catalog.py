@@ -763,6 +763,37 @@ JOIN (SELECT md5(lower(trim(text))) AS h, min(doc_id) AS keep
 """
 
 
+def q46_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations beyond the reference's union (U1): users who
+    clicked but never errored (EXCEPT) and users who did both
+    (INTERSECT), unioned with a tag column."""
+    ev = _t(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id")
+    erroers = ev.filter(F.col("event_type") == "error").select("user_id")
+    # subtract = EXCEPT DISTINCT (set semantics); exceptAll would be
+    # the multiset form and keep users whose clicks outnumber errors
+    only_click = clickers.subtract(erroers).withColumn(
+        "cohort", F.lit("click_only")
+    )
+    both = (
+        clickers.intersect(erroers).withColumn("cohort", F.lit("click_and_error"))
+    )
+    return only_click.unionByName(both).select("cohort", "user_id")
+
+
+_Q46_SQL = """
+SELECT 'click_only' AS cohort, user_id FROM (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+  EXCEPT
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+UNION ALL
+SELECT 'click_and_error' AS cohort, user_id FROM (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+  INTERSECT
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+"""
+
+
 def q45_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical totals via ROLLUP (segment → order-priority →
     grand total) — subtotal analytics the dashboard tier would add;
@@ -1172,6 +1203,7 @@ CATALOG: dict[str, QueryDef] = {
     "q45_rollup_revenue": QueryDef(
         q45_rollup_revenue, _Q45_SQL, "ROLLUP hierarchical totals"
     ),
+    "q46_set_ops": QueryDef(q46_set_ops, _Q46_SQL, "EXCEPT/INTERSECT cohorts"),
 }
 
 
