@@ -347,3 +347,25 @@ def test_minhash_signature_multiset_invariant(spark):
     # via the new boundary shingles being smaller, never larger
     for i in range(8):
         assert rows[2][f"mh_{i}"] <= rows[1][f"mh_{i}"]
+
+
+def test_ensure_parallelism_fans_out_and_noops(spark):
+    from serverless_podcast_etl_spark.operators.scale import ensure_parallelism
+
+    target = spark.sparkContext.defaultParallelism
+    one = spark.createDataFrame([(i,) for i in range(100)], "x long").coalesce(1)
+    assert one.rdd.getNumPartitions() == 1
+    fanned = ensure_parallelism(one)
+    assert fanned.rdd.getNumPartitions() == target
+    many = spark.range(100).repartition(target + 4)
+    assert ensure_parallelism(many) is many  # pass-through, no shuffle added
+
+
+def test_with_asset_meta_contract(spark):
+    from serverless_podcast_etl_spark.operators.multimodal import with_asset_meta
+
+    df = spark.createDataFrame([(1, b"abc")], "asset_id long, payload binary")
+    row = with_asset_meta(df, "payload", "audio", "mp3").collect()[0]
+    m = row["asset_meta"]
+    assert (m["media_type"], m["format"], m["byte_len"]) == ("audio", "mp3", 3)
+    assert m["width"] is None and m["duration_ms"] is None
