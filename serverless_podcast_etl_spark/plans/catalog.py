@@ -698,12 +698,14 @@ def q39_key_path_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("chunk_"), (F.col("doc_id") % 7 + 1), F.lit(".json")),
     )
     parts = F.split(key, "/")
-    fname = F.element_at(parts, -1)  # F2: split + last element
+    fname = F.try_element_at(parts, F.lit(-1))  # F2: split + last element
     stem = F.substring(fname, 1, F.length(fname) - 5)  # F3: strip ".json"
     return docs.select(
         key.alias("key"),
-        F.element_at(parts, 1).alias("source_name"),
-        F.regexp_extract(F.element_at(parts, 2), r"(\d+)$", 1)
+        # try_element_at: ANSI element_at throws out-of-bounds on a
+        # malformed key with too few segments; null instead
+        F.try_element_at(parts, F.lit(1)).alias("source_name"),
+        F.regexp_extract(F.try_element_at(parts, F.lit(2)), r"(\d+)$", 1)
         .try_cast("long")
         .alias("episode_id"),  # F12: int cast; try_cast — ANSI-safe on non-matches
         stem.alias("chunk_stem"),

@@ -111,3 +111,26 @@ def test_straddle_assigned_to_begin_sentence(spark):
     out = align_entities(entities, sentence_spans(sentences))
     got = {r["entity_text"]: r["sentence_index"] for r in out.collect()}
     assert got == {"straddle": 0, "boundary": 1, "inside": 2}
+
+
+@given(
+    lengths=st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=25)
+)
+@settings(max_examples=10, deadline=None)
+def test_prefix_sum_spans_contiguous(spark, lengths):
+    """Property: spans start at 0, are contiguous (+1 separator), and
+    each ends at start + len + 1 (A10; src/lambda_72.py:66-71)."""
+    from serverless_podcast_etl_spark.operators.windows import prefix_sum_spans
+
+    rows = [(1, i, n) for i, n in enumerate(lengths)]
+    df = spark.createDataFrame(rows, "ep long, idx int, _len int")
+    out = (
+        prefix_sum_spans(df, "_len", ["ep"], ["idx"], sep_len=1)
+        .orderBy("idx")
+        .collect()
+    )
+    pos = 0
+    for r, n in zip(out, lengths):
+        assert r["start_offset"] == pos
+        assert r["end_offset"] == pos + n + 1
+        pos = r["end_offset"]
