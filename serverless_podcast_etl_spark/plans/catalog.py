@@ -305,19 +305,40 @@ FROM lineitem GROUP BY l_orderkey
 
 def q11_zip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional zip join (J3; src/lambda_71.py:74-89 — sentence i ↔
-    sentiment line i)."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
-    out = joins.zip_join(
-        docs, emb, left_order=["doc_id"], right_order=["vec_id"]
+    sentiment line i).
+
+    Partitioned form: the reference zips per episode, so the certified
+    plan partitions both sides on a shared group key (``grp`` here —
+    the episode_id stand-in) and row-numbers within it.  Each side
+    shuffles once on (grp) — no global single-partition sort; see
+    tests/test_plans.py::test_zip_join_partitioned_no_single_partition.
+    """
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", (F.col("doc_id") % 8).alias("grp"))
     )
-    return out.select("pos", "doc_id", "lang", "vec_id", "label")
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", (F.col("vec_id") % 8).alias("grp"))
+    )
+    out = joins.zip_join(
+        docs,
+        emb,
+        left_order=["doc_id"],
+        right_order=["vec_id"],
+        partition_by=["grp"],
+    )
+    return out.select("grp", "pos", "doc_id", "lang", "vec_id", "label")
 
 
 _Q11_SQL = """
-WITH d AS (SELECT doc_id, lang, row_number() OVER (ORDER BY doc_id) - 1 AS pos FROM documents),
-     e AS (SELECT vec_id, label, row_number() OVER (ORDER BY vec_id) - 1 AS pos FROM embeddings)
-SELECT pos, doc_id, lang, vec_id, label FROM d JOIN e USING (pos)
+WITH d AS (SELECT doc_id, lang, doc_id % 8 AS grp,
+                  row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) - 1 AS pos
+           FROM documents),
+     e AS (SELECT vec_id, label, vec_id % 8 AS grp,
+                  row_number() OVER (PARTITION BY vec_id % 8 ORDER BY vec_id) - 1 AS pos
+           FROM embeddings)
+SELECT grp, pos, doc_id, lang, vec_id, label FROM d JOIN e USING (grp, pos)
 """
 
 
@@ -629,10 +650,15 @@ def q25_multimodal_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# WHERE strlen(text) > 0: chunk_binary emits zero rows for an empty
+# payload (posexplode of an empty array), so empty docs are absent from
+# the Spark groupBy — the oracle must skip them too.  strlen (bytes) is
+# deliberate: the Spark side measures octet_length of utf-8 payloads.
 _Q25_SQL = """
 SELECT doc_id, CAST(ceil(strlen(text) / 100.0) AS BIGINT) AS n_chunks,
        strlen(text) AS total_bytes
 FROM documents
+WHERE strlen(text) > 0
 """
 
 
@@ -765,6 +791,37 @@ JOIN (SELECT md5(lower(trim(text))) AS h, min(doc_id) AS keep
 """
 
 
+def q47_ratio_of_avgs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-of-averages dashboard aggregate (A3;
+    ec2_data/app.py:333-346 — per-entity sentiment proportions:
+    AVG(neutral) / (AVG(pos)+AVG(neu)+AVG(neg)) per group).  One hash
+    aggregate, arithmetic over the finished aggregates — no second
+    pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    return aggregates.ratio_of_avgs(
+        li,
+        group_by=["l_returnflag"],
+        cols=["l_quantity", "l_extendedprice", "l_discount"],
+        round_to=4,
+    ).orderBy("l_returnflag")
+
+
+_Q47_SQL = """
+WITH a AS (
+  SELECT l_returnflag,
+         avg(l_quantity) AS a_qty,
+         avg(l_extendedprice) AS a_price,
+         avg(l_discount) AS a_disc
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       round(a_qty / (a_qty + a_price + a_disc), 4) AS l_quantity_share,
+       round(a_price / (a_qty + a_price + a_disc), 4) AS l_extendedprice_share,
+       round(a_disc / (a_qty + a_price + a_disc), 4) AS l_discount_share
+FROM a ORDER BY l_returnflag
+"""
+
+
 def q46_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations beyond the reference's union (U1): users who
     clicked but never errored (EXCEPT) and users who did both
@@ -847,10 +904,12 @@ WITH c AS (
                              '\s+', ' ', 'g')) AS text_clean
   FROM documents
 )
-SELECT doc_id, text_clean, strlen(text) AS n_chars_raw,
-       strlen(text_clean) AS n_chars_clean
+SELECT doc_id, text_clean, length(text) AS n_chars_raw,
+       length(text_clean) AS n_chars_clean
 FROM c
 """
+# length() (character count) rather than strlen (bytes): the Spark side
+# uses F.length, which counts characters — they diverge on non-ASCII.
 
 
 def q41_corpus_profile_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -890,11 +949,15 @@ def q40_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionized_event_stats(ev, gap="30 minutes")
 
 
+# Gap condition is >= (not >): Spark session windows are half-open
+# [start, start+gap), so an event landing exactly ``gap`` after the
+# previous one starts a NEW session — the oracle must agree on the
+# boundary.  Boundary-gap case covered in tests/test_streaming.py.
 _Q40_SQL = """
 WITH flagged AS (
   SELECT user_id, ts, value,
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                   > INTERVAL '30 minutes' OR
+                   >= INTERVAL '30 minutes' OR
                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
               THEN 1 ELSE 0 END AS new_session
   FROM events
@@ -934,8 +997,8 @@ def _lang_ngram_sql() -> str:
     ) + " ELSE 'und' END"
     return f"""
 WITH tg AS (
-  SELECT doc_id, CASE WHEN strlen(lower(text)) >= 3 THEN
-      list_transform(range(1, strlen(lower(text)) - 1),
+  SELECT doc_id, CASE WHEN length(lower(text)) >= 3 THEN
+      list_transform(range(1, length(lower(text)) - 1),
                      i -> substr(lower(text), i, 3))
       ELSE [] END AS tg
   FROM documents
@@ -1114,19 +1177,28 @@ def q33_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB sum(BIGINT) yields HUGEINT; the outer CAST pins it back to
+# BIGINT so the driver's canonical value hash agrees with Spark's long.
 _Q33_SQL = """
 SELECT event_type, count(*) AS n_events,
-       sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+       CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
 FROM events GROUP BY 1
 """
 
 
 def q29_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode seam: Arrow-batched mapInPandas over binary
-    payloads (deterministic stub codec ⇒ rows-only check)."""
+    payloads (deterministic stub codec ⇒ rows-only check).
+
+    The ``features`` array column is dropped from the catalog output:
+    the driver canonicalizes results via pandas sort_values, which
+    cannot hash list cells.  The full schema (incl. features) stays
+    covered by tests/test_operators.py.
+    """
     docs = _t(spark, sf_dir, "documents")
     assets = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
-    return multimodal.decode_images(assets, id_col="doc_id", binary_col="payload")
+    decoded = multimodal.decode_images(assets, id_col="doc_id", binary_col="payload")
+    return decoded.select("asset_id", "width", "height", "n_pixels")
 
 
 CATALOG: dict[str, QueryDef] = {
@@ -1206,6 +1278,9 @@ CATALOG: dict[str, QueryDef] = {
         q45_rollup_revenue, _Q45_SQL, "ROLLUP hierarchical totals"
     ),
     "q46_set_ops": QueryDef(q46_set_ops, _Q46_SQL, "EXCEPT/INTERSECT cohorts"),
+    "q47_ratio_of_avgs": QueryDef(
+        q47_ratio_of_avgs, _Q47_SQL, "ratio-of-averages proportions (A3)"
+    ),
 }
 
 

@@ -82,6 +82,19 @@ def test_shingle_ops_have_no_shuffle(spark, sf_dir):
     assert "rangepartitioning" not in plan
 
 
+def test_zip_join_partitioned_no_single_partition(spark, sf_dir):
+    """q11's certified zip join must row-number per group key, never
+    over a global single-partition window: the plan's window/sort nodes
+    must hash-partition on the group key, with no empty-key
+    ``Window [...]`` partition spec (which would funnel the whole table
+    through one task at 100 TB)."""
+    plan = physical_plan(CATALOG["q11_zip_join"].fn(spark, sf_dir))
+    # Every Exchange in the plan must be a hashpartitioning on grp —
+    # a global window would show a SinglePartition exchange.
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(grp" in plan
+
+
 def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
     """Fact-to-fact join over tables bucketed on the key: the physical
     plan must contain no hashpartitioning Exchange — the write-time
