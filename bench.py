@@ -22,10 +22,14 @@ from serverless_podcast_etl_spark.plans.catalog import CATALOG  # noqa: E402
 from serverless_podcast_etl_spark.session import get_spark  # noqa: E402
 
 # Headline set: the scan/join/window/agg core + corpus-curation ops.
-# Quadratic-candidate near-dup queries (q19/q23/q28/q30) are excluded here:
-# on this synthetic small-vocabulary corpus every document shares
-# shingles with every other, so their candidate sets are adversarially
-# dense — they stay in the sf0.01 correctness gate.
+# Two near-dup queries stay excluded, with measured reasons:
+#   q19 — the raw shingle self-join generates ~36M candidate rows at
+#         sf0.1 (931 distinct 2-gram shingles over 5,000 templated
+#         docs); its scale path IS q30's banded form, which is benched.
+#   q23 — the exact all-pairs baseline (crossJoin, size-guarded in
+#         similarity.py); its scale path is q35's LSH-bucketed form.
+# q28/q30 (banded SimHash / MinHash-LSH) ARE benched: their candidate
+# sets are bucket-bounded (~1.4k pairs at sf0.1), not quadratic.
 HEADLINE = [
     "q01_pricing_summary",
     "q02_event_type_counts",
@@ -52,6 +56,8 @@ HEADLINE = [
     "q25_multimodal_chunks",
     "q26_sentence_tokenize",
     "q27_lsh_ann_topk",
+    "q28_simhash_neardup",
+    "q30_minhash_lsh_neardup",
     "q31_nested_explode",
     "q32_rfc2822_parse",
     "q33_json_extract",
@@ -64,6 +70,7 @@ HEADLINE = [
     "q43_quality_filter",
     "q44_exact_dedup_keep_first",
     "q45_rollup_revenue",
+    "q47_ratio_of_avgs",
 ]
 
 

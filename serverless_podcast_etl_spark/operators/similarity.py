@@ -351,18 +351,27 @@ def ivf_topk(
     )
 
 
+#: Hard ceiling for the exact all-pairs path: above this the cross
+#: join is O(n²) by construction and the LSH path must be used.
+EXACT_NEARDUP_MAX_ROWS = 100_000
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str,
     vec_col: str = "embedding",
     planes: list[list[float]] | None = None,
     threshold: float = 0.95,
+    exact_max_rows: int = EXACT_NEARDUP_MAX_ROWS,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above a threshold.
 
     With ``planes`` given, candidates come from shared LSH buckets
-    (scale path); without, all pairs are scored via a self-join keyed
-    on a constant — only for small corpora / oracle checks.
+    (scale path); without, all pairs are scored via an explicit cross
+    join — the exact ORACLE BASELINE, refused outright above
+    ``exact_max_rows`` corpus rows (the count costs one cheap job and
+    enforces the contract that the quadratic path never runs on a real
+    corpus; pass ``planes`` there instead).
     """
     d = _as_double(df, vec_col)
     if planes is not None:
@@ -375,6 +384,13 @@ def embedding_neardup_pairs(
         )
         cand = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
     else:
+        n = d.count()
+        if n > exact_max_rows:
+            raise ValueError(
+                f"embedding_neardup_pairs: exact all-pairs path refused for "
+                f"{n} rows (> {exact_max_rows}); pass `planes` for the "
+                f"LSH-bucketed scale path"
+            )
         a = d.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
         b = d.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
         cand = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))

@@ -599,8 +599,10 @@ WHERE rank <= 10
 
 
 def q23_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (exact all-pairs variant — the
-    oracle-checkable baseline; the LSH-bucketed path is q27)."""
+    """Embedding-cosine near-dup pairs — exact all-pairs ORACLE
+    BASELINE only.  The operator refuses corpora above its documented
+    row cap (similarity.EXACT_NEARDUP_MAX_ROWS); the registered scale
+    path is q35's LSH-bucketed form.  Excluded from bench by design."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.embedding_neardup_pairs(
         emb, id_col="vec_id", threshold=0.8

@@ -145,6 +145,27 @@ def test_ivf_topk_properties_and_recall(spark, sf_dir):
     assert len(bf_set & ivf_set) / len(bf_set) >= 0.2
 
 
+def test_embedding_neardup_exact_path_refuses_large_corpus(spark):
+    import pytest
+
+    from serverless_podcast_etl_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    vecs = spark.range(20).selectExpr(
+        "id AS vec_id", "array(cast(id AS double), 1.0d) AS embedding"
+    )
+    # under the cap: runs
+    assert embedding_neardup_pairs(
+        vecs, id_col="vec_id", threshold=0.99, exact_max_rows=100
+    ).count() >= 0
+    # over the cap: the quadratic path must refuse, not silently run
+    with pytest.raises(ValueError, match="exact all-pairs path refused"):
+        embedding_neardup_pairs(
+            vecs, id_col="vec_id", threshold=0.99, exact_max_rows=10
+        )
+
+
 def test_brute_force_topk_np_equals_jvm(spark, sf_dir):
     from pyspark.sql import functions as F
 
