@@ -9,11 +9,15 @@ The two hardest reference operators (SURVEY §2.3 J3/J4):
   forward-only two-pointer over cumulative spans, with the "messy
   capture" rule: an entity straddling a sentence boundary belongs to
   the sentence containing its BEGIN offset (src/lambda_72.py:66-118)
-  → ``align_entities`` (as-of join: last span start ≤ BeginOffset).
-  Spans are contiguous because every sentence carries its trailing
-  '\\n' (src/lambda_72.py:60,69), so begin-containment and the
-  reference's cursor rule coincide — property-tested against a direct
-  re-implementation of the loop in tests/test_nlp_alignment.py.
+  → ``align_entities`` (as-of join).  NOTE: the reference cursor
+  advances only on a STRICT ``BeginOffset > span_end``
+  (src/lambda_72.py:92), so an entity starting exactly at a sentence's
+  first character lands in the PREVIOUS sentence — an off-by-one.  Our
+  default is the corrected begin-containment rule (last span start ≤
+  BeginOffset), a deliberate, documented deviation; pass
+  ``boundary="reference"`` for the bug-compatible strict form.  Both
+  are property-tested against independent Python re-implementations in
+  tests/test_nlp_alignment.py.
 
 Surrogate keys here are fact-scale: derived arithmetically from
 (episode_id, sentence_index) — no global window, fully distributed
@@ -72,14 +76,37 @@ def sentence_spans(sentences: DataFrame) -> DataFrame:
     ).select("episode_id", "sentence_index", "start_offset", "end_offset")
 
 
-def align_entities(entities: DataFrame, spans: DataFrame) -> DataFrame:
-    """Offset as-of join (J4): entity → last sentence span whose start
-    ≤ BeginOffset, per episode — the reference's forward-cursor
-    assignment including the messy-capture straddle rule.
+def align_entities(
+    entities: DataFrame, spans: DataFrame, boundary: str = "begin"
+) -> DataFrame:
+    """Offset as-of join (J4): entity → sentence by char offset, per
+    episode, including the messy-capture straddle rule (an entity
+    spanning a boundary belongs to the sentence of its BEGIN offset,
+    src/lambda_72.py:105-116).
+
+    Boundary semantics — a DELIBERATE deviation, selectable:
+
+    * ``boundary="begin"`` (default): sentence = last span with
+      ``start <= BeginOffset`` — an entity starting exactly at a
+      sentence's first character belongs to THAT sentence.
+    * ``boundary="reference"``: bug-compatible with the reference's
+      cursor, which advances only on ``BeginOffset > span_end``
+      (src/lambda_72.py:92) — so an entity starting exactly at a
+      sentence's start is assigned the PREVIOUS sentence (its span end
+      equals the next span's start, and the strict ``>`` never fires).
+      Equivalent as-of form: last span with ``start < BeginOffset``,
+      clamped to sentence 0 for a document-initial entity.
+
+    The two differ ONLY for entities whose BeginOffset lands exactly on
+    a span boundary; both are property-tested against independent
+    Python re-implementations of their loops in
+    tests/test_nlp_alignment.py.
 
     Union-window formulation: one shuffle on episode_id, no range/
     nested-loop join (scales to arbitrarily many entities/episode).
     """
+    if boundary not in ("begin", "reference"):
+        raise ValueError(f"boundary must be 'begin' or 'reference', got {boundary!r}")
     probe = entities.select(
         "episode_id",
         F.col("BeginOffset").alias("_begin"),
@@ -98,14 +125,21 @@ def align_entities(entities: DataFrame, spans: DataFrame) -> DataFrame:
         left_ts="_begin",
         right_ts="start_offset",
         right_cols=["sentence_index"],
-        tie_right_first=True,
+        # begin: span at exactly _begin matches (inclusive <=);
+        # reference: it does not (strict <) — the cursor's off-by-one
+        tie_right_first=(boundary == "begin"),
         right_tiebreak="sentence_index",
     )
+    sent_idx = F.col("sentence_index")
+    if boundary == "reference":
+        # document-initial entity: no span start < 0 ⇒ null; the
+        # reference's cursor starts at sentence 0 and never advances
+        sent_idx = F.coalesce(sent_idx, F.lit(0))
     return out.select(
         "episode_id",
         "entity_text",
         "entity_type",
-        F.col("sentence_index").cast("int").alias("sentence_index"),
+        sent_idx.cast("int").alias("sentence_index"),
         F.col("_begin").alias("begin_offset"),
     )
 
@@ -131,7 +165,11 @@ def build_sentence_dim(aligned_sentiment: DataFrame) -> DataFrame:
 
 def build_entity_dim(aligned_entities: DataFrame) -> DataFrame:
     """Final entity_dimension rows; entity_id is a per-episode dense
-    rank (window partitioned by episode — distributed)."""
+    rank (window partitioned by episode — distributed).  begin_offset
+    is carried through as the per-mention natural key component (see
+    schemas.ENTITY_DIM — repeated mentions within a sentence must each
+    keep a row, matching the reference's duplicate-accumulating table
+    without inheriting its rerun duplication)."""
     w = Window.partitionBy("episode_id").orderBy(
         "begin_offset", "entity_text", "entity_type"
     )
@@ -144,4 +182,5 @@ def build_entity_dim(aligned_entities: DataFrame) -> DataFrame:
         "entity_text",
         "entity_type",
         "sentence_index",
+        "begin_offset",
     )

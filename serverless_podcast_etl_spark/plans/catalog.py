@@ -951,15 +951,16 @@ def q40_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionized_event_stats(ev, gap="30 minutes")
 
 
-# Gap condition is >= (not >): Spark session windows are half-open
-# [start, start+gap), so an event landing exactly ``gap`` after the
-# previous one starts a NEW session — the oracle must agree on the
-# boundary.  Boundary-gap case covered in tests/test_streaming.py.
+# Gap condition is strictly > : Spark merges session windows whose
+# spans touch, so an event landing EXACTLY ``gap`` after the previous
+# one still joins that session (verified empirically —
+# tests/test_streaming.py::test_session_window_boundary_gap_merges);
+# only a gap strictly greater than 30 minutes opens a new session.
 _Q40_SQL = """
 WITH flagged AS (
   SELECT user_id, ts, value,
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                   >= INTERVAL '30 minutes' OR
+                   > INTERVAL '30 minutes' OR
                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
               THEN 1 ELSE 0 END AS new_session
   FROM events

@@ -69,6 +69,15 @@ SENTENCE_DIM = StructType(
     ]
 )
 
+# begin_offset is an addition over the reference DDL
+# (src/lambda_2.py:73-82 has only an auto-increment PK): the reference
+# table has NO unique key, so its INSERT IGNORE never dedups and
+# repeated mentions of one entity within a sentence each keep a row —
+# counts feeding entity_mention_counts / sentiment_distribution depend
+# on that.  Keying per-mention on the char offset preserves those
+# counts while keeping re-delivery idempotent (which the reference, in
+# fact, does not: re-running lambda_72 duplicates every entity row —
+# our key is the deliberate improvement).
 ENTITY_DIM = StructType(
     [
         StructField("entity_id", LongType(), False),
@@ -76,6 +85,7 @@ ENTITY_DIM = StructType(
         StructField("entity_text", StringType()),
         StructField("entity_type", StringType()),
         StructField("sentence_index", IntegerType()),
+        StructField("begin_offset", LongType()),
     ]
 )
 
@@ -85,7 +95,7 @@ NATURAL_KEYS: dict[str, list[str]] = {
     "podcast_dimension": ["podcast_title"],
     "episode_dimension": ["link"],
     "sentence_dimension": ["sentence_index", "episode_id"],
-    "entity_dimension": ["episode_id", "sentence_index", "entity_text", "entity_type"],
+    "entity_dimension": ["episode_id", "begin_offset", "entity_text", "entity_type"],
 }
 
 # --- staging shapes ---

@@ -197,3 +197,37 @@ def test_windowed_event_counts_streaming_matches_batch(spark, tmp_path):
     assert got == expected
     # 00:00 click(x2), 00:05 view, 00:10 click
     assert len(expected) == 3
+
+
+def test_session_window_boundary_gap_merges(spark):
+    """Boundary semantics, verified empirically: Spark MERGES session
+    windows whose spans touch, so an event landing EXACTLY ``gap``
+    after the previous one joins the SAME session — only a strictly
+    larger gap opens a new one.  This is the boundary the q40 oracle
+    encodes with its strictly-> gap condition."""
+    import datetime as dt
+
+    from serverless_podcast_etl_spark.streaming.windowed import (
+        sessionized_event_stats,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: second event exactly 30 min later -> SAME session
+        (1, t0, 1.0),
+        (1, t0 + dt.timedelta(minutes=30), 2.0),
+        # user 2: second event 1 s past the gap -> two sessions
+        (2, t0, 4.0),
+        (2, t0 + dt.timedelta(minutes=30, seconds=1), 8.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = sessionized_event_stats(df, gap="30 minutes")
+    per_user = {}
+    for r in out.collect():
+        per_user.setdefault(r["user_id"], []).append(
+            (str(r["session_start"]), r["n_events"], r["total_value"])
+        )
+    assert len(per_user[1]) == 1
+    assert per_user[1][0][1:] == (2, 3.0)
+    assert len(per_user[2]) == 2
+    assert sorted(n for _, n, _ in per_user[2]) == [1, 1]
