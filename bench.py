@@ -71,6 +71,8 @@ HEADLINE = [
     "q44_exact_dedup_keep_first",
     "q45_rollup_revenue",
     "q47_ratio_of_avgs",
+    "q48_neardup_clusters",
+    "q49_neardup_dedup_clustered",
 ]
 
 

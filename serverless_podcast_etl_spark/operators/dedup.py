@@ -275,6 +275,99 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+    out_id: str = "id",
+    out_comp: str = "component",
+) -> DataFrame:
+    """Connected components over a near-dup pair list: (id, component)
+    with component = the minimum id reachable from the node.
+
+    This is the operator that turns PAIRS into DEDUP DECISIONS — near
+    duplicates are transitive in practice (A≈B, B≈C ⇒ one cluster), so
+    keeping one representative per component, not per pair, is what a
+    corpus dedup actually ships.
+
+    Min-label propagation: each iteration every node takes the min of
+    its own and its neighbors' labels (one equi-join + partial-agg
+    shuffle per iteration, lineage truncated by an eager
+    localCheckpoint).  Converges in O(cluster diameter) iterations —
+    dup clusters are shallow (stars around a template), so 3-5
+    iterations is typical; ``max_iter`` bounds pathological chains.  At
+    100 TB the same loop runs with a checkpoint dir instead of
+    localCheckpoint; for graphs with deep chains switch to the
+    large-star/small-star variant (same join primitive, fewer rounds).
+    Only nodes that appear in ``pairs`` are returned — isolated docs
+    are their own (implicit) singleton component.
+    """
+    sym = pairs.select(F.col(id_a).alias("_a"), F.col(id_b).alias("_b"))
+    edges = (
+        sym.union(sym.select(F.col("_b").alias("_a"), F.col("_a").alias("_b")))
+        .distinct()
+        # materialize ONCE: without this every iteration's join would
+        # recompute the upstream pair pipeline (e.g. the whole
+        # MinHash-LSH candidate generation) from scratch
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("_a").alias("_id"))
+        .distinct()
+        .withColumn("_comp", F.col("_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("_id").alias("_b"), F.col("_comp").alias("_nc")
+                ),
+                "_b",
+            )
+            .groupBy("_a")
+            .agg(F.min("_nc").alias("_nbr"))
+        )
+        # checkpoint BEFORE the convergence count so the join runs once
+        # per iteration (the count then reads materialized rows)
+        updated = labels.join(
+            nbr_min.withColumnRenamed("_a", "_id"), "_id", "left"
+        ).select(
+            "_id",
+            "_comp",
+            F.least(
+                F.col("_comp"), F.coalesce(F.col("_nbr"), F.col("_comp"))
+            ).alias("_new"),
+        ).localCheckpoint(eager=True)
+        n_changed = updated.filter(F.col("_new") != F.col("_comp")).count()
+        labels = updated.select("_id", F.col("_new").alias("_comp"))
+        if n_changed == 0:
+            break
+    return labels.select(
+        F.col("_id").alias(out_id), F.col("_comp").alias(out_comp)
+    )
+
+
+def neardup_dedup_keep_first(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Cluster-aware near-dup removal: resolve ``pairs`` into connected
+    components and keep only each component's minimum-id representative
+    (docs in no pair survive untouched).  One anti-join against the
+    (tiny) non-representative set — the corpus itself is scanned once.
+    """
+    comp = connected_components(pairs, id_a=id_a, id_b=id_b)
+    non_reps = comp.filter(F.col("component") != F.col("id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(non_reps, id_col, "left_anti")
+
+
 def simhash_fingerprints(
     df: DataFrame,
     text_col: str,

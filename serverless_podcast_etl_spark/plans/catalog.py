@@ -1100,6 +1100,57 @@ WHERE {jac} >= {threshold}
 """
 
 
+def q48_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair list → duplicate CLUSTERS via distributed
+    connected components (min-label propagation; near-duplication is
+    transitive in practice, so dedup decisions are per component, not
+    per pair).  Deterministic edges (the q30 MinHash-LSH pairs) make
+    this fully oracle-checkable against a recursive-CTE closure."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, text_col="text", id_col="doc_id",
+        n=3, num_hashes=8, bands=4, verify_threshold=0.3,
+    )
+    comp = dedup.connected_components(pairs)
+    return comp.select(F.col("id").alias("doc_id"), "component")
+
+
+def _neardup_cluster_sql() -> str:
+    pairs = _minhash_lsh_sql(n=3, num_hashes=8, bands=4, threshold=0.3)
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(id, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+)
+SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+"""
+
+
+def q49_neardup_dedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Applied cluster-aware dedup: the corpus with near-duplicates
+    removed, keeping each component's minimum-id representative (docs
+    in no near-dup pair survive untouched)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, text_col="text", id_col="doc_id",
+        n=3, num_hashes=8, bands=4, verify_threshold=0.3,
+    )
+    return dedup.neardup_dedup_keep_first(docs, pairs, id_col="doc_id")
+
+
+def _neardup_dedup_sql() -> str:
+    return f"""
+WITH RECURSIVE comp AS ({_neardup_cluster_sql()})
+SELECT d.* FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM comp c
+                  WHERE c.doc_id = d.doc_id AND c.component <> d.doc_id)
+"""
+
+
 def q31_nested_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-array build + flatten round trip (P5/P6;
     src/lambda_2.py:173-189 — rss.channel.item[] explode).  Orders are
@@ -1283,6 +1334,16 @@ CATALOG: dict[str, QueryDef] = {
     "q46_set_ops": QueryDef(q46_set_ops, _Q46_SQL, "EXCEPT/INTERSECT cohorts"),
     "q47_ratio_of_avgs": QueryDef(
         q47_ratio_of_avgs, _Q47_SQL, "ratio-of-averages proportions (A3)"
+    ),
+    "q48_neardup_clusters": QueryDef(
+        q48_neardup_clusters,
+        _neardup_cluster_sql(),
+        "near-dup connected components",
+    ),
+    "q49_neardup_dedup_clustered": QueryDef(
+        q49_neardup_dedup_clustered,
+        _neardup_dedup_sql(),
+        "cluster-aware near-dup removal",
     ),
 }
 

@@ -390,3 +390,39 @@ def test_with_asset_meta_contract(spark):
     m = row["asset_meta"]
     assert (m["media_type"], m["format"], m["byte_len"]) == ("audio", "mp3", 3)
     assert m["width"] is None and m["duration_ms"] is None
+
+
+def test_connected_components_chain_and_star(spark):
+    from serverless_podcast_etl_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4 (transitive closure spans 3 hops),
+        # star 10-{11,12,13}, isolated pair 20-21
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (10, 13), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["id"]: r["component"] for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10, 13: 10,
+                   20: 20, 21: 20}
+
+
+def test_neardup_dedup_keep_first_clustered(spark):
+    from serverless_podcast_etl_spark.operators.dedup import (
+        neardup_dedup_keep_first,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(1, 8)], "doc_id long, text string"
+    )
+    # cluster {1,2,3} via transitivity, cluster {5,6}; 4 and 7 isolated
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in neardup_dedup_keep_first(docs, pairs, "doc_id").collect()
+    )
+    assert kept == [1, 4, 5, 7]
