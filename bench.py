@@ -73,6 +73,9 @@ HEADLINE = [
     "q47_ratio_of_avgs",
     "q48_neardup_clusters",
     "q49_neardup_dedup_clustered",
+    "q50_decontamination",
+    "q51_tfidf_top_terms",
+    "q52_stratified_sample",
 ]
 
 

@@ -205,6 +205,86 @@ def detect_language_ngram(df: DataFrame, text_col: str, id_col: str) -> DataFram
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF.
+
+    idf is the LOG-FREE rational form ``(N + 1) / (df + 1)`` — same
+    ranking monotonicity in 1/df, but built only from IEEE add/div/mul,
+    so Spark and any SQL oracle produce bit-identical doubles (``ln``
+    implementations differ in the last ulp across runtimes, which would
+    flake a value-hash comparison; documented trade).
+
+    Plan shape: explode → two hash aggregates (tf per (doc, term); df
+    per term) → broadcast the (small) per-term df table back — the
+    corpus-sized side is shuffled once, on (doc, term).
+    """
+    from pyspark.sql import Window
+
+    sw = stopwords if stopwords is not None else STOPWORDS
+    terms = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term"),
+        )
+        .filter((F.col("term") != "") & ~F.col("term").isin(sw))
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    doc_freq = (
+        terms.select(id_col, "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = df.select(id_col).distinct().count()
+    scored = tf.join(F.broadcast(doc_freq), "term").withColumn(
+        "tfidf",
+        F.round(
+            F.col("tf") * (F.lit(float(n_docs + 1)) / (F.col("df") + 1)), 4
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf", "rank")
+    )
+
+
+def tfidf_top_terms_sql(k: int = 5, stopwords: list[str] | None = None) -> str:
+    """DuckDB twin of ``tfidf_top_terms`` (same tokenization, same
+    rational idf, same tie-break)."""
+    sw = stopwords if stopwords is not None else STOPWORDS
+    sw_list = ", ".join(f"'{w}'" for w in sw)
+    return f"""
+WITH terms AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+  FROM documents
+),
+ft AS (SELECT doc_id, term FROM terms
+       WHERE term <> '' AND term NOT IN ({sw_list})),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM ft GROUP BY 1, 2),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM ft GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, df,
+         round(tf * ((n_docs + 1.0) / (df + 1)), 4) AS tfidf
+  FROM tf JOIN dfreq USING (term), n
+)
+SELECT doc_id, term, tf, df, tfidf, CAST(rank AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        ORDER BY tfidf DESC, term) AS rank FROM scored)
+WHERE rank <= {k}
+"""
+
+
 def rolling_fingerprints(
     df: DataFrame,
     text_col: str,

@@ -275,6 +275,38 @@ def minhash_lsh_pairs(
     )
 
 
+def cross_corpus_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Decontamination report: corpus documents sharing at least one
+    word n-gram with a benchmark/eval set (train-test leakage check —
+    the gate every pretraining pipeline runs before shipping a corpus).
+
+    Returns (id, n_shared_grams, n_eval_docs) for CONTAMINATED corpus
+    docs only.  Candidates come from an equi-join on the n-gram shingle
+    hash with the benchmark side broadcast (eval sets are tiny next to
+    a 100 TB corpus) — the corpus is scanned once, never shuffled on
+    data volume, and shingle strings never materialize (hash-folded,
+    functions/hashing.py).
+    """
+    c_sh = shingles(corpus, text_col, id_col, n=n)
+    b_sh = shingles(benchmark, text_col, id_col, n=n).select(
+        F.col(id_col).alias("_eval_id"), "shingle"
+    )
+    return (
+        c_sh.join(F.broadcast(b_sh), "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_grams"),
+            F.countDistinct("_eval_id").alias("n_eval_docs"),
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",

@@ -1151,6 +1151,49 @@ WHERE NOT EXISTS (SELECT 1 FROM comp c
 """
 
 
+def q50_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-test decontamination: corpus docs sharing any word 8-gram
+    with the (deterministic stand-in) benchmark slice doc_id % 97 == 0.
+    Candidate generation = shingle-hash equi-join, benchmark broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    return dedup.cross_corpus_overlap(
+        corpus, benchmark, text_col="text", id_col="doc_id", n=8
+    )
+
+
+_Q50_SQL = f"""
+WITH sh AS ({{shingle_cte}}),
+c AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+b AS (SELECT DISTINCT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 97 = 0)
+SELECT c.doc_id,
+       count(DISTINCT c.shingle) AS n_shared_grams,
+       count(DISTINCT b.eval_id) AS n_eval_docs
+FROM c JOIN b USING (shingle)
+GROUP BY 1
+""".format(shingle_cte=_shingle_cte(8))
+
+
+def q51_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per document by TF-IDF (log-free
+    rational idf so Spark and DuckDB doubles are bit-identical; see
+    textstats.tfidf_top_terms)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.tfidf_top_terms(docs, text_col="text", id_col="doc_id", k=5)
+
+
+def q52_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified (per-language) sampling — corpus re-balancing, the
+    mixing step of a pretraining data pipeline.  ``sampleBy`` keeps the
+    per-stratum Bernoulli draw inside the scan (no shuffle); sampling
+    is seeded but partitioning-dependent ⇒ rows-only check."""
+    docs = _t(spark, sf_dir, "documents")
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    fractions = {lg: (0.5 if i % 2 == 0 else 0.2) for i, lg in enumerate(sorted(langs))}
+    return docs.stat.sampleBy("lang", fractions, seed=7)
+
+
 def q31_nested_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-array build + flatten round trip (P5/P6;
     src/lambda_2.py:173-189 — rss.channel.item[] explode).  Orders are
@@ -1344,6 +1387,17 @@ CATALOG: dict[str, QueryDef] = {
         q49_neardup_dedup_clustered,
         _neardup_dedup_sql(),
         "cluster-aware near-dup removal",
+    ),
+    "q50_decontamination": QueryDef(
+        q50_decontamination, _Q50_SQL, "train-test n-gram decontamination"
+    ),
+    "q51_tfidf_top_terms": QueryDef(
+        q51_tfidf_top_terms,
+        textstats.tfidf_top_terms_sql(k=5),
+        "TF-IDF top terms per doc",
+    ),
+    "q52_stratified_sample": QueryDef(
+        q52_stratified_sample, None, "stratified per-language sampling"
     ),
 }
 
