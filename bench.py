@@ -76,6 +76,8 @@ HEADLINE = [
     "q50_decontamination",
     "q51_tfidf_top_terms",
     "q52_stratified_sample",
+    "q53_grouped_ewma",
+    "q54_embedding_quantization",
 ]
 
 

@@ -1194,6 +1194,52 @@ def q52_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.stat.sampleBy("lang", fractions, seed=7)
 
 
+def q53_grouped_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average of event values —
+    the grouped applyInPandas surface for genuinely recursive state
+    (y_i = α·x_i + (1−α)·y_{i−1}); not SQL-expressible without
+    numerically explosive power-sum tricks ⇒ rows-only check (exact
+    unit test in tests/test_operators.py).  Certified form is the
+    partition-stream variant: per-group applyInPandas pays per-key
+    Python overhead (~4.4 s at sf0.1 over ~10k users); one Arrow
+    stream per partition with carry-over state is ~4× faster and
+    bit-equal (tests/test_operators.py::test_ewma_partitioned_equals_grouped)."""
+    from ..operators.windows import ewma_partitioned
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    out = ewma_partitioned(
+        ev, value="value", key_cols=["user_id"],
+        order_by=["ts", "event_id"], alpha=0.3,
+    )
+    return out.select(
+        "user_id", "event_id", F.round(F.col("ewma"), 4).alias("ewma")
+    )
+
+
+def q54_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization audit (scale, code sum, max
+    reconstruction error per vector) — the zero-shuffle storage tier
+    for the similarity stack; scalar outputs keep it oracle-hashable."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.quantization_report(emb, id_col="vec_id")
+
+
+_Q54_SQL = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+s AS (SELECT vec_id, e,
+             list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+      FROM v),
+q AS (SELECT vec_id, e, scale,
+             list_transform(e, x -> round(x / scale)) AS qs
+      FROM s)
+SELECT vec_id, round(scale, 6) AS scale,
+       CAST(list_sum(qs) AS BIGINT) AS sum_q,
+       round(list_max(list_transform(list_zip(qs, e),
+             p -> abs(p[1] * scale - p[2]))), 6) AS max_abs_err
+FROM q
+"""
+
+
 def q31_nested_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-array build + flatten round trip (P5/P6;
     src/lambda_2.py:173-189 — rss.channel.item[] explode).  Orders are
@@ -1398,6 +1444,12 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "q52_stratified_sample": QueryDef(
         q52_stratified_sample, None, "stratified per-language sampling"
+    ),
+    "q53_grouped_ewma": QueryDef(
+        q53_grouped_ewma, None, "grouped applyInPandas EWMA (recursive state)"
+    ),
+    "q54_embedding_quantization": QueryDef(
+        q54_embedding_quantization, _Q54_SQL, "int8 embedding quantization audit"
     ),
 }
 

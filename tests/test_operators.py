@@ -426,3 +426,102 @@ def test_neardup_dedup_keep_first_clustered(spark):
         for r in neardup_dedup_keep_first(docs, pairs, "doc_id").collect()
     )
     assert kept == [1, 4, 5, 7]
+
+
+def test_grouped_ewma_exact_and_matches_pandas(spark):
+    import pandas as pd
+
+    from serverless_podcast_etl_spark.operators.windows import grouped_ewma
+
+    rows = [(1, 0, 10.0), (1, 1, 20.0), (1, 2, 10.0), (2, 0, 4.0), (2, 1, 8.0)]
+    df = spark.createDataFrame(rows, "g long, i int, x double")
+    out = {
+        (r["g"], r["i"]): r["ewma"]
+        for r in grouped_ewma(df, "x", ["g"], ["i"], alpha=0.5).collect()
+    }
+    # hand-computed, alpha=0.5 adjust=False: y0=x0, y=0.5x+0.5y_prev
+    assert out[(1, 0)] == 10.0
+    assert out[(1, 1)] == 15.0
+    assert out[(1, 2)] == 12.5
+    assert out[(2, 0)] == 4.0
+    assert out[(2, 1)] == 6.0
+    # and bit-equal to pandas on a longer random series
+    pdf = pd.DataFrame(
+        {"g": [1] * 50, "i": range(50), "x": [((j * 31) % 17) / 3 for j in range(50)]}
+    )
+    expect = pdf["x"].ewm(alpha=0.3, adjust=False).mean()
+    got = (
+        grouped_ewma(spark.createDataFrame(pdf), "x", ["g"], ["i"], alpha=0.3)
+        .orderBy("i")
+        .toPandas()["ewma"]
+    )
+    assert (got.to_numpy() == expect.to_numpy()).all()
+
+
+def test_quantize_embeddings_int8_invariants(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from serverless_podcast_etl_spark.operators.similarity import (
+        quantize_embeddings_int8,
+    )
+    from serverless_podcast_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    qd = quantize_embeddings_int8(emb, "vec_id")
+    bad = qd.filter(
+        (F.array_max(F.col("q")) > 127) | (F.array_min(F.col("q")) < -127)
+    )
+    assert bad.count() == 0  # codes stay in int8 range
+    # reconstruction error bounded by scale/2 (round-to-nearest)
+    err = qd.select(
+        "vec_id",
+        "scale",
+        F.array_max(
+            F.zip_with(
+                F.col("q"),
+                F.col("embedding"),
+                lambda a, b: F.abs(a * F.col("scale") - b),
+            )
+        ).alias("e"),
+    )
+    assert err.filter(F.col("e") > F.col("scale") / 2 + 1e-12).count() == 0
+    # all-zero vector: scale 0, all codes 0, no ANSI crash
+    z = spark.createDataFrame(
+        [(1, [0.0] * 4)], "vec_id long, embedding array<double>"
+    )
+    r = quantize_embeddings_int8(z, "vec_id").collect()[0]
+    assert r["scale"] == 0.0 and list(r["q"]) == [0, 0, 0, 0]
+
+
+def test_ewma_partitioned_equals_grouped(spark):
+    """The partition-stream EWMA (carry-over state across Arrow
+    batches) must be bit-equal to the per-group reference form — forced
+    tiny Arrow batches make keys straddle batch boundaries."""
+    import random
+
+    from serverless_podcast_etl_spark.operators.windows import (
+        ewma_partitioned,
+        grouped_ewma,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (u, i, round(rng.uniform(-5, 5), 3))
+        for u in range(1, 8)
+        for i in range(rng.randint(5, 60))
+    ]
+    df = spark.createDataFrame(rows, "u long, i int, x double")
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        ref = {
+            (r["u"], r["i"]): r["ewma"]
+            for r in grouped_ewma(df, "x", ["u"], ["i"], alpha=0.3).collect()
+        }
+        got = {
+            (r["u"], r["i"]): r["ewma"]
+            for r in ewma_partitioned(df, "x", ["u"], ["i"], alpha=0.3).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert got == ref
