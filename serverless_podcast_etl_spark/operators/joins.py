@@ -169,3 +169,34 @@ def range_join(
             cond = cond & (probe[k] == spans[k])
         return probe.alias("p").join(rhs.alias("s"), cond, "left").drop(*[spans[k] for k in on])
     return probe.join(rhs, cond, "left")
+
+
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    on: str,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: spread a hot key across ``salt_buckets``
+    reducers by salting the skewed side and replicating the small side
+    once per salt value.
+
+    AQE's skew-join split handles sort-merge skew at runtime, but not
+    every shape (aggregation-followed joins, streaming, or when the
+    skewed side must stay hash-partitioned for a later stage) — this
+    is the explicit form.  The salt is a deterministic hash of the
+    whole row (xxhash64), so reruns produce identical partitioning;
+    identical duplicate rows share a bucket (acceptable: skew comes
+    from hot KEYS, not duplicated full rows).  Cost: |small| ×
+    salt_buckets replication — keep the replicated side genuinely
+    small (same contract as a broadcast).
+    """
+    salted = skewed.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(salt_buckets)).cast("int"),
+    )
+    replicated = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    return salted.join(replicated, on=[on, "_salt"], how=how).drop("_salt")

@@ -525,3 +525,38 @@ def test_ewma_partitioned_equals_grouped(spark):
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
     assert got == ref
+
+
+def test_salted_join_equals_plain_on_skewed_data(spark):
+    from pyspark.sql import functions as F
+
+    from serverless_podcast_etl_spark.operators.joins import salted_join
+
+    # one hot key (90% of rows) + a long tail
+    rows = [(7, i) for i in range(900)] + [(k, k * 1000) for k in range(1, 90)]
+    fact = spark.createDataFrame(rows, "key long, payload long")
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(1, 90)] + [(7, "hot")], "key long, name string"
+    ).dropDuplicates(["key"])
+    plain = sorted(
+        tuple(r) for r in fact.join(dim, "key").select("key", "payload", "name").collect()
+    )
+    salted = sorted(
+        tuple(r)
+        for r in salted_join(fact, dim, "key", salt_buckets=8)
+        .select("key", "payload", "name")
+        .collect()
+    )
+    assert salted == plain
+    # hot key actually spreads: >1 distinct salt among its fact rows
+    n_salts = (
+        fact.filter(F.col("key") == 7)
+        .withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(F.col("key"), F.col("payload")), F.lit(8)),
+        )
+        .select("_salt")
+        .distinct()
+        .count()
+    )
+    assert n_salts > 1

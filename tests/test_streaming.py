@@ -231,3 +231,46 @@ def test_session_window_boundary_gap_merges(spark):
     assert per_user[1][0][1:] == (2, 3.0)
     assert len(per_user[2]) == 2
     assert sorted(n for _, n, _ in per_user[2]) == [1, 1]
+
+
+def test_stream_dedup_exact_bounded_state(spark, tmp_path):
+    """Duplicate keys delivered across separate files (micro-batches)
+    within the watermark delay must emit exactly one row each; batch
+    mode degrades to a global dropDuplicates."""
+    import datetime as dt
+    import os
+
+    from serverless_podcast_etl_spark.streaming.dedup import stream_dedup_exact
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    f1 = spark.createDataFrame(
+        [(1, t0, "a"), (2, t0, "b"), (1, t0, "a-dup-same-batch")],
+        "k long, ts timestamp, v string",
+    )
+    f2 = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(minutes=1), "a-dup-next-batch"), (3, t0, "c")],
+        "k long, ts timestamp, v string",
+    )
+    f1.coalesce(1).write.mode("append").parquet(src)
+    f2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema("k long, ts timestamp, v string").parquet(src)
+    deduped = stream_dedup_exact(stream, ["k"], ts_col="ts", delay="10 minutes")
+    assert deduped.isStreaming
+    got: list = []
+    q = (
+        deduped.writeStream.foreachBatch(lambda df, _e: got.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    keys = sorted(r["k"] for r in got)
+    assert keys == [1, 2, 3]  # each key exactly once across batches
+
+    # batch fallback: global dedup
+    batch = spark.read.parquet(src)
+    assert stream_dedup_exact(batch, ["k"]).count() == 3
