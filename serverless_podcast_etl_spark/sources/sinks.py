@@ -58,3 +58,30 @@ def write_sentences_json(sentences: DataFrame, path: str) -> None:
         .write.mode("overwrite")
         .json(path)
     )
+
+
+def write_partitioned_parquet(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-partitioned parquet write sized for scan pruning.
+
+    Two 100 TB concerns in one writer: (a) directory partitioning on
+    the filter columns lets every downstream scan prune whole
+    partitions before reading a byte (PartitionFilters in the plan —
+    asserted in tests/test_plans.py); (b) repartitioning on the same
+    columns first collapses output to ONE file per partition directory
+    instead of one small file per task per partition — the small-files
+    problem that otherwise throttles the next reader's listing and
+    task scheduling.  (A partition too big for one file would add a
+    within-partition bucket column to the repartition — not needed at
+    this corpus's partition sizes.)
+    """
+    (
+        df.repartition(*partition_cols)
+        .write.mode(mode)
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )

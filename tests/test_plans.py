@@ -127,3 +127,35 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_partitioned_write_enables_partition_pruning(spark, sf_dir, tmp_path):
+    """A scan over a hive-partitioned staging write must prune at the
+    directory level: the filter appears as a PartitionFilter (not a
+    data filter), and only the matching partition's files are read."""
+    import os
+
+    from serverless_podcast_etl_spark.sources.sinks import (
+        write_partitioned_parquet,
+    )
+    from serverless_podcast_etl_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    out = str(tmp_path / "events_by_type")
+    write_partitioned_parquet(ev, out, ["event_type"])
+    # one directory per type, bounded file count inside each
+    dirs = [d for d in os.listdir(out) if d.startswith("event_type=")]
+    assert len(dirs) >= 3
+    for d in dirs:
+        files = [
+            f for f in os.listdir(os.path.join(out, d)) if f.endswith(".parquet")
+        ]
+        assert len(files) == 1  # repartition bounded the file count
+
+    scan = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = physical_plan(scan)
+    assert "PartitionFilters" in plan
+    assert "event_type" in plan.split("PartitionFilters", 1)[1][:200]
+    assert scan.count() > 0
