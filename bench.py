@@ -25,7 +25,8 @@ from serverless_podcast_etl_spark.session import get_spark  # noqa: E402
 # Two near-dup queries stay excluded, with measured reasons:
 #   q19 — the raw shingle self-join generates ~36M candidate rows at
 #         sf0.1 (931 distinct 2-gram shingles over 5,000 templated
-#         docs); its scale path IS q30's banded form, which is benched.
+#         docs); its scale paths ARE benched: q30 (banded) and q56
+#         (stop-shingle-capped direct form).
 #   q23 — the exact all-pairs baseline (crossJoin, size-guarded in
 #         similarity.py); its scale path is q35's LSH-bucketed form.
 # q28/q30 (banded SimHash / MinHash-LSH) ARE benched: their candidate
@@ -78,6 +79,8 @@ HEADLINE = [
     "q52_stratified_sample",
     "q53_grouped_ewma",
     "q54_embedding_quantization",
+    "q55_quantized_ann_topk",
+    "q56_ngram_jaccard_capped",
 ]
 
 

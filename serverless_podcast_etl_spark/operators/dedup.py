@@ -112,6 +112,7 @@ def ngram_jaccard_pairs(
     id_col: str,
     n: int = 3,
     threshold: float = 0.2,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by word-n-gram Jaccard similarity.
 
@@ -119,8 +120,26 @@ def ngram_jaccard_pairs(
     documents sharing ≥1 shingle ever meet — the scalable alternative
     to a cross join), then Jaccard = |A∩B| / (|A|+|B|−|A∩B|) from
     per-doc shingle counts.
+
+    ``max_doc_freq`` removes STOP-SHINGLES — n-grams appearing in more
+    than that many documents — from the similarity space before the
+    join (exactly what stopword removal does for terms).  A shingle in
+    d documents contributes d·(d−1)/2 joined rows, so boilerplate
+    n-grams dominate the join quadratically while carrying no
+    near-dup signal; the cap bounds the join at Σ min(df,cap)² —
+    corpus-linear.  Jaccard is then computed over the capped space on
+    BOTH numerator and denominators (self-consistent and
+    oracle-expressible).
     """
     sh = shingles(df, text_col, id_col, n=n)
+    if max_doc_freq is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle", "left_semi")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
 
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")

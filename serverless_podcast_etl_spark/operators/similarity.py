@@ -419,6 +419,64 @@ def quantization_report(
     )
 
 
+def quantized_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Cosine top-k over int8 CODES — retrieval on the quantized
+    storage tier (quantize_embeddings_int8).
+
+    Per-vector scales cancel in the cosine (cos = Σq_a·q_b /
+    (‖q_a‖·‖q_b‖)), so scoring is integer dot products + two
+    precomputed norms — 4× less data movement than float32 and exact
+    integer arithmetic inside the sum (codes ≤127, so a 64-dim dot
+    fits a long with ~2⁴⁰ headroom).  Deterministic end-to-end
+    (round-to-nearest codes, IEEE sqrt/div), hence fully
+    oracle-checkable unlike LSH/IVF.  Approximation error vs float
+    cosine is bounded by quantization noise — recall vs the float
+    baseline is asserted in tests.
+    """
+
+    def codes_with_norm(df: DataFrame, id_col: str, out_id: str, qn: str, qc: str):
+        qd = quantize_embeddings_int8(df, id_col, vec_col)
+        dot_self = F.aggregate(
+            F.zip_with(F.col("q"), F.col("q"), lambda a, b: (a * b).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        return qd.select(
+            F.col(id_col).alias(out_id),
+            F.col("q").alias(qc),
+            F.sqrt(dot_self.cast("double")).alias(qn),
+        )
+
+    q = codes_with_norm(queries, query_id, "query_id", "_qn", "_qq")
+    c = codes_with_norm(corpus, corpus_id, "neighbor_id", "_cn", "_cq")
+    dot = F.aggregate(
+        F.zip_with(F.col("_qq"), F.col("_cq"), lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.round(dot.cast("double") / (F.col("_qn") * F.col("_cn")), 4),
+        )
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 #: Hard ceiling for the exact all-pairs path: above this the cross
 #: join is O(n²) by construction and the LSH path must be used.
 EXACT_NEARDUP_MAX_ROWS = 100_000

@@ -1240,6 +1240,75 @@ FROM q
 """
 
 
+def q55_quantized_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-k over the int8 quantized tier (scales cancel in the
+    cosine, so scoring is integer dots + precomputed norms — 4× less
+    data movement than q22's float path).  Deterministic end-to-end ⇒
+    fully oracle-checkable, unlike LSH/IVF."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return similarity.quantized_topk(
+        queries_df, emb, query_id="vec_id", corpus_id="vec_id", k=10
+    )
+
+
+_Q55_SQL = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+s AS (SELECT vec_id, e,
+             list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+      FROM v),
+q AS (SELECT vec_id, list_transform(e, x -> round(x / scale)) AS qs FROM s),
+n AS (SELECT vec_id, qs, sqrt(list_dot_product(qs, qs)) AS nrm FROM q),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round(list_dot_product(a.qs, b.qs) / (a.nrm * b.nrm), 4) AS cosine
+  FROM n a, n b
+  WHERE a.vec_id < 5 AND a.vec_id <> b.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank
+FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        ORDER BY cosine DESC, neighbor_id) AS INT) AS rank FROM scored)
+WHERE rank <= 10
+"""
+
+
+def q56_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw shingle-join near-dup (q19) made corpus-linear: n-grams
+    in more than ``max_doc_freq`` docs are STOP-SHINGLES (boilerplate —
+    they contribute df² joined rows and no signal) and are removed from
+    the similarity space before the join.  This is the form of the
+    direct-Jaccard path that is benchable at sf0.1 (q19's uncapped
+    join generates ~36M rows there)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(
+        docs, text_col="text", id_col="doc_id", n=2, threshold=0.3,
+        max_doc_freq=50,
+    )
+
+
+def _ngram_jaccard_capped_sql(
+    n: int = 2, threshold: float = 0.3, max_doc_freq: int = 50
+) -> str:
+    return f"""
+WITH sh0 AS ({_shingle_cte(n)}),
+keep AS (SELECT shingle FROM sh0 GROUP BY shingle
+         HAVING count(*) <= {max_doc_freq}),
+sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_shared,
+       round(n_shared / (sa.n + sb.n - n_shared), 4) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(n_shared / (sa.n + sb.n - n_shared), 4) >= {threshold}
+"""
+
+
 def q31_nested_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-array build + flatten round trip (P5/P6;
     src/lambda_2.py:173-189 — rss.channel.item[] explode).  Orders are
@@ -1450,6 +1519,14 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "q54_embedding_quantization": QueryDef(
         q54_embedding_quantization, _Q54_SQL, "int8 embedding quantization audit"
+    ),
+    "q55_quantized_ann_topk": QueryDef(
+        q55_quantized_ann_topk, _Q55_SQL, "cosine top-k on int8 codes"
+    ),
+    "q56_ngram_jaccard_capped": QueryDef(
+        q56_ngram_jaccard_capped,
+        _ngram_jaccard_capped_sql(),
+        "stop-shingle-capped Jaccard near-dup",
     ),
 }
 

@@ -560,3 +560,27 @@ def test_salted_join_equals_plain_on_skewed_data(spark):
         .count()
     )
     assert n_salts > 1
+
+
+def test_quantized_topk_recall_vs_float(spark, sf_dir):
+    """Int8-code retrieval must stay close to the float baseline:
+    recall@10 over the 5 standard query vectors."""
+    from pyspark.sql import functions as F
+
+    from serverless_podcast_etl_spark.operators.similarity import (
+        brute_force_topk,
+        quantized_topk,
+    )
+    from serverless_podcast_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    f32 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(qs, emb, "vec_id", "vec_id", k=10).collect()
+    }
+    i8 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in quantized_topk(qs, emb, "vec_id", "vec_id", k=10).collect()
+    }
+    assert len(f32 & i8) / len(f32) >= 0.8
