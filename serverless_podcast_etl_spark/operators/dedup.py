@@ -342,17 +342,18 @@ def connected_components(
     keeping one representative per component, not per pair, is what a
     corpus dedup actually ships.
 
-    Min-label propagation: each iteration every node takes the min of
-    its own and its neighbors' labels (one equi-join + partial-agg
-    shuffle per iteration, lineage truncated by an eager
-    localCheckpoint).  Converges in O(cluster diameter) iterations —
-    dup clusters are shallow (stars around a template), so 3-5
-    iterations is typical; ``max_iter`` bounds pathological chains.  At
-    100 TB the same loop runs with a checkpoint dir instead of
-    localCheckpoint; for graphs with deep chains switch to the
-    large-star/small-star variant (same join primitive, fewer rounds).
-    Only nodes that appear in ``pairs`` are returned — isolated docs
-    are their own (implicit) singleton component.
+    Min-label propagation WITH pointer jumping: each iteration every
+    node takes (a) the min of its own and its neighbors' labels, then
+    (b) its label's label (path compression — label chains halve each
+    round, so deep chains converge in O(log n) rounds, not
+    O(diameter)).  Two equi-joins + one partial-agg shuffle per
+    iteration, lineage truncated by eager localCheckpoints; at 100 TB
+    the same loop runs with a checkpoint dir.  Dup clusters are
+    shallow (stars around a template), so 2-4 rounds is typical.
+    Raises if ``max_iter`` rounds don't converge — a silently partial
+    labeling must never reach a dedup decision.  Only nodes that
+    appear in ``pairs`` are returned — isolated docs are their own
+    (implicit) singleton component.
     """
     sym = pairs.select(F.col(id_a).alias("_a"), F.col(id_b).alias("_b"))
     edges = (
@@ -369,6 +370,7 @@ def connected_components(
         .withColumn("_comp", F.col("_id"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             edges.join(
@@ -380,9 +382,7 @@ def connected_components(
             .groupBy("_a")
             .agg(F.min("_nc").alias("_nbr"))
         )
-        # checkpoint BEFORE the convergence count so the join runs once
-        # per iteration (the count then reads materialized rows)
-        updated = labels.join(
+        stepped = labels.join(
             nbr_min.withColumnRenamed("_a", "_id"), "_id", "left"
         ).select(
             "_id",
@@ -390,11 +390,36 @@ def connected_components(
             F.least(
                 F.col("_comp"), F.coalesce(F.col("_nbr"), F.col("_comp"))
             ).alias("_new"),
-        ).localCheckpoint(eager=True)
+        )
+        # pointer jump: follow my (new) label to ITS label — label
+        # chains halve every round (O(log n) total for deep chains)
+        jump = labels.select(
+            F.col("_id").alias("_new"), F.col("_comp").alias("_jc")
+        )
+        # checkpoint BEFORE the convergence count so the joins run once
+        # per iteration (the count then reads materialized rows)
+        updated = (
+            stepped.join(jump, "_new", "left")
+            .select(
+                "_id",
+                "_comp",
+                F.least(
+                    F.col("_new"), F.coalesce(F.col("_jc"), F.col("_new"))
+                ).alias("_new"),
+            )
+            .localCheckpoint(eager=True)
+        )
         n_changed = updated.filter(F.col("_new") != F.col("_comp")).count()
         labels = updated.select("_id", F.col("_new").alias("_comp"))
         if n_changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components: no convergence within {max_iter} "
+            f"iterations — raise max_iter (pointer jumping needs "
+            f"~log2(longest chain) rounds)"
+        )
     return labels.select(
         F.col("_id").alias(out_id), F.col("_comp").alias(out_comp)
     )

@@ -584,3 +584,57 @@ def test_quantized_topk_recall_vs_float(spark, sf_dir):
         for r in quantized_topk(qs, emb, "vec_id", "vec_id", k=10).collect()
     }
     assert len(f32 & i8) / len(f32) >= 0.8
+
+
+def test_connected_components_deep_chain_and_random(spark):
+    """Pointer jumping must converge on a 300-node path (O(diameter)
+    propagation alone would need 300 rounds) and agree with a Python
+    union-find on random graphs."""
+    import random
+
+    from serverless_podcast_etl_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(300)]
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            spark.createDataFrame(chain, "id_a long, id_b long"), max_iter=15
+        ).collect()
+    }
+    assert set(got.values()) == {0} and len(got) == 301
+
+    rng = random.Random(99)
+    edges = [
+        (rng.randint(0, 120), rng.randint(0, 120)) for _ in range(150)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = list(range(121))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {}
+    for a, b in edges:
+        for n in (a, b):
+            expected[n] = find(n)
+    # canonical min representative per component
+    comp_min: dict = {}
+    for n, r in expected.items():
+        comp_min.setdefault(r, []).append(n)
+    canon = {n: min(comp_min[r]) for n, r in expected.items()}
+
+    got2 = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            spark.createDataFrame(edges, "id_a long, id_b long")
+        ).collect()
+    }
+    assert got2 == canon
