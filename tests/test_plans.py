@@ -54,8 +54,13 @@ def test_aggregate_is_partial(spark, sf_dir):
 @pytest.mark.parametrize("name", sorted(CATALOG))
 def test_no_cartesian_products(spark, sf_dir, name):
     # Brute-force ANN scoring broadcasts a tiny query set against the
-    # corpus by design — the one sanctioned nested-loop join.
-    allowed_nested_loop = {"q22_ann_topk", "q23_embedding_neardup"}
+    # corpus by design — the sanctioned nested-loop joins (q55 is the
+    # same shape over int8 codes).
+    allowed_nested_loop = {
+        "q22_ann_topk",
+        "q23_embedding_neardup",
+        "q55_quantized_ann_topk",
+    }
     plan = physical_plan(CATALOG[name].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan, name
     if name not in allowed_nested_loop:
