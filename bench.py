@@ -81,6 +81,10 @@ HEADLINE = [
     "q54_embedding_quantization",
     "q55_quantized_ann_topk",
     "q56_ngram_jaccard_capped",
+    "q57_repetition_stats",
+    "q58_pii_redaction",
+    "q59_mixture_weights",
+    "q60_ann_recall",
 ]
 
 

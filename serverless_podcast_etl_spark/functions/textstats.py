@@ -285,6 +285,90 @@ WHERE rank <= {k}
 """
 
 
+def repetition_stats(
+    df: DataFrame, text_col: str, id_col: str, n: int = 2
+) -> DataFrame:
+    """Repetition-based quality metrics: fraction of word n-grams that
+    are the single most frequent one (``top_gram_frac``) and fraction
+    belonging to any repeated n-gram (``dup_gram_frac``) — the
+    Gopher/MassiveText-style repetition filters for pretraining data
+    (boilerplate and degenerate loops score high on both).
+
+    Plan: tokens bound once per row behind a Generate barrier, n-grams
+    in-row (``transform`` over shifted ``slice``), then exactly one
+    corpus shuffle on ``(doc, gram)`` and a map-side-combinable second
+    aggregate on ``doc``.  Fractions are long/long IEEE divisions —
+    bit-identical to the SQL oracle.  Documents with fewer than ``n``
+    tokens yield no n-grams and are absent (parity with the oracle).
+    """
+    from ..operators.scale import ensure_parallelism
+
+    bound = ensure_parallelism(df).select(
+        F.col(id_col),
+        # Generate barrier: split/lower/filter run once per row, not
+        # once per n-gram access inside the transform lambda
+        F.explode(F.array(word_tokens(F.col(text_col)))).alias("_t"),
+    )
+    size = F.size("_t")
+    grams = F.when(
+        size >= n,
+        F.transform(
+            F.sequence(F.lit(1), size - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(F.col("_t"), i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_gram = (
+        bound.select(F.col(id_col), F.explode(grams).alias("_g"))
+        .groupBy(id_col, "_g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    return per_gram.groupBy(id_col).agg(
+        F.sum("_c").alias("n_grams"),
+        F.max("_c").alias("top_gram_count"),
+        F.sum(F.when(F.col("_c") > 1, F.col("_c")).otherwise(F.lit(0))).alias(
+            "dup_gram_count"
+        ),
+    ).select(
+        F.col(id_col),
+        "n_grams",
+        "top_gram_count",
+        "dup_gram_count",
+        F.try_divide(F.col("top_gram_count"), F.col("n_grams")).alias(
+            "top_gram_frac"
+        ),
+        F.try_divide(F.col("dup_gram_count"), F.col("n_grams")).alias(
+            "dup_gram_frac"
+        ),
+    )
+
+
+def repetition_stats_sql(n: int = 2) -> str:
+    """DuckDB twin of ``repetition_stats`` (same tokenization, same
+    n-gram construction, sums cast back to BIGINT before the IEEE
+    division — DuckDB ``sum(BIGINT)`` is HUGEINT)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(t) - {n} + 2),
+         i -> array_to_string(list_slice(t, i, i + {n} - 1), ' '))) AS g
+  FROM toks
+),
+cnt AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_grams,
+       CAST(max(c) AS BIGINT) AS top_gram_count,
+       CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_gram_count,
+       CAST(max(c) AS BIGINT) / CAST(sum(c) AS BIGINT) AS top_gram_frac,
+       CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+         / CAST(sum(c) AS BIGINT) AS dup_gram_frac
+FROM cnt GROUP BY doc_id
+"""
+
+
 def rolling_fingerprints(
     df: DataFrame,
     text_col: str,

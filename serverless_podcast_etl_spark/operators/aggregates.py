@@ -171,3 +171,29 @@ def ratio_of_avgs(
         ],
     )
     return out
+
+
+def mixture_weights(df: DataFrame, group_col: str, alpha: float = 0.5) -> DataFrame:
+    """Temperature-scaled mixture weights per corpus source (the
+    pretraining data-mixing step: upsample rare domains, damp dominant
+    ones).  ``share = n_s / N`` and ``weight = share ** alpha``.
+
+    One corpus-sized hash aggregate (map-side combinable count); the
+    unpartitioned window runs over the AGGREGATED frame, whose
+    cardinality is the number of distinct sources — small by
+    definition, never corpus-sized.  The default ``alpha = 0.5`` uses
+    ``sqrt`` (correctly-rounded IEEE, bit-identical across runtimes —
+    ``pow`` is not), keeping the oracle hash-exact; other alphas take
+    the ``pow`` path and are for rows-only use.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    total = F.sum("n_docs").over(Window.partitionBy())
+    share = (F.col("n_docs") / total).alias("share")
+    weight = (
+        F.sqrt(F.col("share")) if alpha == 0.5 else F.pow(F.col("share"), alpha)
+    )
+    return counts.select(group_col, "n_docs", share).withColumn(
+        "weight", weight
+    )

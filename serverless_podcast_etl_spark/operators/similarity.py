@@ -533,3 +533,36 @@ def embedding_neardup_pairs(
         .select("id_a", "id_b", "cosine")
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def recall_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """Per-query recall of an approximate top-k against the exact
+    top-k — the measure-don't-guess gate every ANN variant (LSH, IVF,
+    int8 codes) must clear before replacing the brute-force path.
+
+    ``k`` is taken from the exact side per query (robust to queries
+    with fewer than k scored neighbors).  Both inputs are |queries|·k
+    rows — the equi-join and hash aggregates here are negligible next
+    to the retrieval that produced them.
+    """
+    e = exact.select(query_col, neighbor_col)
+    a = approx.select(query_col, neighbor_col)
+    k_per_query = e.groupBy(query_col).agg(F.count(F.lit(1)).alias("k"))
+    hits = (
+        a.join(e, [query_col, neighbor_col], "inner")
+        .groupBy(query_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return k_per_query.join(hits, query_col, "left").select(
+        query_col,
+        F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias("n_hits"),
+        "k",
+        F.try_divide(
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("long")), F.col("k")
+        ).alias("recall"),
+    )

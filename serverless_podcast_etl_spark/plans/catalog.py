@@ -20,7 +20,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import dates, hashing, text, textstats
+from ..functions import dates, hashing, pii, text, textstats
 from ..functions.textstats import LANG_MARKERS, STOPWORDS
 from ..operators import aggregates, dedup, joins, multimodal, similarity, windows
 from ..sources.tables import load_table
@@ -1309,6 +1309,98 @@ WHERE round(n_shared / (sa.n + sb.n - n_shared), 4) >= {threshold}
 """
 
 
+def q57_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style repetition quality metrics: top-bigram
+    and duplicated-bigram fractions per document (boilerplate and
+    degenerate generation loops score high).  One (doc, gram) shuffle +
+    one map-side-combinable doc aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.repetition_stats(docs, text_col="text", id_col="doc_id", n=2)
+
+
+def q58_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: count + redact emails / phone numbers / IPv4s
+    (functions/pii.py — Java/RE2-identical patterns, codegen'd).
+
+    The synthetic corpus contains no PII, so each document gets a
+    deterministic doc_id-derived email, IPv4 and phone APPENDED inside
+    the query (same expression in the oracle) — the match, count and
+    replacement paths are exercised on non-degenerate input, and the
+    md5 of the redacted text pins replacement byte-for-byte."""
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com 10.0."),
+            (F.col("doc_id") % 250).cast("string"),
+            F.lit(".7 ("),
+            F.lit("555) 010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    s = pii.scrub(injected, text_col="text", id_col="doc_id")
+    return s.select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        "n_ipv4",
+        F.length("text_redacted").alias("n_chars_redacted"),
+        F.md5(F.encode(F.col("text_redacted"), "utf-8")).alias("redacted_md5"),
+    )
+
+
+def _pii_redaction_sql() -> str:
+    exprs = pii.scrub_sql_exprs("text")
+    return f"""
+WITH injected AS (
+  SELECT doc_id,
+         text || ' user' || CAST(doc_id AS VARCHAR) || '@example.com 10.0.'
+              || CAST(doc_id % 250 AS VARCHAR) || '.7 (555) 010-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+  FROM documents
+)
+SELECT doc_id,
+       {exprs["n_emails"]} AS n_emails,
+       {exprs["n_phones"]} AS n_phones,
+       {exprs["n_ipv4"]} AS n_ipv4,
+       CAST(length({exprs["text_redacted"]}) AS BIGINT) AS n_chars_redacted,
+       md5({exprs["text_redacted"]}) AS redacted_md5
+FROM injected
+"""
+
+
+def q59_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining data-mixing weights per source: share of corpus and
+    sqrt-temperature resampling weight (alpha = 0.5 damps dominant
+    domains, upsamples rare ones).  The unpartitioned window runs over
+    the 20-row aggregated frame (cardinality = #sources), never the
+    corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    return aggregates.mixture_weights(docs, group_col="source").orderBy("source")
+
+
+_Q59_SQL = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) / CAST(sum(count(*)) OVER () AS BIGINT) AS share,
+       sqrt(CAST(count(*) AS BIGINT)
+            / CAST(sum(count(*)) OVER () AS BIGINT)) AS weight
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def q60_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the hyperplane-LSH ANN (q27) against the exact
+    brute-force top-k (q22), per query — the retrieval-quality gate
+    for every approximate index.  Approximate input ⇒ rows-only."""
+    exact = q22_ann_topk(spark, sf_dir)
+    approx = q27_lsh_ann_topk(spark, sf_dir)
+    return similarity.recall_at_k(approx, exact).orderBy("query_id")
+
+
 def q31_nested_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-array build + flatten round trip (P5/P6;
     src/lambda_2.py:173-189 — rss.channel.item[] explode).  Orders are
@@ -1527,6 +1619,20 @@ CATALOG: dict[str, QueryDef] = {
         q56_ngram_jaccard_capped,
         _ngram_jaccard_capped_sql(),
         "stop-shingle-capped Jaccard near-dup",
+    ),
+    "q57_repetition_stats": QueryDef(
+        q57_repetition_stats,
+        textstats.repetition_stats_sql(n=2),
+        "repeated-n-gram quality metrics",
+    ),
+    "q58_pii_redaction": QueryDef(
+        q58_pii_redaction, _pii_redaction_sql(), "PII count + redaction scrub"
+    ),
+    "q59_mixture_weights": QueryDef(
+        q59_mixture_weights, _Q59_SQL, "temperature-scaled source mixture"
+    ),
+    "q60_ann_recall": QueryDef(
+        q60_ann_recall, None, "recall@k of LSH ANN vs exact top-k"
     ),
 }
 

@@ -638,3 +638,88 @@ def test_connected_components_deep_chain_and_random(spark):
         ).collect()
     }
     assert got2 == canon
+
+
+def test_repetition_stats_known_values(spark):
+    """Gopher-style repetition fractions on hand-computed documents."""
+    from serverless_podcast_etl_spark.functions.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),        # bigrams: 3x "a a" -> all duplicated
+            (2, "x y z w"),        # 3 distinct bigrams -> none duplicated
+            (3, "p q p q p"),      # "p q" x2, "q p" x2 -> all duplicated
+            (4, "solo"),           # < 2 tokens -> no row
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in repetition_stats(df, "text", "doc_id").collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1]["n_grams"] == 3
+    assert out[1]["top_gram_frac"] == 1.0
+    assert out[1]["dup_gram_frac"] == 1.0
+    assert out[2]["top_gram_frac"] == 1.0 / 3.0
+    assert out[2]["dup_gram_count"] == 0
+    assert out[3]["n_grams"] == 4
+    assert out[3]["top_gram_count"] == 2
+    assert out[3]["dup_gram_frac"] == 1.0
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    """Emails, phones and IPv4s are counted on the raw text and every
+    occurrence is replaced by its placeholder token."""
+    from serverless_podcast_etl_spark.functions.pii import scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@test.org or ops@example.co.uk today"),
+            (2, "call (555) 123-4567 from 192.168.0.1 please"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in scrub(df, "text", "doc_id").collect()}
+    assert out[1]["n_emails"] == 2
+    assert out[1]["text_redacted"] == "mail <EMAIL> or <EMAIL> today"
+    assert out[2]["n_phones"] == 1
+    assert out[2]["n_ipv4"] == 1
+    assert out[2]["text_redacted"] == "call <PHONE> from <IP> please"
+    assert out[3]["n_emails"] == out[3]["n_phones"] == out[3]["n_ipv4"] == 0
+    assert out[3]["text_redacted"] == "nothing sensitive here"
+
+
+def test_recall_at_k_counts_overlap(spark):
+    """Recall@k = |approx ∩ exact| / k per query; queries the approx
+    side missed entirely report recall 0."""
+    from serverless_podcast_etl_spark.operators.similarity import recall_at_k
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (1, 13), (2, 20), (2, 21)],
+        "query_id long, neighbor_id long",
+    )
+    approx = spark.createDataFrame(
+        [(1, 11), (1, 13), (1, 99)], "query_id long, neighbor_id long"
+    )
+    out = {r["query_id"]: r for r in recall_at_k(approx, exact).collect()}
+    assert out[1]["k"] == 4 and out[1]["n_hits"] == 2
+    assert out[1]["recall"] == 0.5
+    assert out[2]["k"] == 2 and out[2]["n_hits"] == 0
+    assert out[2]["recall"] == 0.0
+
+
+def test_mixture_weights_shares(spark):
+    """share = n_s/N; weight = sqrt(share) at the default alpha."""
+    import math
+
+    from serverless_podcast_etl_spark.operators.aggregates import mixture_weights
+
+    df = spark.createDataFrame(
+        [("a",)] * 1 + [("b",)] * 3, "source string"
+    )
+    out = {r["source"]: r for r in mixture_weights(df, "source").collect()}
+    assert out["a"]["share"] == 0.25 and out["b"]["share"] == 0.75
+    assert out["a"]["weight"] == 0.5
+    assert out["b"]["weight"] == math.sqrt(0.75)

@@ -60,6 +60,7 @@ def test_no_cartesian_products(spark, sf_dir, name):
         "q22_ann_topk",
         "q23_embedding_neardup",
         "q55_quantized_ann_topk",
+        "q60_ann_recall",  # composes q22's exact scorer as its baseline
     }
     plan = physical_plan(CATALOG[name].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan, name
