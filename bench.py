@@ -85,6 +85,7 @@ HEADLINE = [
     "q58_pii_redaction",
     "q59_mixture_weights",
     "q60_ann_recall",
+    "q61_sequence_packing",
 ]
 
 

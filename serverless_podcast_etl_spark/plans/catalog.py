@@ -22,7 +22,15 @@ from pyspark.sql import functions as F
 
 from ..functions import dates, hashing, pii, text, textstats
 from ..functions.textstats import LANG_MARKERS, STOPWORDS
-from ..operators import aggregates, dedup, joins, multimodal, similarity, windows
+from ..operators import (
+    aggregates,
+    dedup,
+    joins,
+    multimodal,
+    packing,
+    similarity,
+    windows,
+)
 from ..sources.tables import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -1392,6 +1400,17 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def q61_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing assignment of documents into
+    256-token training sequences, one independent window per source
+    stream (operators/packing.py) — the batch-construction step of an
+    LLM pretraining pipeline."""
+    docs = _t(spark, sf_dir, "documents")
+    return packing.pack_sequences(
+        docs, text_col="text", id_col="doc_id", stream_col="source", budget=256
+    )
+
+
 def q60_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the hyperplane-LSH ANN (q27) against the exact
     brute-force top-k (q22), per query — the retrieval-quality gate
@@ -1633,6 +1652,11 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "q60_ann_recall": QueryDef(
         q60_ann_recall, None, "recall@k of LSH ANN vs exact top-k"
+    ),
+    "q61_sequence_packing": QueryDef(
+        q61_sequence_packing,
+        packing.pack_sequences_sql(budget=256),
+        "concat-and-chunk sequence packing",
     ),
 }
 

@@ -723,3 +723,30 @@ def test_mixture_weights_shares(spark):
     assert out["a"]["share"] == 0.25 and out["b"]["share"] == 0.75
     assert out["a"]["weight"] == 0.5
     assert out["b"]["weight"] == math.sqrt(0.75)
+
+
+def test_pack_sequences_budget_boundaries(spark):
+    """Concat-and-chunk semantics: seq_id/seq_offset advance by token
+    count in id order within a stream; streams are independent."""
+    from serverless_podcast_etl_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [
+            (1, "s", "w " * 100),   # tokens   0-99   -> seq 0, offset 0
+            (2, "s", "w " * 100),   # tokens 100-199  -> seq 0, offset 100
+            (3, "s", "w " * 100),   # tokens 200-299  -> seq 0, offset 200 (straddles)
+            (4, "s", "w " * 10),    # tokens 300-309  -> seq 1, offset 44
+            (5, "t", "w " * 5),     # other stream restarts at 0
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in pack_sequences(
+            df, "text", "doc_id", "source", budget=256
+        ).collect()
+    }
+    assert [out[i]["start_token"] for i in (1, 2, 3, 4)] == [0, 100, 200, 300]
+    assert [out[i]["seq_id"] for i in (1, 2, 3, 4)] == [0, 0, 0, 1]
+    assert out[4]["seq_offset"] == 300 - 256
+    assert out[5]["seq_id"] == 0 and out[5]["seq_offset"] == 0
