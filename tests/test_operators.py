@@ -750,3 +750,83 @@ def test_pack_sequences_budget_boundaries(spark):
     assert [out[i]["seq_id"] for i in (1, 2, 3, 4)] == [0, 0, 0, 1]
     assert out[4]["seq_offset"] == 300 - 256
     assert out[5]["seq_id"] == 0 and out[5]["seq_offset"] == 0
+
+
+# ---- property tests: Spark operators vs pure-Python references ----
+
+from collections import Counter
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_WORDS = st.lists(st.sampled_from(["a", "b", "c", "aa"]), max_size=8)
+
+
+def _py_repetition(words, n=2):
+    grams = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+    if not grams:
+        return None
+    c = Counter(grams)
+    total, top = len(grams), max(c.values())
+    dup = sum(v for v in c.values() if v > 1)
+    return (total, top, dup, top / total, dup / total)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(_WORDS, min_size=1, max_size=6))
+def test_repetition_stats_property(spark, docs):
+    from serverless_podcast_etl_spark.functions.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [(i, " ".join(w)) for i, w in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (
+            r["n_grams"], r["top_gram_count"], r["dup_gram_count"],
+            r["top_gram_frac"], r["dup_gram_frac"],
+        )
+        for r in repetition_stats(df, "text", "doc_id").collect()
+    }
+    for i, w in enumerate(docs):
+        assert out.get(i) == _py_repetition(w)
+
+
+def _py_pack(docs, budget):
+    # docs: list of (doc_id, stream, n_tokens); returns per-doc
+    # (start, seq_id, offset) with per-stream cumulative fill
+    fill: dict[str, int] = {}
+    out = {}
+    for doc_id, stream, n in sorted(docs):
+        start = fill.get(stream, 0)
+        out[doc_id] = (start, start // budget, start % budget)
+        fill[stream] = start + n
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["s", "t"]), st.integers(0, 40)),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(4, 16),
+)
+def test_pack_sequences_property(spark, specs, budget):
+    from serverless_podcast_etl_spark.operators.packing import pack_sequences
+
+    rows = [
+        (i, stream, "w " * n_tokens) for i, (stream, n_tokens) in enumerate(specs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r["doc_id"]: (r["start_token"], r["seq_id"], r["seq_offset"])
+        for r in pack_sequences(
+            df, "text", "doc_id", "source", budget=budget
+        ).collect()
+    }
+    expected = _py_pack(
+        [(i, s, n) for i, (s, n) in enumerate(specs)], budget
+    )
+    assert out == expected
