@@ -84,8 +84,10 @@ HEADLINE = [
     "q57_repetition_stats",
     "q58_pii_redaction",
     "q59_mixture_weights",
-    "q60_ann_recall",
+    # q60 (LSH-only recall) is subsumed by q62's panel in bench — both
+    # re-run the exact + LSH retrievals; benching both double-pays.
     "q61_sequence_packing",
+    "q62_ann_recall_panel",
 ]
 
 

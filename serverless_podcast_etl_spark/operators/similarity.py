@@ -192,19 +192,41 @@ def lsh_topk(
     planes: list[list[float]],
     vec_col: str = "embedding",
     k: int = 10,
+    probe_hamming: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: score only pairs sharing a hyperplane bucket.
+    """Approximate top-k: score only pairs whose hyperplane buckets
+    match under multi-probe.
 
     Candidate generation is an equi-join on the bucket key (shuffle on
-    a small int key, prunes ~(1 - 1/2^planes) of the corpus per query);
-    recall < 1.0 by construction — the exact/approx trade documented at
-    the call site.
+    a small int key, prunes ~(1 - probes/2^planes) of the corpus per
+    query); recall < 1.0 by construction — q62's recall panel measures
+    the trade against the exact baseline.
+
+    ``probe_hamming`` (multi-probe LSH, Lv et al., VLDB'07): the QUERY
+    side is exploded to its own bucket plus every bucket within that
+    Hamming distance (1 + len(planes) probes at distance 1) — near
+    neighbors split across a flipped sign bit are recovered at the
+    cost of more candidates, while the corpus side stays one row per
+    vector.  ``probe_hamming=0`` is the single-bucket form.
     """
+    if probe_hamming not in (0, 1):
+        raise ValueError("probe_hamming supports 0 (exact bucket) or 1")
     q = hyperplane_bucket(_as_double(queries, vec_col), vec_col, planes).select(
         F.col(query_id).alias("query_id"),
         F.col(vec_col).alias("_qv"),
         "bucket",
     )
+    if probe_hamming == 1:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                for i in range(len(planes))
+            ],
+        )
+        q = q.select(
+            "query_id", "_qv", F.explode(probes).alias("bucket")
+        )
     c = hyperplane_bucket(_as_double(corpus, vec_col), vec_col, planes).select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),

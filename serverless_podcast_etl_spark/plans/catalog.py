@@ -1400,6 +1400,34 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def q62_ann_recall_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall panel: every approximate retrieval path (hyperplane LSH,
+    IVF, int8 codes) scored against the exact brute-force top-k in one
+    frame — mean/min recall and the query count per method.  The
+    go/no-go artifact for swapping an approximate index into the
+    retrieval serving path.  Approximate inputs ⇒ rows-only."""
+    exact = q22_ann_topk(spark, sf_dir)
+    methods = {
+        "lsh": q27_lsh_ann_topk,
+        "ivf": q34_ivf_ann_topk,
+        "int8": q55_quantized_ann_topk,
+    }
+    panels = []
+    for method, fn in sorted(methods.items()):
+        per_query = similarity.recall_at_k(fn(spark, sf_dir), exact)
+        panels.append(
+            per_query.agg(
+                F.count(F.lit(1)).alias("n_queries"),
+                F.round(F.avg("recall"), 4).alias("mean_recall"),
+                F.round(F.min("recall"), 4).alias("min_recall"),
+            ).select(F.lit(method).alias("method"), "*")
+        )
+    out = panels[0]
+    for p in panels[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def q61_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk packing assignment of documents into
     256-token training sequences, one independent window per source
@@ -1657,6 +1685,9 @@ CATALOG: dict[str, QueryDef] = {
         q61_sequence_packing,
         packing.pack_sequences_sql(budget=256),
         "concat-and-chunk sequence packing",
+    ),
+    "q62_ann_recall_panel": QueryDef(
+        q62_ann_recall_panel, None, "recall panel: LSH/IVF/int8 vs exact"
     ),
 }
 

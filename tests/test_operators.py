@@ -830,3 +830,29 @@ def test_pack_sequences_property(spark, specs, budget):
         [(i, s, n) for i, (s, n) in enumerate(specs)], budget
     )
     assert out == expected
+
+
+def test_multiprobe_lsh_recall_monotone(spark, sf_dir):
+    """Hamming-1 multi-probe candidates are a superset of the exact
+    bucket's, so per-query recall can only improve."""
+    from serverless_podcast_etl_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+        recall_at_k,
+    )
+    from serverless_podcast_etl_spark.plans.catalog import _PLANES_8
+    from serverless_podcast_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(queries, emb, "vec_id", "vec_id", k=10)
+
+    def mean_recall(probe):
+        approx = lsh_topk(
+            queries, emb, "vec_id", "vec_id",
+            planes=_PLANES_8, k=10, probe_hamming=probe,
+        )
+        rows = recall_at_k(approx, exact).collect()
+        return sum(r["recall"] for r in rows) / len(rows)
+
+    assert mean_recall(1) >= mean_recall(0)

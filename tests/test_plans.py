@@ -61,6 +61,7 @@ def test_no_cartesian_products(spark, sf_dir, name):
         "q23_embedding_neardup",
         "q55_quantized_ann_topk",
         "q60_ann_recall",  # composes q22's exact scorer as its baseline
+        "q62_ann_recall_panel",  # same: every method scored vs q22
     }
     plan = physical_plan(CATALOG[name].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan, name
