@@ -570,7 +570,10 @@ def recall_at_k(
     ``k`` is taken from the exact side per query (robust to queries
     with fewer than k scored neighbors).  Both inputs are |queries|·k
     rows — the equi-join and hash aggregates here are negligible next
-    to the retrieval that produced them.
+    to the retrieval that produced them.  The exact side is referenced
+    twice (hit join + per-query k); measured at sf0.1, exchange reuse
+    makes the duplicate reference ~free, so no checkpoint is taken and
+    the operator stays usable on any DataFrame.
     """
     e = exact.select(query_col, neighbor_col)
     a = approx.select(query_col, neighbor_col)

@@ -1405,7 +1405,11 @@ def q62_ann_recall_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF, int8 codes) scored against the exact brute-force top-k in one
     frame — mean/min recall and the query count per method.  The
     go/no-go artifact for swapping an approximate index into the
-    retrieval serving path.  Approximate inputs ⇒ rows-only."""
+    retrieval serving path.  Approximate inputs ⇒ rows-only.
+
+    The exact baseline is shared by all three methods; an A/B at sf0.1
+    showed checkpointing it wins nothing (exchange reuse already
+    covers the repeated subtree), so the plan stays declarative."""
     exact = q22_ann_topk(spark, sf_dir)
     methods = {
         "lsh": q27_lsh_ann_topk,
