@@ -31,6 +31,21 @@ REDACTIONS: list[tuple[str, str]] = [
 ]
 
 
+def pii_columns(text_col: str):
+    """The PII count/redact expressions keyed by output name — shared
+    by the batch ``scrub`` frame and the streaming curation gate."""
+    text = F.col(text_col)
+    redacted = text
+    for pattern, token in REDACTIONS:
+        redacted = F.regexp_replace(redacted, pattern, token)
+    return {
+        "n_emails": F.regexp_count(text, F.lit(EMAIL_PATTERN)).cast("long"),
+        "n_phones": F.regexp_count(text, F.lit(PHONE_PATTERN)).cast("long"),
+        "n_ipv4": F.regexp_count(text, F.lit(IPV4_PATTERN)).cast("long"),
+        "text_redacted": redacted,
+    }
+
+
 def scrub(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Count and redact emails / phone numbers / IPv4 addresses.
 
@@ -41,16 +56,9 @@ def scrub(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """
     from ..operators.scale import ensure_parallelism
 
-    text = F.col(text_col)
-    redacted = text
-    for pattern, token in REDACTIONS:
-        redacted = F.regexp_replace(redacted, pattern, token)
     return ensure_parallelism(df).select(
         F.col(id_col),
-        F.regexp_count(text, F.lit(EMAIL_PATTERN)).cast("long").alias("n_emails"),
-        F.regexp_count(text, F.lit(PHONE_PATTERN)).cast("long").alias("n_phones"),
-        F.regexp_count(text, F.lit(IPV4_PATTERN)).cast("long").alias("n_ipv4"),
-        redacted.alias("text_redacted"),
+        *[c.alias(n) for n, c in pii_columns(text_col).items()],
     )
 
 

@@ -29,6 +29,35 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
+def quality_columns(text_col: str) -> dict[str, Column]:
+    """The quality-metric expressions keyed by output name — shared by
+    the batch stats frame and the streaming curation gate (stateless,
+    so they apply to micro-batches unchanged)."""
+    toks = word_tokens(F.col(text_col))
+    n_tokens = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    n_chars = F.length(F.col(text_col))
+    n_punct = n_chars - F.length(
+        F.regexp_replace(F.col(text_col), r"[^\w\s]", "")
+    )
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "n_bpe_tokens": F.size(bpe_ish_tokens(F.col(text_col))),
+        # try_divide: empty/whitespace-only docs have 0 tokens/chars —
+        # ANSI mode (Spark 4 default) would throw on integer x/0; null
+        # ratios instead, which the quality gate then rejects
+        "avg_token_len": F.round(
+            F.try_divide(
+                F.length(F.regexp_replace(F.col(text_col), r"\s+", "")), n_tokens
+            ),
+            4,
+        ),
+        "stopword_ratio": F.round(F.try_divide(stop_hits, n_tokens), 4),
+        "punct_ratio": F.round(F.try_divide(n_punct, n_chars), 4),
+    }
+
+
 def quality_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Per-document quality metrics: length, token counts, ratios.
 
@@ -39,29 +68,9 @@ def quality_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     from ..operators.scale import ensure_parallelism
 
     df = ensure_parallelism(df)
-    toks = word_tokens(F.col(text_col))
-    n_tokens = F.size(toks)
-    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
-    n_chars = F.length(F.col(text_col))
-    n_punct = n_chars - F.length(
-        F.regexp_replace(F.col(text_col), r"[^\w\s]", "")
-    )
     return df.select(
         F.col(id_col),
-        n_chars.alias("n_chars"),
-        n_tokens.alias("n_tokens"),
-        F.size(bpe_ish_tokens(F.col(text_col))).alias("n_bpe_tokens"),
-        # try_divide: empty/whitespace-only docs have 0 tokens/chars —
-        # ANSI mode (Spark 4 default) would throw on integer x/0; null
-        # ratios instead, which the quality gate then rejects
-        F.round(
-            F.try_divide(
-                F.length(F.regexp_replace(F.col(text_col), r"\s+", "")), n_tokens
-            ),
-            4,
-        ).alias("avg_token_len"),
-        F.round(F.try_divide(stop_hits, n_tokens), 4).alias("stopword_ratio"),
-        F.round(F.try_divide(n_punct, n_chars), 4).alias("punct_ratio"),
+        *[c.alias(n) for n, c in quality_columns(text_col).items()],
     )
 
 

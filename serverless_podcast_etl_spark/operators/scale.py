@@ -18,7 +18,11 @@ from pyspark.sql import DataFrame
 def ensure_parallelism(df: DataFrame, min_factor: int = 1) -> DataFrame:
     """Repartition ``df`` up to ``defaultParallelism * min_factor``
     when the physical scan has fewer partitions; pass through (zero
-    cost) otherwise."""
+    cost) otherwise.  Streaming frames pass through untouched —
+    micro-batch partitioning belongs to the source (and ``df.rdd``,
+    used for the partition-count probe, is illegal on streams)."""
+    if df.isStreaming:
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism * min_factor
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

@@ -1,0 +1,61 @@
+"""Streaming corpus curation — the ingest-time gate of a training-data
+pipeline, as one composable Structured Streaming transform.
+
+Order matters and mirrors the batch pipeline: (1) bounded-state exact
+dedup (drop re-deliveries before paying any per-document compute),
+(2) quality gate (drop junk before the regex scrub), (3) PII
+redaction.  Stages 2-3 are stateless JVM expressions, so the same
+code path serves batch frames unchanged; only the dedup tier carries
+streaming state, and that state is watermark-bounded
+(streaming/dedup.py) — the whole gate runs forever at any volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.pii import pii_columns
+from ..functions.textstats import quality_columns
+from .dedup import stream_dedup_exact
+
+
+def curate_stream(
+    stream: DataFrame,
+    text_col: str,
+    id_col: str,
+    ts_col: str | None = None,
+    dedup_delay: str = "10 minutes",
+    min_chars: int = 50,
+    min_tokens: int = 10,
+    max_punct_ratio: float = 0.2,
+    max_stopword_ratio: float = 0.6,
+) -> DataFrame:
+    """Documents that survive dedup + quality gating, with their
+    quality stats and the PII-redacted text attached.
+
+    ``ts_col=None`` skips the dedup tier (pure stateless gate).  The
+    thresholds are plan literals — Catalyst folds them, and the whole
+    gate is one projection + filter per micro-batch.
+    """
+    d = stream
+    if ts_col is not None:
+        with_digest = d.withColumn(
+            "_digest", F.md5(F.encode(F.col(text_col), "utf-8"))
+        )
+        d = stream_dedup_exact(
+            with_digest, keys=["_digest"], ts_col=ts_col, delay=dedup_delay
+        ).drop("_digest")
+    q = quality_columns(text_col)
+    gated = d.select(
+        "*", *[c.alias(n) for n, c in q.items()]
+    ).filter(
+        (F.col("n_chars") >= min_chars)
+        & (F.col("n_tokens") >= min_tokens)
+        & (F.col("punct_ratio") <= max_punct_ratio)
+        & (F.col("stopword_ratio") <= max_stopword_ratio)
+    )
+    p = pii_columns(text_col)
+    return gated.select(
+        "*", *[c.alias(n) for n, c in p.items()]
+    ).drop(text_col)
