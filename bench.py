@@ -88,6 +88,7 @@ HEADLINE = [
     # re-run the exact + LSH retrievals; benching both double-pays.
     "q61_sequence_packing",
     "q62_ann_recall_panel",
+    "q63_url_domains",
 ]
 
 

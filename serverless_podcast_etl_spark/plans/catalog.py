@@ -20,7 +20,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import dates, hashing, pii, text, textstats
+from ..functions import dates, hashing, pii, text, textstats, urls
 from ..functions.textstats import LANG_MARKERS, STOPWORDS
 from ..operators import (
     aggregates,
@@ -1400,6 +1400,56 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+_URL_BLOCKLIST = ["site0.example.com", "site3.example.com"]
+
+
+def q63_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain histogram + blocklist membership over extracted URLs
+    (functions/urls.py) — the C4-style provenance statistics of a
+    curation run.  The corpus contains no URLs, so two deterministic
+    doc_id-derived URLs are appended per document inside the query
+    (same expression in the oracle), as q58 does for PII."""
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" and http://m"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(".example.org"),
+        ).alias("text"),
+    )
+    return urls.domain_histogram(
+        injected, text_col="text", blocklist=_URL_BLOCKLIST
+    ).orderBy("domain")
+
+
+def _url_domains_sql() -> str:
+    bl = ", ".join(f"'{d}'" for d in _URL_BLOCKLIST)
+    return f"""
+WITH injected AS (
+  SELECT doc_id,
+         text || ' see https://site' || CAST(doc_id % 7 AS VARCHAR)
+              || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+              || ' and http://m' || CAST(doc_id % 5 AS VARCHAR)
+              || '.example.org' AS text
+  FROM documents
+),
+u AS (
+  SELECT unnest(regexp_extract_all(text,
+                'https?://([A-Za-z0-9.-]+)(/[^\\s]*)?', 1)) AS domain
+  FROM injected
+)
+SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
+       domain IN ({bl}) AS blocked
+FROM u GROUP BY domain ORDER BY domain
+"""
+
+
 def q62_ann_recall_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall panel: every approximate retrieval path (hyperplane LSH,
     IVF, int8 codes) scored against the exact brute-force top-k in one
@@ -1692,6 +1742,9 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "q62_ann_recall_panel": QueryDef(
         q62_ann_recall_panel, None, "recall panel: LSH/IVF/int8 vs exact"
+    ),
+    "q63_url_domains": QueryDef(
+        q63_url_domains, _url_domains_sql(), "URL domain histogram + blocklist"
     ),
 }
 

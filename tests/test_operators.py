@@ -856,3 +856,29 @@ def test_multiprobe_lsh_recall_monotone(spark, sf_dir):
         return sum(r["recall"] for r in rows) / len(rows)
 
     assert mean_recall(1) >= mean_recall(0)
+
+
+def test_url_blocklist_gate(spark):
+    """Documents containing any blocklisted-domain URL are dropped;
+    extraction sees every URL, with or without a path."""
+    from serverless_podcast_etl_spark.functions.urls import (
+        domain_histogram,
+        filter_blocked_domains,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "go to https://ok.org/a and http://spam.net"),
+            (2, "only https://ok.org here"),
+            (3, "no urls at all"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = filter_blocked_domains(df, "text", ["spam.net"])
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 3]
+
+    hist = {
+        r["domain"]: (r["n_urls"], r["blocked"])
+        for r in domain_histogram(df, "text", blocklist=["spam.net"]).collect()
+    }
+    assert hist == {"ok.org": (2, False), "spam.net": (1, True)}
