@@ -89,6 +89,8 @@ HEADLINE = [
     "q61_sequence_packing",
     "q62_ann_recall_panel",
     "q63_url_domains",
+    "q64_language_id_eval",
+    "q65_fingerprint_decontamination",
 ]
 
 

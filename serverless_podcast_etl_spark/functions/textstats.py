@@ -162,13 +162,20 @@ TRIGRAM_PROFILES: dict[str, list[str]] = {
 }
 
 
-def detect_language_ngram(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def detect_language_ngram(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Char-trigram language ID: argmax of profile-trigram hit counts,
     ties broken by language code order.
 
     Trigrams are computed once per row behind a Generate barrier (see
     operators/dedup._once) and each language's score is a filtered
-    count over the bound array — in-row, shuffle-free.
+    count over the bound array — in-row, shuffle-free.  ``keep_cols``
+    are carried through (e.g. a ground-truth label for the q64
+    accuracy evaluation) so no join is needed downstream.
     """
     from ..operators.scale import ensure_parallelism
 
@@ -176,7 +183,9 @@ def detect_language_ngram(df: DataFrame, text_col: str, id_col: str) -> DataFram
     # inside the transform lambda would re-evaluate the lower() over
     # the whole document once per trigram (O(len²) char copies)
     lowered = ensure_parallelism(df).select(
-        F.col(id_col), F.explode(F.array(F.lower(F.col(text_col)))).alias("_lt")
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        F.explode(F.array(F.lower(F.col(text_col)))).alias("_lt"),
     )
     n = F.length(F.col("_lt"))
     trigrams = F.when(
@@ -187,11 +196,14 @@ def detect_language_ngram(df: DataFrame, text_col: str, id_col: str) -> DataFram
         ),
     ).otherwise(F.array().cast("array<string>"))
     bound = lowered.select(
-        F.col(id_col), F.explode(F.array(trigrams)).alias("_tg")
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        F.explode(F.array(trigrams)).alias("_tg"),
     )
     langs = sorted(TRIGRAM_PROFILES)
     scored = bound.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         *[
             F.size(
                 F.filter(F.col("_tg"), lambda t: t.isin(*TRIGRAM_PROFILES[lang]))
@@ -209,6 +221,7 @@ def detect_language_ngram(df: DataFrame, text_col: str, id_col: str) -> DataFram
     )
     return scored.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         pred.alias("predicted_lang"),
         best.alias("trigram_hits"),
     )
@@ -376,6 +389,26 @@ SELECT doc_id,
          / CAST(sum(c) AS BIGINT) AS dup_gram_frac
 FROM cnt GROUP BY doc_id
 """
+
+
+def fingerprint_set(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    keep_mod: int = 8,
+) -> DataFrame:
+    """Exploded winnowed-fingerprint set: one row per (doc, kept
+    hash) — the joinable form of ``rolling_fingerprints``'s signature,
+    used for overlap detection between corpora (fingerprint-tier
+    decontamination).  In-row compute, rows already distinct per doc.
+    """
+    from ..operators.dedup import _bound_token_hashes
+
+    bound = _bound_token_hashes(df, text_col, id_col)
+    grams = hashing.shingle_hash_array(F.col("_th"), k)
+    kept = F.array_distinct(F.filter(grams, lambda h: h % keep_mod == 0))
+    return bound.select(F.col(id_col), F.explode(kept).alias("fingerprint"))
 
 
 def rolling_fingerprints(

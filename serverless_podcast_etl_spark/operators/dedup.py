@@ -533,3 +533,36 @@ def simhash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def fingerprint_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    keep_mod: int = 8,
+) -> DataFrame:
+    """Fingerprint-tier decontamination: corpus documents sharing any
+    winnowed fingerprint with a benchmark/eval document.
+
+    The sparser companion to ``cross_corpus_overlap`` — only 1/keep_mod
+    of the k-gram hashes survive winnowing, so at 100 TB this join
+    touches an ~8× smaller signature table while still catching
+    verbatim spans of length ≳ k + keep_mod tokens (MOSS guarantee).
+    Benchmark fingerprints broadcast (eval sets are tiny); the corpus
+    is scanned once and shuffled only on the matched subset.
+    """
+    from ..functions.textstats import fingerprint_set
+
+    cf = fingerprint_set(corpus, text_col, id_col, k=k, keep_mod=keep_mod)
+    bf = (
+        fingerprint_set(benchmark, text_col, id_col, k=k, keep_mod=keep_mod)
+        .select("fingerprint")
+        .distinct()
+    )
+    return (
+        cf.join(F.broadcast(bf), "fingerprint")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_fingerprints"))
+    )

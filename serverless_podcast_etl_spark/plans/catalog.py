@@ -1450,6 +1450,62 @@ FROM u GROUP BY domain ORDER BY domain
 """
 
 
+def q64_language_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy harness for the char-trigram language ID: confusion
+    counts of predicted vs the corpus's ground-truth ``lang`` label —
+    the evaluation every heuristic classifier needs before a corpus is
+    gated on its output.  ONE pass: the label rides through the in-row
+    detector (``keep_cols``), so the confusion matrix is a single
+    map-side-combinable aggregate, no join."""
+    docs = _t(spark, sf_dir, "documents")
+    pred = textstats.detect_language_ngram(
+        docs, text_col="text", id_col="doc_id", keep_cols=("lang",)
+    )
+    return (
+        pred.groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "predicted_lang")
+    )
+
+
+def _lang_eval_sql() -> str:
+    return f"""
+WITH p AS ({_lang_ngram_sql()})
+SELECT d.lang, p.predicted_lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents d JOIN p ON d.doc_id = p.doc_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q65_fingerprint_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint-tier decontamination: corpus docs sharing any
+    winnowed 4-gram fingerprint with the benchmark slice (doc_id % 97
+    == 0, same stand-in as q50).  The keep_mod-times-sparser companion
+    to q50's full n-gram overlap — the signature table this joins is
+    1/keep_mod the size at any corpus scale.  k=4/keep_mod=4 here so
+    the certified sf0.01 run has non-degenerate hits (3 rows); the
+    operator defaults stay at the MOSS-style 5/8."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    return dedup.fingerprint_decontaminate(
+        corpus, benchmark, text_col="text", id_col="doc_id", k=4, keep_mod=4
+    ).orderBy("doc_id")
+
+
+def _fingerprint_decontam_sql(k: int = 4, keep_mod: int = 4) -> str:
+    return f"""
+WITH sh AS ({_shingle_cte(k)}),
+kept AS (SELECT DISTINCT doc_id, shingle FROM sh
+         WHERE shingle % {keep_mod} = 0),
+bench AS (SELECT DISTINCT shingle FROM kept WHERE doc_id % 97 = 0)
+SELECT doc_id, count(*) AS n_shared_fingerprints
+FROM kept JOIN bench USING (shingle)
+WHERE doc_id % 97 <> 0
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q62_ann_recall_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall panel: every approximate retrieval path (hyperplane LSH,
     IVF, int8 codes) scored against the exact brute-force top-k in one
@@ -1745,6 +1801,14 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "q63_url_domains": QueryDef(
         q63_url_domains, _url_domains_sql(), "URL domain histogram + blocklist"
+    ),
+    "q64_language_id_eval": QueryDef(
+        q64_language_id_eval, _lang_eval_sql(), "lang-ID confusion matrix eval"
+    ),
+    "q65_fingerprint_decontamination": QueryDef(
+        q65_fingerprint_decontamination,
+        _fingerprint_decontam_sql(),
+        "winnowed-fingerprint decontamination",
     ),
 }
 

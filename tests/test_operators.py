@@ -882,3 +882,29 @@ def test_url_blocklist_gate(spark):
         for r in domain_histogram(df, "text", blocklist=["spam.net"]).collect()
     }
     assert hist == {"ok.org": (2, False), "spam.net": (1, True)}
+
+
+def test_fingerprint_decontaminate_planted_overlap(spark):
+    """A corpus doc containing a verbatim benchmark span longer than
+    k + keep_mod tokens MUST be flagged (winnowing guarantee); unique
+    text must not be."""
+    from serverless_podcast_etl_spark.operators.dedup import (
+        fingerprint_decontaminate,
+    )
+
+    leak = " ".join(f"w{i}" for i in range(30))  # 30-token verbatim span
+    corpus = spark.createDataFrame(
+        [
+            (1, "intro words then " + leak + " trailing text here"),
+            (2, "completely different content about other things entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    benchmark = spark.createDataFrame(
+        [(100, "benchmark prompt " + leak)], "doc_id long, text string"
+    )
+    out = fingerprint_decontaminate(
+        corpus, benchmark, "text", "doc_id", k=5, keep_mod=8
+    ).collect()
+    assert [r["doc_id"] for r in out] == [1]
+    assert out[0]["n_shared_fingerprints"] >= 1
