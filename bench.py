@@ -91,6 +91,7 @@ HEADLINE = [
     "q63_url_domains",
     "q64_language_id_eval",
     "q65_fingerprint_decontamination",
+    "q66_duplicated_spans",
 ]
 
 

@@ -566,3 +566,51 @@ def fingerprint_decontaminate(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared_fingerprints"))
     )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 20,
+) -> DataFrame:
+    """Exact duplicated-substring detection — the suffix-array-style
+    dedup of the training-data literature (flag any ≥k-token span that
+    occurs more than once in the corpus), re-expressed relationally.
+
+    Plan: positioned k-gram hashes in-row (posexplode), one corpus
+    shuffle on the window hash to find hashes occurring ≥2 times
+    (map-side-combinable count), a semi-join back, then per-document
+    gaps-and-islands to merge overlapping duplicate windows into
+    maximal spans (window partitioned by doc — parallel across docs).
+    Returns (id, span_start, span_end, n_windows) in token offsets,
+    span_end inclusive.
+    """
+    from pyspark.sql import Window
+
+    bound = _bound_token_hashes(df, text_col, id_col)
+    grams = hashing.shingle_hash_array(F.col("_th"), k)
+    pos_rows = bound.select(F.col(id_col), F.posexplode(grams).alias("pos", "h"))
+    dup_hashes = (
+        pos_rows.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= 2)
+        .select("h")
+    )
+    dup_pos = pos_rows.join(dup_hashes, "h", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    # new island when this window does not directly extend the previous
+    # one (first row: lag is null -> comparison false -> break)
+    brk = F.when(F.col("pos") - F.lag("pos").over(w) == 1, F.lit(0)).otherwise(
+        F.lit(1)
+    )
+    grouped = dup_pos.withColumn("_g", F.sum(brk).over(w))
+    return (
+        grouped.groupBy(id_col, "_g")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).cast("long").alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .drop("_g")
+    )

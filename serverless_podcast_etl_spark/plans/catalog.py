@@ -1506,6 +1506,47 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q66_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans (suffix-array-style dedup):
+    maximal runs of 20-token windows occurring ≥2 times anywhere in
+    the corpus, merged per document via gaps-and-islands
+    (operators/dedup.duplicated_spans)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.duplicated_spans(
+        docs, text_col="text", id_col="doc_id", k=20
+    ).orderBy("doc_id", "span_start")
+
+
+def _duplicated_spans_sql(k: int = 20) -> str:
+    th_cte = (
+        f"SELECT doc_id, {hashing.token_hashes_sql('t')} AS th FROM ({_TOKS_CTE})"
+    )
+    return f"""
+WITH th AS ({th_cte}),
+p0 AS (
+  SELECT doc_id, unnest(list_transform(
+           range(1, greatest(len(th) - {k} + 2, 1)),
+           i -> {{'pos': i - 1, 'h': {hashing.shingle_hash_sql('th', 'i', k)}}}
+         )) AS g
+  FROM th
+),
+p AS (SELECT doc_id, g.pos AS pos, g.h AS h FROM p0),
+dup AS (SELECT h FROM p GROUP BY h HAVING count(*) >= 2),
+d AS (SELECT p.doc_id, p.pos FROM p JOIN dup USING (h)),
+b AS (SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) = 1
+                  THEN 0 ELSE 1 END AS brk
+      FROM d),
+g AS (SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM b)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {k} - 1 AS BIGINT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_windows
+FROM g GROUP BY doc_id, grp ORDER BY doc_id, span_start
+"""
+
+
 def q62_ann_recall_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall panel: every approximate retrieval path (hyperplane LSH,
     IVF, int8 codes) scored against the exact brute-force top-k in one
@@ -1809,6 +1850,11 @@ CATALOG: dict[str, QueryDef] = {
         q65_fingerprint_decontamination,
         _fingerprint_decontam_sql(),
         "winnowed-fingerprint decontamination",
+    ),
+    "q66_duplicated_spans": QueryDef(
+        q66_duplicated_spans,
+        _duplicated_spans_sql(),
+        "exact duplicated-substring spans",
     ),
 }
 

@@ -908,3 +908,27 @@ def test_fingerprint_decontaminate_planted_overlap(spark):
     ).collect()
     assert [r["doc_id"] for r in out] == [1]
     assert out[0]["n_shared_fingerprints"] >= 1
+
+
+def test_duplicated_spans_planted(spark):
+    """A 25-token phrase occurring twice (within and across docs)
+    yields exactly the maximal token spans covering it; unique text
+    yields nothing."""
+    from serverless_podcast_etl_spark.operators.dedup import duplicated_spans
+
+    phrase = " ".join(f"p{i}" for i in range(25))
+    doc1 = (
+        " ".join(f"f{i}" for i in range(10)) + " " + phrase + " "
+        + " ".join(f"f{i}" for i in range(10, 20)) + " " + phrase
+    )
+    doc2 = " ".join(f"g{i}" for i in range(5)) + " " + phrase
+    doc3 = " ".join(f"h{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, doc1), (2, doc2), (3, doc3)], "doc_id long, text string"
+    )
+    out = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+        for r in duplicated_spans(df, "text", "doc_id", k=20).collect()
+    )
+    # each 25-token occurrence = 6 duplicated 20-grams -> one span
+    assert out == [(1, 10, 34, 6), (1, 45, 69, 6), (2, 5, 29, 6)]
