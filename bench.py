@@ -92,6 +92,7 @@ HEADLINE = [
     "q64_language_id_eval",
     "q65_fingerprint_decontamination",
     "q66_duplicated_spans",
+    "q67_strip_duplicated_spans",
 ]
 
 

@@ -614,3 +614,47 @@ def duplicated_spans(
         )
         .drop("_g")
     )
+
+
+def strip_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Remove token ranges from documents — the applied form of
+    ``duplicated_spans`` (boilerplate/duplicate stripping).
+
+    ``spans`` is any (id, span_start, span_end) frame with INCLUSIVE
+    0-based token offsets (e.g. ``duplicated_spans`` output, filtered
+    by whatever keep-policy the caller wants).  Spans are collected to
+    one array per document (tiny — spans ≪ tokens) and tokens are
+    dropped in-row with an index lambda; documents without spans pass
+    through untouched.  One equi-join on the doc key, no shuffle of
+    the corpus beyond it.
+    """
+    from .scale import ensure_parallelism
+
+    span_arrays = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"), F.col("span_end").alias("e")
+            )
+        ).alias("_spans")
+    )
+    joined = ensure_parallelism(df).join(span_arrays, id_col, "left")
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    sp = F.coalesce(
+        F.col("_spans"),
+        F.array().cast("array<struct<s:long,e:long>>"),
+    )
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(sp, lambda r: (i >= r["s"]) & (i <= r["e"])),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens_before"),
+        F.size(kept).cast("long").alias("n_tokens_after"),
+        F.array_join(kept, " ").alias("text_stripped"),
+    )

@@ -1547,6 +1547,50 @@ FROM g GROUP BY doc_id, grp ORDER BY doc_id, span_start
 """
 
 
+def q67_strip_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Applied duplicated-span removal: every token covered by a
+    corpus-duplicated 20-token window is stripped (aggressive
+    boilerplate-removal policy; a keep-one policy is a caller-side
+    filter on the span table).  md5 of the stripped text pins the
+    rebuild byte-for-byte."""
+    docs = _t(spark, sf_dir, "documents")
+    spans = dedup.duplicated_spans(docs, text_col="text", id_col="doc_id", k=20)
+    out = dedup.strip_spans(docs, spans, text_col="text", id_col="doc_id")
+    return out.select(
+        "doc_id",
+        "n_tokens_before",
+        "n_tokens_after",
+        F.md5(F.encode(F.col("text_stripped"), "utf-8")).alias("stripped_md5"),
+    ).orderBy("doc_id")
+
+
+def _strip_spans_sql(k: int = 20) -> str:
+    return f"""
+WITH spans AS ({_duplicated_spans_sql(k)}),
+sp AS (SELECT doc_id, list({{'s': span_start, 'e': span_end}}) AS spans
+       FROM spans GROUP BY doc_id),
+t AS (
+  SELECT d.doc_id,
+         list_filter(regexp_split_to_array(lower(d.text), '\\s+'),
+                     x -> x <> '') AS toks,
+         coalesce(sp.spans, []) AS spans
+  FROM documents d LEFT JOIN sp ON d.doc_id = sp.doc_id
+),
+kept AS (
+  SELECT doc_id, toks,
+         list_filter(toks, (x, i) ->
+           NOT len(list_filter(spans,
+                   r -> i - 1 >= r.s AND i - 1 <= r.e)) > 0) AS kt
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens_before,
+       CAST(len(kt) AS BIGINT) AS n_tokens_after,
+       md5(coalesce(array_to_string(kt, ' '), '')) AS stripped_md5
+FROM kept ORDER BY doc_id
+"""
+
+
 def q62_ann_recall_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall panel: every approximate retrieval path (hyperplane LSH,
     IVF, int8 codes) scored against the exact brute-force top-k in one
@@ -1855,6 +1899,11 @@ CATALOG: dict[str, QueryDef] = {
         q66_duplicated_spans,
         _duplicated_spans_sql(),
         "exact duplicated-substring spans",
+    ),
+    "q67_strip_duplicated_spans": QueryDef(
+        q67_strip_duplicated_spans,
+        _strip_spans_sql(),
+        "applied duplicated-span removal",
     ),
 }
 

@@ -932,3 +932,21 @@ def test_duplicated_spans_planted(spark):
     )
     # each 25-token occurrence = 6 duplicated 20-grams -> one span
     assert out == [(1, 10, 34, 6), (1, 45, 69, 6), (2, 5, 29, 6)]
+
+
+def test_strip_spans_removes_ranges_keeps_others(spark):
+    """Tokens inside given spans are removed; docs without spans pass
+    through; composing with a keep-policy filter works."""
+    from serverless_podcast_etl_spark.operators.dedup import strip_spans
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "x y z")], "doc_id long, text string"
+    )
+    spans = spark.createDataFrame(
+        [(1, 1, 2), (1, 4, 4)], "doc_id long, span_start long, span_end long"
+    )
+    out = {r["doc_id"]: r for r in strip_spans(df, spans, "text", "doc_id").collect()}
+    assert out[1]["text_stripped"] == "a d f"
+    assert (out[1]["n_tokens_before"], out[1]["n_tokens_after"]) == (6, 3)
+    assert out[2]["text_stripped"] == "x y z"
+    assert out[2]["n_tokens_after"] == 3
