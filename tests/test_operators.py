@@ -950,3 +950,51 @@ def test_strip_spans_removes_ranges_keeps_others(spark):
     assert (out[1]["n_tokens_before"], out[1]["n_tokens_after"]) == (6, 3)
     assert out[2]["text_stripped"] == "x y z"
     assert out[2]["n_tokens_after"] == 3
+
+
+def _union_find_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_connected_components_deep_chain(spark):
+    """A 40-node path graph (worst case for naive propagation)
+    converges via pointer jumping and labels every node with the
+    chain's minimum."""
+    from serverless_podcast_etl_spark.operators.dedup import connected_components
+
+    edges = [(i, i + 1) for i in range(39)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    assert out == {i: 0 for i in range(40)}
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=1,
+        max_size=20,
+    ).filter(lambda es: any(a != b for a, b in es))
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Random graphs: the iterative DataFrame labeling equals a
+    union-find ground truth (same partition, min-id representative)."""
+    from serverless_podcast_etl_spark.operators.dedup import connected_components
+
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    assert out == _union_find_components(edges)
