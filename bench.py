@@ -93,6 +93,7 @@ HEADLINE = [
     "q65_fingerprint_decontamination",
     "q66_duplicated_spans",
     "q67_strip_duplicated_spans",
+    "q68_neardup_pair_recall",
 ]
 
 

@@ -658,3 +658,54 @@ def strip_spans(
         F.size(kept).cast("long").alias("n_tokens_after"),
         F.array_join(kept, " ").alias("text_stripped"),
     )
+
+
+def pair_overlap_stats(
+    approx_pairs: DataFrame,
+    exact_pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Pair-level recall/precision of an approximate near-dup method
+    against an exact ground-truth pair set — the go/no-go gate for
+    swapping banding (MinHash-LSH, SimHash) in for exact Jaccard,
+    symmetric to the ANN recall panel.
+
+    Both inputs are pair lists (already candidate-bounded); ONE full
+    outer equi-join on the normalized (lo, hi) pair key with
+    membership flags, then a single aggregate — no 1-row cross joins.
+    Returns ONE row: n_exact, n_approx, n_overlap, pair_recall,
+    pair_precision (null on empty sides, ANSI-safe).
+    """
+
+    def norm(df: DataFrame, flag: str) -> DataFrame:
+        return (
+            df.select(
+                F.least(F.col(id_a), F.col(id_b)).alias("_lo"),
+                F.greatest(F.col(id_a), F.col(id_b)).alias("_hi"),
+            )
+            .distinct()
+            .withColumn(flag, F.lit(1))
+        )
+
+    joined = norm(exact_pairs, "_e").join(
+        norm(approx_pairs, "_a"), ["_lo", "_hi"], "full_outer"
+    )
+    counts = joined.agg(
+        F.sum(F.coalesce(F.col("_e"), F.lit(0))).alias("n_exact"),
+        F.sum(F.coalesce(F.col("_a"), F.lit(0))).alias("n_approx"),
+        F.sum(
+            F.coalesce(F.col("_e"), F.lit(0)) * F.coalesce(F.col("_a"), F.lit(0))
+        ).alias("n_overlap"),
+    )
+    return counts.select(
+        "n_exact",
+        "n_approx",
+        "n_overlap",
+        F.round(F.try_divide(F.col("n_overlap"), F.col("n_exact")), 4).alias(
+            "pair_recall"
+        ),
+        F.round(F.try_divide(F.col("n_overlap"), F.col("n_approx")), 4).alias(
+            "pair_precision"
+        ),
+    )

@@ -1591,6 +1591,16 @@ FROM kept ORDER BY doc_id
 """
 
 
+def q68_neardup_pair_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-level recall/precision of the MinHash-LSH banding path
+    (q30) against the exact capped-Jaccard truth (q56) — the dedup
+    counterpart of q62's ANN recall panel.  Banding is probabilistic ⇒
+    rows-only."""
+    exact = q56_ngram_jaccard_capped(spark, sf_dir)
+    approx = q30_minhash_lsh_neardup(spark, sf_dir)
+    return dedup.pair_overlap_stats(approx, exact)
+
+
 def q62_ann_recall_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall panel: every approximate retrieval path (hyperplane LSH,
     IVF, int8 codes) scored against the exact brute-force top-k in one
@@ -1904,6 +1914,9 @@ CATALOG: dict[str, QueryDef] = {
         q67_strip_duplicated_spans,
         _strip_spans_sql(),
         "applied duplicated-span removal",
+    ),
+    "q68_neardup_pair_recall": QueryDef(
+        q68_neardup_pair_recall, None, "near-dup pair recall: LSH vs exact"
     ),
 }
 

@@ -998,3 +998,20 @@ def test_connected_components_matches_union_find(spark, edges):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     out = {r["id"]: r["component"] for r in connected_components(df).collect()}
     assert out == _union_find_components(edges)
+
+
+def test_pair_overlap_stats_counts(spark):
+    """Recall/precision over normalized unordered pairs; orientation
+    and duplicates must not matter."""
+    from serverless_podcast_etl_spark.operators.dedup import pair_overlap_stats
+
+    exact = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (6, 7)], "id_a long, id_b long"
+    )
+    approx = spark.createDataFrame(
+        [(2, 1), (3, 2), (3, 2), (8, 9)], "id_a long, id_b long"
+    )
+    r = pair_overlap_stats(approx, exact).collect()[0]
+    assert (r["n_exact"], r["n_approx"], r["n_overlap"]) == (4, 3, 2)
+    assert r["pair_recall"] == 0.5
+    assert r["pair_precision"] == 0.6667
