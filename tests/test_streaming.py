@@ -333,3 +333,47 @@ def test_curate_stream_gates_dedups_and_redacts(spark, tmp_path):
         v for k, v in r.asDict().items() if k not in ("doc_id", "ts")
     )
     assert sorted(map(content, batch)) == sorted(map(content, got))
+
+
+def test_pack_stream_carries_fill_across_batches(spark, tmp_path):
+    """The per-source token fill survives micro-batch boundaries: two
+    files delivered separately pack identically to batch packing over
+    the whole input (same doc order)."""
+    import os
+
+    from serverless_podcast_etl_spark.operators.packing import pack_sequences
+    from serverless_podcast_etl_spark.streaming.packing import pack_stream
+
+    schema = "doc_id long, source string, text string"
+    rows1 = [(1, "s", "w " * 100), (2, "s", "w " * 200), (5, "t", "w " * 10)]
+    rows2 = [(3, "s", "w " * 50), (4, "s", "w " * 30), (6, "t", "w " * 300)]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    packed = pack_stream(stream, "text", budget=256)
+    assert packed.isStreaming
+    got: list = []
+
+    def run():
+        q = (
+            packed.writeStream.foreachBatch(
+                lambda df, _e: got.extend(df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()  # batch 1
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+    run()  # batch 2 resumes from checkpointed fill state
+
+    batch = pack_sequences(
+        spark.read.parquet(src), "text", "doc_id", "source", budget=256
+    )
+    expected = sorted(map(tuple, batch.collect()))
+    assert sorted(map(tuple, got)) == expected
