@@ -990,14 +990,34 @@ def test_connected_components_deep_chain(spark):
     ).filter(lambda es: any(a != b for a, b in es))
 )
 def test_connected_components_matches_union_find(spark, edges):
-    """Random graphs: the iterative DataFrame labeling equals a
-    union-find ground truth (same partition, min-id representative)."""
-    from serverless_podcast_etl_spark.operators.dedup import connected_components
+    """Random graphs: BOTH iterative DataFrame labelings (min-label
+    propagation and large-star/small-star) equal a union-find ground
+    truth (same partition, min-id representative)."""
+    from serverless_podcast_etl_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
 
     edges = [(a, b) for a, b in edges if a != b]
     df = spark.createDataFrame(edges, "id_a long, id_b long")
-    out = {r["id"]: r["component"] for r in connected_components(df).collect()}
-    assert out == _union_find_components(edges)
+    truth = _union_find_components(edges)
+    for impl in (connected_components, connected_components_star):
+        out = {r["id"]: r["component"] for r in impl(df).collect()}
+        assert out == truth, impl.__name__
+
+
+def test_connected_components_star_deep_chain(spark):
+    """Star rounds also collapse a path graph to its minimum."""
+    from serverless_podcast_etl_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    edges = [(i, i + 1) for i in range(30)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = {
+        r["id"]: r["component"] for r in connected_components_star(df).collect()
+    }
+    assert out == {i: 0 for i in range(31)}
 
 
 def test_pair_overlap_stats_counts(spark):
