@@ -326,6 +326,68 @@ def cross_corpus_overlap(
     )
 
 
+def _materialize(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
+    """Eagerly materialize an iterative loop's frame, truncating
+    lineage.
+
+    ``checkpoint_dir=None`` → ``localCheckpoint``: blocks live on
+    executor storage — fastest, but an executor loss makes them
+    unrecoverable (the lineage needed to recompute was truncated).
+    Fine on local[n] and for short interactive loops.
+
+    ``checkpoint_dir`` set → RELIABLE ``checkpoint()`` into that
+    directory (HDFS/S3/DBFS path at cluster scale): blocks survive
+    executor loss, which is the mode a 100 TB run must use — over a
+    multi-hour iterative job on 1000 executors, losing one executor
+    mid-loop is the expected case, not the exception.
+    """
+    if checkpoint_dir is None:
+        return df.localCheckpoint(eager=True)
+    sc = df.sparkSession.sparkContext
+    sc.setCheckpointDir(checkpoint_dir)
+    return df.checkpoint(eager=True)
+
+
+def _cc_min_label_step(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One min-label-propagation + pointer-jump iteration, returned
+    PRE-checkpoint: (_id, _comp, _new) where ``_new`` is the improved
+    label.  Factored out so ``tools/plan_audit.py`` can audit the real
+    per-iteration join plan — inside the loop the eager checkpoint
+    truncates the static plan to a bare RDD scan, which would hide
+    the iteration's exchanges from any post-hoc audit."""
+    nbr_min = (
+        edges.join(
+            labels.select(
+                F.col("_id").alias("_b"), F.col("_comp").alias("_nc")
+            ),
+            "_b",
+        )
+        .groupBy("_a")
+        .agg(F.min("_nc").alias("_nbr"))
+    )
+    stepped = labels.join(
+        nbr_min.withColumnRenamed("_a", "_id"), "_id", "left"
+    ).select(
+        "_id",
+        "_comp",
+        F.least(
+            F.col("_comp"), F.coalesce(F.col("_nbr"), F.col("_comp"))
+        ).alias("_new"),
+    )
+    # pointer jump: follow my (new) label to ITS label — label
+    # chains halve every round (O(log n) total for deep chains)
+    jump = labels.select(
+        F.col("_id").alias("_new"), F.col("_comp").alias("_jc")
+    )
+    return stepped.join(jump, "_new", "left").select(
+        "_id",
+        "_comp",
+        F.least(
+            F.col("_new"), F.coalesce(F.col("_jc"), F.col("_new"))
+        ).alias("_new"),
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -333,6 +395,7 @@ def connected_components(
     max_iter: int = 50,
     out_id: str = "id",
     out_comp: str = "component",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over a near-dup pair list: (id, component)
     with component = the minimum id reachable from the node.
@@ -347,67 +410,38 @@ def connected_components(
     (b) its label's label (path compression — label chains halve each
     round, so deep chains converge in O(log n) rounds, not
     O(diameter)).  Two equi-joins + one partial-agg shuffle per
-    iteration, lineage truncated by eager localCheckpoints; at 100 TB
-    the same loop runs with a checkpoint dir.  Dup clusters are
-    shallow (stars around a template), so 2-4 rounds is typical.
-    Raises if ``max_iter`` rounds don't converge — a silently partial
-    labeling must never reach a dedup decision.  Only nodes that
-    appear in ``pairs`` are returned — isolated docs are their own
-    (implicit) singleton component.
+    iteration, lineage truncated by eager per-iteration
+    materialization — ``checkpoint_dir=None`` uses ``localCheckpoint``
+    (local/default), a real path switches to RELIABLE
+    ``df.checkpoint()`` so a 100 TB run survives executor loss
+    mid-loop (see ``_materialize``).  Dup clusters are shallow (stars
+    around a template), so 2-4 rounds is typical.  Raises if
+    ``max_iter`` rounds don't converge — a silently partial labeling
+    must never reach a dedup decision.  Only nodes that appear in
+    ``pairs`` are returned — isolated docs are their own (implicit)
+    singleton component.
     """
     sym = pairs.select(F.col(id_a).alias("_a"), F.col(id_b).alias("_b"))
-    edges = (
+    edges = _materialize(
         sym.union(sym.select(F.col("_b").alias("_a"), F.col("_a").alias("_b")))
-        .distinct()
+        .distinct(),
         # materialize ONCE: without this every iteration's join would
         # recompute the upstream pair pipeline (e.g. the whole
         # MinHash-LSH candidate generation) from scratch
-        .localCheckpoint(eager=True)
+        checkpoint_dir,
     )
-    labels = (
+    labels = _materialize(
         edges.select(F.col("_a").alias("_id"))
         .distinct()
-        .withColumn("_comp", F.col("_id"))
-        .localCheckpoint(eager=True)
+        .withColumn("_comp", F.col("_id")),
+        checkpoint_dir,
     )
     converged = False
     for _ in range(max_iter):
-        nbr_min = (
-            edges.join(
-                labels.select(
-                    F.col("_id").alias("_b"), F.col("_comp").alias("_nc")
-                ),
-                "_b",
-            )
-            .groupBy("_a")
-            .agg(F.min("_nc").alias("_nbr"))
-        )
-        stepped = labels.join(
-            nbr_min.withColumnRenamed("_a", "_id"), "_id", "left"
-        ).select(
-            "_id",
-            "_comp",
-            F.least(
-                F.col("_comp"), F.coalesce(F.col("_nbr"), F.col("_comp"))
-            ).alias("_new"),
-        )
-        # pointer jump: follow my (new) label to ITS label — label
-        # chains halve every round (O(log n) total for deep chains)
-        jump = labels.select(
-            F.col("_id").alias("_new"), F.col("_comp").alias("_jc")
-        )
-        # checkpoint BEFORE the convergence count so the joins run once
-        # per iteration (the count then reads materialized rows)
-        updated = (
-            stepped.join(jump, "_new", "left")
-            .select(
-                "_id",
-                "_comp",
-                F.least(
-                    F.col("_new"), F.coalesce(F.col("_jc"), F.col("_new"))
-                ).alias("_new"),
-            )
-            .localCheckpoint(eager=True)
+        # materialize BEFORE the convergence count so the joins run
+        # once per iteration (the count then reads materialized rows)
+        updated = _materialize(
+            _cc_min_label_step(edges, labels), checkpoint_dir
         )
         n_changed = updated.filter(F.col("_new") != F.col("_comp")).count()
         labels = updated.select("_id", F.col("_new").alias("_comp"))
@@ -718,6 +752,7 @@ def connected_components_star(
     max_iter: int = 50,
     out_id: str = "id",
     out_comp: str = "component",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components via alternating large-star / small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond") —
@@ -771,19 +806,20 @@ def connected_components_star(
             )
         return canon(emitted)
 
-    edges = canon(
-        pairs.select(F.col(id_a).alias("_u"), F.col(id_b).alias("_v"))
-    ).localCheckpoint(eager=True)
-    nodes = (
+    edges = _materialize(
+        canon(pairs.select(F.col(id_a).alias("_u"), F.col(id_b).alias("_v"))),
+        checkpoint_dir,
+    )
+    nodes = _materialize(
         edges.select(F.col("_u").alias("_id"))
         .union(edges.select(F.col("_v").alias("_id")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        checkpoint_dir,
     )
     converged = False
     for _ in range(max_iter):
         stepped = star_round(star_round(edges, large=True), large=False)
-        stepped = stepped.localCheckpoint(eager=True)
+        stepped = _materialize(stepped, checkpoint_dir)
         changed = (
             stepped.exceptAll(edges).count() + edges.exceptAll(stepped).count()
         )

@@ -1082,3 +1082,28 @@ def test_lsh_topk_single_table_still_works(spark, sf_dir):
         queries_df, emb, "vec_id", "vec_id", plane_tables=[_PLANES_8[:4]], k=5
     )
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_connected_components_reliable_checkpoint_parity(spark, tmp_path):
+    """checkpoint_dir switches the iterative loops to RELIABLE
+    df.checkpoint() (survives executor loss at cluster scale); results
+    must be identical to the localCheckpoint default on both
+    backends."""
+    from serverless_podcast_etl_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = [(1, 2), (2, 3), (5, 6), (8, 8), (10, 11), (11, 12), (3, 10)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    for impl in (connected_components, connected_components_star):
+        local = {r["id"]: r["component"] for r in impl(df).collect()}
+        reliable = {
+            r["id"]: r["component"]
+            for r in impl(
+                df, checkpoint_dir=str(tmp_path / impl.__name__)
+            ).collect()
+        }
+        assert local == reliable, impl.__name__
+        # reliable mode actually wrote checkpoint data
+        assert any((tmp_path / impl.__name__).iterdir()), impl.__name__
