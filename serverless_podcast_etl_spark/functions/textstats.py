@@ -398,10 +398,17 @@ def fingerprint_set(
     k: int = 5,
     keep_mod: int = 8,
 ) -> DataFrame:
-    """Exploded winnowed-fingerprint set: one row per (doc, kept
-    hash) — the joinable form of ``rolling_fingerprints``'s signature,
-    used for overlap detection between corpora (fingerprint-tier
-    decontamination).  In-row compute, rows already distinct per doc.
+    """Exploded MOD-SAMPLED fingerprint set: one row per (doc, kept
+    k-gram hash with hash ≡ 0 mod ``keep_mod``) — the joinable form of
+    ``rolling_fingerprints``'s signature.  In-row compute, rows
+    already distinct per doc.
+
+    0-mod-p sampling keeps ~1/keep_mod of the hashes but gives NO
+    deterministic span guarantee: a shared span with m k-grams is
+    missed with probability ≈ (1 − 1/keep_mod)^m (≈30% for m = 9 at
+    keep_mod = 8).  When a guarantee matters (decontamination gates),
+    use ``winnowed_fingerprint_set`` — true winnowing exists precisely
+    to add one.
     """
     from ..operators.dedup import _bound_token_hashes
 
@@ -409,6 +416,53 @@ def fingerprint_set(
     grams = hashing.shingle_hash_array(F.col("_th"), k)
     kept = F.array_distinct(F.filter(grams, lambda h: h % keep_mod == 0))
     return bound.select(F.col(id_col), F.explode(kept).alias("fingerprint"))
+
+
+def winnowed_fingerprint_set(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    window: int = 8,
+) -> DataFrame:
+    """Exploded TRUE-winnowing fingerprint set (Schleimer, Wilkerson &
+    Aiken, "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD'03): the minimum k-gram hash of every ``window`` consecutive
+    k-grams, deduplicated per document.
+
+    GUARANTEE (what mod-sampling lacks): any token span shared by two
+    documents containing at least ``window`` k-grams — i.e. length ≥
+    ``window + k − 1`` tokens — contributes at least one IDENTICAL
+    fingerprint to both, because both pick the same minimum inside the
+    shared window.  Expected density is 2/(window+1), comparable to
+    mod-sampling at keep_mod ≈ (window+1)/2.
+
+    Documents with fewer than ``window`` k-grams keep their single
+    minimum (short docs must not vanish from a decontamination gate);
+    docs with no k-grams produce no row.  Entirely in-row over the
+    materialized gram array (sliding ``array_min`` slices — O(len ·
+    window) with no re-hashing), zero shuffles at any corpus size.
+    """
+    from ..operators.dedup import _bound_token_hashes
+
+    bound = _bound_token_hashes(df, text_col, id_col)
+    grams = hashing.shingle_hash_array(F.col("_th"), k)
+    # Generate barrier: materialize the gram array once per row; the
+    # sliding mins below slice a bound attribute, not the hash tree.
+    mat = bound.select(
+        F.col(id_col), F.explode(F.array(grams)).alias("_g")
+    ).filter(F.size("_g") > 0)
+    m = F.size(F.col("_g"))
+    fps = F.when(
+        m >= window,
+        F.transform(
+            F.sequence(F.lit(1), m - window + 1),
+            lambda j: F.array_min(F.slice(F.col("_g"), j, window)),
+        ),
+    ).otherwise(F.array(F.array_min(F.col("_g"))))
+    return mat.select(
+        F.col(id_col), F.explode(F.array_distinct(fps)).alias("fingerprint")
+    )
 
 
 def rolling_fingerprints(
@@ -419,10 +473,12 @@ def rolling_fingerprints(
     keep_mod: int = 8,
 ) -> DataFrame:
     """Document fingerprinting: hash every k-token shingle, keep the
-    0-mod-``keep_mod`` subset (mod-p winnowing).
+    0-mod-``keep_mod`` subset (mod-sampling — NOT winnowing: see
+    ``fingerprint_set`` for the probabilistic miss rate, and
+    ``winnowed_fingerprint_set`` for the guaranteed variant).
 
     The kept hash set is a compact, alignment-free signature for
-    overlap detection (MOSS-style).  Portable hash ⇒ oracle-checkable.
+    overlap detection.  Portable hash ⇒ oracle-checkable.
     Computed inside the row (higher-order array ops) — zero shuffles;
     documents with no kept fingerprints produce no row (parity with
     the exploded formulation and the SQL oracle).

@@ -575,23 +575,29 @@ def fingerprint_decontaminate(
     text_col: str,
     id_col: str,
     k: int = 5,
-    keep_mod: int = 8,
+    window: int = 8,
 ) -> DataFrame:
     """Fingerprint-tier decontamination: corpus documents sharing any
     winnowed fingerprint with a benchmark/eval document.
 
-    The sparser companion to ``cross_corpus_overlap`` — only 1/keep_mod
-    of the k-gram hashes survive winnowing, so at 100 TB this join
-    touches an ~8× smaller signature table while still catching
-    verbatim spans of length ≳ k + keep_mod tokens (MOSS guarantee).
-    Benchmark fingerprints broadcast (eval sets are tiny); the corpus
-    is scanned once and shuffled only on the matched subset.
+    The sparser companion to ``cross_corpus_overlap`` — TRUE winnowing
+    (min k-gram hash per sliding window of ``window`` grams) keeps an
+    expected 2/(window+1) of the hashes, so at 100 TB this join
+    touches a several-fold smaller signature table, with the winnowing
+    GUARANTEE: any shared verbatim span of ≥ window + k − 1 tokens is
+    caught deterministically (``winnowed_fingerprint_set``; the
+    previous 0-mod-p sampling missed such spans with probability
+    ≈ (1−1/p)^window).  Benchmark fingerprints broadcast (eval sets
+    are tiny); the corpus is scanned once and shuffled only on the
+    matched subset.
     """
-    from ..functions.textstats import fingerprint_set
+    from ..functions.textstats import winnowed_fingerprint_set
 
-    cf = fingerprint_set(corpus, text_col, id_col, k=k, keep_mod=keep_mod)
+    cf = winnowed_fingerprint_set(corpus, text_col, id_col, k=k, window=window)
     bf = (
-        fingerprint_set(benchmark, text_col, id_col, k=k, keep_mod=keep_mod)
+        winnowed_fingerprint_set(
+            benchmark, text_col, id_col, k=k, window=window
+        )
         .select("fingerprint")
         .distinct()
     )
@@ -615,10 +621,19 @@ def duplicated_spans(
     Plan: positioned k-gram hashes in-row (posexplode), one corpus
     shuffle on the window hash to find hashes occurring ≥2 times
     (map-side-combinable count), a semi-join back, then per-document
-    gaps-and-islands to merge overlapping duplicate windows into
-    maximal spans (window partitioned by doc — parallel across docs).
-    Returns (id, span_start, span_end, n_windows) in token offsets,
-    span_end inclusive.
+    gaps-and-islands to merge duplicate windows whose COVERAGE
+    overlaps or touches into maximal spans (window partitioned by doc
+    — parallel across docs).  Returns (id, span_start, span_end,
+    n_windows) in token offsets, span_end inclusive.
+
+    Two windows at positions p < q cover overlapping token ranges when
+    q − p ≤ k−1 and adjacent ranges when q − p = k, so islands break
+    only at q − p > k: the output spans are DISJOINT and non-adjacent
+    (interval union of window coverage) — consumers may sum
+    ``span_end − span_start + 1`` without double-counting.  (A break
+    at q − p > 1 would split overlapping windows into overlapping
+    spans whenever a non-duplicated window sits between two duplicated
+    ones.)
     """
     from pyspark.sql import Window
 
@@ -633,9 +648,9 @@ def duplicated_spans(
     )
     dup_pos = pos_rows.join(dup_hashes, "h", "left_semi")
     w = Window.partitionBy(id_col).orderBy("pos")
-    # new island when this window does not directly extend the previous
-    # one (first row: lag is null -> comparison false -> break)
-    brk = F.when(F.col("pos") - F.lag("pos").over(w) == 1, F.lit(0)).otherwise(
+    # new island when this window's coverage neither overlaps nor
+    # touches the previous one's (first row: lag null -> break)
+    brk = F.when(F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0)).otherwise(
         F.lit(1)
     )
     grouped = dup_pos.withColumn("_g", F.sum(brk).over(w))

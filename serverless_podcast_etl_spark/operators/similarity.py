@@ -66,6 +66,8 @@ def brute_force_topk(
 
     The corpus side is never shuffled for scoring (broadcast join);
     the only shuffle is the per-query top-k window — |queries|×k rows.
+    Queries and corpus must share one id space (self-matches are
+    excluded by id equality — see ``quantized_topk``'s id-space note).
     """
     q = _as_double(queries, vec_col).select(
         F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv")
@@ -567,6 +569,13 @@ def quantized_topk(
     oracle-checkable unlike LSH/IVF.  Approximation error vs float
     cosine is bounded by quantization noise — recall vs the float
     baseline is asserted in tests.
+
+    ID-SPACE CONTRACT (all top-k scorers here): self-matches are
+    excluded via ``query_id != neighbor_id``, which assumes queries
+    and corpus share ONE id space (the catalog always selects queries
+    FROM the corpus).  With disjoint id spaces a legitimate neighbor
+    whose id merely equals the query id would be silently dropped —
+    re-key one side first if your ids can collide.
     """
 
     def codes_with_norm(df: DataFrame, id_col: str, out_id: str, qn: str, qc: str):

@@ -631,7 +631,8 @@ WHERE a.vec_id < b.vec_id
 
 def q24_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprints: portable-hashed 5-gram shingles, mod-8
-    winnowing (MOSS-style overlap signatures)."""
+    SAMPLING (probabilistic signature; the guaranteed winnowed tier is
+    q65's winnowed_fingerprint_set)."""
     docs = _t(spark, sf_dir, "documents")
     return textstats.rolling_fingerprints(
         docs, text_col="text", id_col="doc_id", k=5, keep_mod=8
@@ -1266,7 +1267,11 @@ s AS (SELECT vec_id, e,
              list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
       FROM v),
 q AS (SELECT vec_id, e, scale,
-             list_transform(e, x -> round(x / scale)) AS qs
+             -- scale=0 guard (all-zero vector): mirror the engine's
+             -- explicit zero-codes case or x/0.0 yields NaN codes
+             list_transform(e, x -> CASE WHEN scale > 0
+                                         THEN round(x / scale)
+                                         ELSE 0 END) AS qs
       FROM s)
 SELECT vec_id, round(scale, 6) AS scale,
        CAST(list_sum(qs) AS BIGINT) AS sum_q,
@@ -1293,7 +1298,11 @@ WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 s AS (SELECT vec_id, e,
              list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
       FROM v),
-q AS (SELECT vec_id, list_transform(e, x -> round(x / scale)) AS qs FROM s),
+q AS (SELECT vec_id,
+             -- scale=0 guard: see q54
+             list_transform(e, x -> CASE WHEN scale > 0
+                                         THEN round(x / scale)
+                                         ELSE 0 END) AS qs FROM s),
 n AS (SELECT vec_id, qs, sqrt(list_dot_product(qs, qs)) AS nrm FROM q),
 scored AS (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -1507,28 +1516,42 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 def q65_fingerprint_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fingerprint-tier decontamination: corpus docs sharing any
-    winnowed 4-gram fingerprint with the benchmark slice (doc_id % 97
-    == 0, same stand-in as q50).  The keep_mod-times-sparser companion
-    to q50's full n-gram overlap — the signature table this joins is
-    1/keep_mod the size at any corpus scale.  k=4/keep_mod=4 here so
-    the certified sf0.01 run has non-degenerate hits (3 rows); the
-    operator defaults stay at the MOSS-style 5/8."""
+    TRUE-winnowed 4-gram fingerprint with the benchmark slice
+    (doc_id % 97 == 0, same stand-in as q50).  The sparser companion
+    to q50's full n-gram overlap — winnowing keeps an expected
+    2/(window+1) of the gram hashes at any corpus scale AND guarantees
+    every shared span of ≥ window + k − 1 tokens is caught
+    (mod-sampling, the previous construction, missed such spans with
+    probability ≈ (1−1/p)^window).  k=4/window=4 so the certified
+    sf0.01 run has non-degenerate hits; operator defaults stay 5/8."""
     docs = _t(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
     benchmark = docs.filter(F.col("doc_id") % 97 == 0)
     return dedup.fingerprint_decontaminate(
-        corpus, benchmark, text_col="text", id_col="doc_id", k=4, keep_mod=4
+        corpus, benchmark, text_col="text", id_col="doc_id", k=4, window=4
     ).orderBy("doc_id")
 
 
-def _fingerprint_decontam_sql(k: int = 4, keep_mod: int = 4) -> str:
+def _fingerprint_decontam_sql(k: int = 4, window: int = 4) -> str:
+    th_cte = (
+        f"SELECT doc_id, {hashing.token_hashes_sql('t')} AS th "
+        f"FROM ({_TOKS_CTE})"
+    )
     return f"""
-WITH sh AS ({_shingle_cte(k)}),
-kept AS (SELECT DISTINCT doc_id, shingle FROM sh
-         WHERE shingle % {keep_mod} = 0),
-bench AS (SELECT DISTINCT shingle FROM kept WHERE doc_id % 97 = 0)
+WITH th AS ({th_cte}),
+gr AS (SELECT doc_id, list_transform(
+         range(1, greatest(len(th) - {k} + 2, 1)),
+         i -> {hashing.shingle_hash_sql('th', 'i', k)}) AS g FROM th),
+fp AS (SELECT doc_id,
+         CASE WHEN len(g) >= {window}
+              THEN list_transform(range(1, len(g) - {window} + 2),
+                                  j -> list_min(g[j:j+{window}-1]))
+              ELSE [list_min(g)] END AS fps
+       FROM gr WHERE len(g) > 0),
+kept AS (SELECT DISTINCT doc_id, unnest(fps) AS fingerprint FROM fp),
+bench AS (SELECT DISTINCT fingerprint FROM kept WHERE doc_id % 97 = 0)
 SELECT doc_id, count(*) AS n_shared_fingerprints
-FROM kept JOIN bench USING (shingle)
+FROM kept JOIN bench USING (fingerprint)
 WHERE doc_id % 97 <> 0
 GROUP BY doc_id ORDER BY doc_id
 """
@@ -1562,7 +1585,7 @@ p AS (SELECT doc_id, g.pos AS pos, g.h AS h FROM p0),
 dup AS (SELECT h FROM p GROUP BY h HAVING count(*) >= 2),
 d AS (SELECT p.doc_id, p.pos FROM p JOIN dup USING (h)),
 b AS (SELECT doc_id, pos,
-             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) = 1
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= {k}
                   THEN 0 ELSE 1 END AS brk
       FROM d),
 g AS (SELECT doc_id, pos,

@@ -86,10 +86,26 @@ class JdbcTableStore:
 
         Returns the number of rows appended — the same contract as
         ``Warehouse.insert_ignore`` so pipelines swap stores freely.
+
+        The survivor set is eagerly materialized (``localCheckpoint``)
+        before it is counted AND appended: lazily, each action would
+        re-run the anti-join — two separate JDBC key scans — so the
+        returned count could disagree with the rows actually written
+        if the table changed in between.  One snapshot feeds both.
+
+        SINGLE-WRITER assumption: unlike MySQL's ``INSERT IGNORE``
+        (atomic per row, safe under the reference's concurrent
+        lambdas), read-back + anti-join + append is NOT atomic — two
+        concurrent writers can both see a key as absent and both
+        append it.  Under concurrent writers, push idempotency into
+        the database instead: append to a staging table and merge with
+        ``INSERT ... ON CONFLICT DO NOTHING`` / ``INSERT IGNORE``.
         """
         keys = keys or schemas.NATURAL_KEYS[table]
         existing_keys = self.read(table, columns=keys)
-        fresh = dedup_insert(existing_keys, incoming, keys)
+        fresh = dedup_insert(existing_keys, incoming, keys).localCheckpoint(
+            eager=True
+        )
         n = fresh.count()
         if n:
             self.append(table, fresh)

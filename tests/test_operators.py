@@ -904,7 +904,7 @@ def test_fingerprint_decontaminate_planted_overlap(spark):
         [(100, "benchmark prompt " + leak)], "doc_id long, text string"
     )
     out = fingerprint_decontaminate(
-        corpus, benchmark, "text", "doc_id", k=5, keep_mod=8
+        corpus, benchmark, "text", "doc_id", k=5, window=8
     ).collect()
     assert [r["doc_id"] for r in out] == [1]
     assert out[0]["n_shared_fingerprints"] >= 1
@@ -1107,3 +1107,56 @@ def test_connected_components_reliable_checkpoint_parity(spark, tmp_path):
         assert local == reliable, impl.__name__
         # reliable mode actually wrote checkpoint data
         assert any((tmp_path / impl.__name__).iterdir()), impl.__name__
+
+
+def test_winnowed_fingerprints_guarantee_and_short_docs(spark):
+    """True-winnowing guarantee: a span with >= `window` shared k-grams
+    (length >= window + k - 1 tokens) MUST contribute an identical
+    fingerprint to both documents, whatever surrounds it.  Docs shorter
+    than one window keep their single minimum; docs with < k tokens
+    produce no row."""
+    from serverless_podcast_etl_spark.functions.textstats import (
+        winnowed_fingerprint_set,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(12))  # >= 4+4-1 tokens
+    df = spark.createDataFrame(
+        [
+            (1, "aa bb cc " + shared),
+            (2, shared + " zz yy xx ww vv uu"),
+            (3, "t1 t2 t3 t4 t5"),  # 2 grams < window -> single min
+            (4, "u1 u2 u3"),  # < k tokens -> no grams -> no row
+        ],
+        "doc_id long, text string",
+    )
+    fp = winnowed_fingerprint_set(df, "text", "doc_id", k=4, window=4)
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert by_doc[1] & by_doc[2], "shared span must share a fingerprint"
+    assert len(by_doc[3]) == 1
+    assert 4 not in by_doc
+
+
+def test_duplicated_spans_merges_overlapping_coverage(spark):
+    """Two duplicated regions whose coverage overlaps (a non-duplicated
+    window sits between their START positions) must merge into ONE
+    disjoint maximal span — the old consecutive-positions-only rule
+    emitted two OVERLAPPING spans here, double-counting tokens for any
+    consumer summing span lengths."""
+    from serverless_podcast_etl_spark.operators.dedup import duplicated_spans
+
+    toks = [f"t{i}" for i in range(15)]
+    doc_a = " ".join(toks)  # t0..t14
+    doc_b = " ".join(toks[:10])  # shares t0..t9  -> A windows 0..5
+    doc_c = " ".join(toks[7:])  # shares t7..t14 -> A windows 7..10
+    df = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b), (3, doc_c)], "doc_id long, text string"
+    )
+    out = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+        for r in duplicated_spans(df, "text", "doc_id", k=5).collect()
+    )
+    # doc A: window 6 (t6..t10) is unique, but coverage of windows 5
+    # and 7 overlaps -> single span over t0..t14
+    assert out == [(1, 0, 14, 10), (2, 0, 9, 6), (3, 0, 7, 4)]
