@@ -5,7 +5,10 @@ dimensions.  Join-key note (SURVEY §7.4.2): the reference joins
 entity→sentence on ``sentence_index`` ONLY (a latent bug masked by its
 single-episode filters); we join on the full UNIQUE key
 ``(sentence_index, episode_id)`` — identical results under the
-reference's own usage, correct with many episodes loaded.
+reference's own usage, correct with many episodes loaded.  For strict
+parity audits the J2 queries also take ``bug_compatible=True``, which
+reproduces the reference's index-only join verbatim (mirrors J4's two
+boundary modes).
 """
 
 from __future__ import annotations
@@ -87,21 +90,50 @@ def entity_mention_counts(
     )
 
 
+def _entity_sentence_join(
+    ents: DataFrame,
+    sentence_dim: DataFrame,
+    sentence_cols: list[str],
+    bug_compatible: bool,
+) -> DataFrame:
+    """J2: entity ⟕ sentence.
+
+    Default = corrected composite key ``(sentence_index, episode_id)``.
+    ``bug_compatible=True`` joins on ``sentence_index`` ONLY, exactly as
+    the reference SQL does (``ON s.sentence_index = e.sentence_index``,
+    app.py:234, 289, 341): with >1 episode in the warehouse each entity
+    fans out to every episode's sentence at that index.  The two modes
+    coincide under the reference's own single-episode filters.
+    """
+    if bug_compatible:
+        return ents.join(
+            sentence_dim.select("sentence_index", *sentence_cols),
+            on=["sentence_index"],
+            how="left",
+        )
+    return ents.join(
+        sentence_dim.select("sentence_index", "episode_id", *sentence_cols),
+        on=["sentence_index", "episode_id"],
+        how="left",
+    )
+
+
 def sentiment_distribution(
     entity_dim: DataFrame,
     sentence_dim: DataFrame,
     episode_id: int,
     entity_type: str,
+    bug_compatible: bool = False,
 ) -> DataFrame:
     """Pie chart: sentiment class counts over an entity type's
-    sentences (app.py:230-238) — corrected composite-key join."""
+    sentences (app.py:230-238) — corrected composite-key join by
+    default; ``bug_compatible=True`` replays the reference's
+    index-only join (see ``_entity_sentence_join``)."""
     ents = entity_dim.filter(
         (F.col("entity_type") == entity_type) & (F.col("episode_id") == episode_id)
     )
-    joined = ents.join(
-        sentence_dim.select("sentence_index", "episode_id", "overall_sentiment"),
-        on=["sentence_index", "episode_id"],
-        how="left",
+    joined = _entity_sentence_join(
+        ents, sentence_dim, ["overall_sentiment"], bug_compatible
     )
     return joined.groupBy("overall_sentiment").agg(
         F.count(F.lit(1)).alias("num_sentences")
@@ -129,19 +161,19 @@ def entity_sentiment_proportions(
     sentence_dim: DataFrame,
     episode_id: int,
     entity_type: str,
+    bug_compatible: bool = False,
 ) -> DataFrame:
     """Stacked bars: per-entity sentiment share (ratio of AVGs,
-    app.py:333-346), descending by positive share."""
+    app.py:333-346), descending by positive share.
+    ``bug_compatible=True`` replays the reference's index-only join."""
     ents = entity_dim.filter(
         (F.col("entity_type") == entity_type) & (F.col("episode_id") == episode_id)
     )
-    joined = ents.join(
-        sentence_dim.select(
-            "sentence_index", "episode_id",
-            "positive_score", "neutral_score", "negative_score",
-        ),
-        on=["sentence_index", "episode_id"],
-        how="left",
+    joined = _entity_sentence_join(
+        ents,
+        sentence_dim,
+        ["positive_score", "neutral_score", "negative_score"],
+        bug_compatible,
     )
     out = ratio_of_avgs(
         joined,

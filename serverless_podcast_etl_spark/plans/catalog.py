@@ -1646,7 +1646,17 @@ def q68_neardup_pair_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pair-level recall/precision of the MinHash-LSH banding path
     (q30) against the exact capped-Jaccard truth (q56) — the dedup
     counterpart of q62's ANN recall panel.  Banding is probabilistic ⇒
-    rows-only."""
+    rows-only.
+
+    TRUTH-SET CAVEAT: the "exact" side is itself the stop-shingle-
+    CAPPED space (q56, ``max_doc_freq=50``) — pairs whose only shared
+    shingles are boilerplate (df > cap) are absent from the truth, so
+    the gate can read recall 1.0 while missing boilerplate-heavy dup
+    pairs that the uncapped q19 would catch.  This is deliberate: the
+    gate certifies the LSH path against the similarity space the
+    production dedup actually uses (q30's MinHash also runs on the
+    capped space).  ``test_capped_truth_excludes_boilerplate_only_pairs``
+    pins and quantifies the exclusion."""
     exact = q56_ngram_jaccard_capped(spark, sf_dir)
     approx = q30_minhash_lsh_neardup(spark, sf_dir)
     return dedup.pair_overlap_stats(approx, exact)

@@ -70,6 +70,53 @@ def test_sentiment_distribution_and_proportions(wh):
         assert abs(total - 1.0) < 0.01  # shares sum to 1
 
 
+def test_j2_bug_compatible_diverges_with_multiple_episodes(spark):
+    """J2 parity switch: ``bug_compatible=True`` joins on
+    ``sentence_index`` only (app.py:234) — with 2 episodes loaded each
+    entity picks up the OTHER episode's sentence at the same index, so
+    counts fan out; the corrected composite-key default does not.
+    With a single episode the two modes coincide."""
+    sentences = spark.createDataFrame(
+        [
+            (0, 1, "POSITIVE", 0.9, 0.05, 0.05),
+            (1, 1, "NEGATIVE", 0.1, 0.1, 0.8),
+            (0, 2, "NEUTRAL", 0.2, 0.6, 0.2),
+            (1, 2, "NEUTRAL", 0.2, 0.6, 0.2),
+        ],
+        "sentence_index INT, episode_id INT, overall_sentiment STRING, "
+        "positive_score DOUBLE, neutral_score DOUBLE, negative_score DOUBLE",
+    )
+    entities = spark.createDataFrame(
+        [(1, "PERSON", "alice", 0), (1, "PERSON", "bob", 1)],
+        "episode_id INT, entity_type STRING, entity_text STRING, sentence_index INT",
+    )
+
+    def totals(bug_compatible):
+        df = analytics.sentiment_distribution(
+            entities, sentences, 1, "PERSON", bug_compatible=bug_compatible
+        )
+        return {r["overall_sentiment"]: r["num_sentences"] for r in df.collect()}
+
+    corrected, buggy = totals(False), totals(True)
+    # corrected: 1 POSITIVE + 1 NEGATIVE; buggy also captures episode
+    # 2's NEUTRAL sentences at the same indexes (fan-out of 2 per entity)
+    assert corrected == {"POSITIVE": 1, "NEGATIVE": 1}
+    assert buggy == {"POSITIVE": 1, "NEGATIVE": 1, "NEUTRAL": 2}
+
+    # single episode loaded -> modes coincide (the reference's masking)
+    one_ep = sentences.filter(F.col("episode_id") == 1)
+    a = analytics.sentiment_distribution(entities, one_ep, 1, "PERSON").collect()
+    b = analytics.sentiment_distribution(
+        entities, one_ep, 1, "PERSON", bug_compatible=True
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    props_buggy = analytics.entity_sentiment_proportions(
+        entities, sentences, 1, "PERSON", bug_compatible=True
+    )
+    assert props_buggy.count() == 2  # still one row per entity_text
+
+
 def test_sentiment_timeseries_rolling(wh):
     ep, _ = _an_episode_with_entities(wh)
     out = analytics.sentiment_timeseries(wh.read("sentence_dimension"), ep).collect()

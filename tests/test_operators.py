@@ -240,6 +240,75 @@ def test_audio_and_resize_seams(spark):
     assert (rs[1]["width"], rs[1]["height"]) == (16, 16)
 
 
+def test_image_decoder_selection_and_both_paths(spark):
+    """Golden test per decode path (VERDICT r2 #9): the stub path runs
+    through the full Arrow round-trip; the Pillow path is exercised
+    unit-level against a real BMP header (or a fake PIL when the
+    library is absent from the container)."""
+    import sys
+
+    from serverless_podcast_etl_spark.operators import multimodal as mm
+
+    # --- path selection: without Pillow the default is the stub
+    expected = (
+        mm._pillow_decode_image if mm.pillow_available() else mm._stub_decode_image
+    )
+    assert mm.default_image_decoder() is expected
+
+    # --- stub path through Spark (deterministic golden values)
+    df = spark.createDataFrame(
+        [(1, bytes([10, 0, 0, 20])), (2, bytes([63, 0, 0, 63]))],
+        "asset_id long, content binary",
+    )
+    rows = {r["asset_id"]: r for r in mm.decode_images(df, "asset_id", "content").collect()}
+    if not mm.pillow_available():
+        assert (rows[1]["width"], rows[1]["height"]) == (64 + 10, 64 + 20)
+        assert rows[2]["n_pixels"] == (64 + 63) * (64 + 63)
+
+    # --- Pillow path, unit-level (driver-side call, not via workers)
+    if mm.pillow_available():
+        # a minimal valid 2x3 24-bit BMP (58 bytes): header declares
+        # width=2, height=3; Image.open reads dimensions lazily
+        import struct
+
+        row_bytes = 8  # 2 px * 3 B padded to 4-byte boundary
+        pixel_data = b"\x00" * (row_bytes * 3)
+        header = struct.pack(
+            "<2sIHHIIiiHHIIiiII",
+            b"BM", 54 + len(pixel_data), 0, 0, 54,
+            40, 2, 3, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0,
+        )
+        assert mm._pillow_decode_image(header + pixel_data) == (2, 3)
+    else:
+        # inject a fake PIL so the real-path plumbing (io wrapping,
+        # context manager, width/height attribute contract) still runs
+        class _FakeImg:
+            width, height = 320, 200
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                return False
+
+        class _FakeImage:
+            @staticmethod
+            def open(fp):
+                assert fp.read(2) == b"BM"
+                return _FakeImg()
+
+        fake_pil = type(sys)("PIL")
+        fake_pil.Image = _FakeImage
+        sys.modules["PIL"] = fake_pil
+        sys.modules["PIL.Image"] = _FakeImage
+        try:
+            assert mm._pillow_decode_image(b"BM" + b"\0" * 56) == (320, 200)
+            assert mm.pillow_available()
+            assert mm.default_image_decoder() is mm._pillow_decode_image
+        finally:
+            del sys.modules["PIL"], sys.modules["PIL.Image"]
+
+
 def test_chunk_binary_empty_payload_yields_no_chunks(spark):
     from serverless_podcast_etl_spark.operators.multimodal import chunk_binary
 
@@ -1035,6 +1104,55 @@ def test_pair_overlap_stats_counts(spark):
     assert (r["n_exact"], r["n_approx"], r["n_overlap"]) == (4, 3, 2)
     assert r["pair_recall"] == 0.5
     assert r["pair_precision"] == 0.6667
+
+
+def test_capped_truth_excludes_boilerplate_only_pairs(spark):
+    """Pins the q56/q68 truth-set cap (VERDICT r2 #3): a pair whose
+    ONLY shared shingles are stop-shingles (df > max_doc_freq) is
+    invisible to the capped truth — the recall gate can read 1.0 while
+    the uncapped q19 space still reports the pair.  Quantifies the
+    exclusion on a planted boilerplate corpus."""
+    from serverless_podcast_etl_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        pair_overlap_stats,
+    )
+
+    boiler = "subscribe to our newsletter for weekly updates and offers"
+    docs = spark.createDataFrame(
+        # docs 0 and 1 are pure boilerplate (identical) — their overlap
+        # is exclusively stop-shingles once df > cap; docs 2..5 carry
+        # the same boilerplate so every boilerplate shingle has df=6;
+        # docs 6 and 7 are genuine near-dups on non-boilerplate text
+        [
+            (0, boiler),
+            (1, boiler),
+            (2, boiler + " alpha beta gamma delta"),
+            (3, boiler + " epsilon zeta eta theta"),
+            (4, boiler + " iota kappa lam mu"),
+            (5, boiler + " nu xi omicron pi"),
+            (6, "quick brown fox jumps over the lazy dog tonight"),
+            (7, "quick brown fox jumps over the lazy dog today"),
+        ],
+        "doc_id long, text string",
+    )
+    kw = dict(text_col="text", id_col="doc_id", n=2, threshold=0.3)
+
+    uncapped = ngram_jaccard_pairs(docs, **kw)
+    capped = ngram_jaccard_pairs(docs, max_doc_freq=3, **kw)
+    un_pairs = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+    cap_pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+
+    assert (0, 1) in un_pairs  # uncapped q19-space sees the dup
+    assert (0, 1) not in cap_pairs  # capped truth silently excludes it
+    assert (6, 7) in cap_pairs  # genuine near-dups survive the cap
+    # quantified: the exclusion is exactly the boilerplate-only pairs
+    assert un_pairs - cap_pairs >= {(0, 1)}
+
+    # the gate reads perfect recall against the capped truth even
+    # though the boilerplate dup (0,1) was never found
+    approx = capped  # an "approx" method that returns the capped pairs
+    r = pair_overlap_stats(approx, capped).collect()[0]
+    assert r["pair_recall"] == 1.0
 
 
 def test_lsh_or_construction_recall_floor(spark):
