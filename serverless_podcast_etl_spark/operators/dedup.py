@@ -326,25 +326,60 @@ def cross_corpus_overlap(
     )
 
 
-def _materialize(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
+def _resolve_checkpoint_dir(
+    df: DataFrame, checkpoint_dir: str | None
+) -> str | None:
+    """Set the session checkpoint dir ONCE per iterative-operator
+    invocation and return the RESOLVED per-run directory (Spark
+    appends a fresh UUID subdir on every ``setCheckpointDir`` call,
+    so the resolved path is unique to this invocation).
+
+    Re-pointing the dir on every materialization (pre-r4 behavior)
+    mutates global SparkContext state per call: two concurrent runs
+    with different ``checkpoint_dir``s would each re-point the shared
+    dir and silently write blocks into each other's directories.
+    Resolving once up front and asserting the dir is unchanged at
+    every subsequent materialization (``_materialize``) turns that
+    silent cross-write into a loud error.
+    """
+    if checkpoint_dir is None:
+        return None
+    sc = df.sparkSession.sparkContext
+    sc.setCheckpointDir(checkpoint_dir)
+    return sc.getCheckpointDir()
+
+
+def _materialize(df: DataFrame, resolved_dir: str | None) -> DataFrame:
     """Eagerly materialize an iterative loop's frame, truncating
     lineage.
 
-    ``checkpoint_dir=None`` → ``localCheckpoint``: blocks live on
+    ``resolved_dir=None`` → ``localCheckpoint``: blocks live on
     executor storage — fastest, but an executor loss makes them
     unrecoverable (the lineage needed to recompute was truncated).
     Fine on local[n] and for short interactive loops.
 
-    ``checkpoint_dir`` set → RELIABLE ``checkpoint()`` into that
-    directory (HDFS/S3/DBFS path at cluster scale): blocks survive
-    executor loss, which is the mode a 100 TB run must use — over a
-    multi-hour iterative job on 1000 executors, losing one executor
-    mid-loop is the expected case, not the exception.
+    ``resolved_dir`` set (the per-run directory returned by
+    ``_resolve_checkpoint_dir``) → RELIABLE ``checkpoint()`` into
+    that directory (HDFS/S3/DBFS path at cluster scale): blocks
+    survive executor loss, which is the mode a 100 TB run must use —
+    over a multi-hour iterative job on 1000 executors, losing one
+    executor mid-loop is the expected case, not the exception.
+    Raises if another run re-pointed the session checkpoint dir
+    mid-loop (concurrent iterative runs in one session must use
+    distinct SparkSessions or be serialized).
     """
-    if checkpoint_dir is None:
+    if resolved_dir is None:
         return df.localCheckpoint(eager=True)
     sc = df.sparkSession.sparkContext
-    sc.setCheckpointDir(checkpoint_dir)
+    current = sc.getCheckpointDir()
+    if current != resolved_dir:
+        raise RuntimeError(
+            "reliable-checkpoint dir changed mid-run (expected "
+            f"{resolved_dir!r}, found {current!r}): a concurrent "
+            "iterative run re-pointed the session checkpoint dir. "
+            "Run iterative operators with conflicting checkpoint_dirs "
+            "in separate SparkSessions, or serialize them."
+        )
     return df.checkpoint(eager=True)
 
 
@@ -422,26 +457,27 @@ def connected_components(
     singleton component.
     """
     sym = pairs.select(F.col(id_a).alias("_a"), F.col(id_b).alias("_b"))
+    ckpt = _resolve_checkpoint_dir(pairs, checkpoint_dir)
     edges = _materialize(
         sym.union(sym.select(F.col("_b").alias("_a"), F.col("_a").alias("_b")))
         .distinct(),
         # materialize ONCE: without this every iteration's join would
         # recompute the upstream pair pipeline (e.g. the whole
         # MinHash-LSH candidate generation) from scratch
-        checkpoint_dir,
+        ckpt,
     )
     labels = _materialize(
         edges.select(F.col("_a").alias("_id"))
         .distinct()
         .withColumn("_comp", F.col("_id")),
-        checkpoint_dir,
+        ckpt,
     )
     converged = False
     for _ in range(max_iter):
         # materialize BEFORE the convergence count so the joins run
         # once per iteration (the count then reads materialized rows)
         updated = _materialize(
-            _cc_min_label_step(edges, labels), checkpoint_dir
+            _cc_min_label_step(edges, labels), ckpt
         )
         n_changed = updated.filter(F.col("_new") != F.col("_comp")).count()
         labels = updated.select("_id", F.col("_new").alias("_comp"))
@@ -821,20 +857,21 @@ def connected_components_star(
             )
         return canon(emitted)
 
+    ckpt = _resolve_checkpoint_dir(pairs, checkpoint_dir)
     edges = _materialize(
         canon(pairs.select(F.col(id_a).alias("_u"), F.col(id_b).alias("_v"))),
-        checkpoint_dir,
+        ckpt,
     )
     nodes = _materialize(
         edges.select(F.col("_u").alias("_id"))
         .union(edges.select(F.col("_v").alias("_id")))
         .distinct(),
-        checkpoint_dir,
+        ckpt,
     )
     converged = False
     for _ in range(max_iter):
         stepped = star_round(star_round(edges, large=True), large=False)
-        stepped = _materialize(stepped, checkpoint_dir)
+        stepped = _materialize(stepped, ckpt)
         changed = (
             stepped.exceptAll(edges).count() + edges.exceptAll(stepped).count()
         )
