@@ -610,15 +610,35 @@ def q23_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs — exact all-pairs ORACLE
     BASELINE only.  The operator refuses corpora above its documented
     row cap (similarity.EXACT_NEARDUP_MAX_ROWS); the registered scale
-    path is q35's LSH-bucketed form.  Excluded from bench by design."""
-    emb = _t(spark, sf_dir, "embeddings")
+    path is q35's LSH-bucketed form.  Excluded from bench by design.
+
+    The synthetic embeddings are near-orthogonal (no pair crosses the
+    0.8 threshold at any SF), so three SCALED CLONES are appended
+    in-query (vec_id + 1_000_000, vector × 2 — same direction,
+    different norm; same expression in the oracle): the threshold,
+    normalization and pair-emission paths are certified on non-empty
+    output instead of a vacuous 0=0 match (r3 VERDICT "what's
+    wrong" #2)."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    clones = emb.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(2.0)).cast("float")
+        ).alias("embedding"),
+    )
     return similarity.embedding_neardup_pairs(
-        emb, id_col="vec_id", threshold=0.8
+        emb.unionByName(clones), id_col="vec_id", threshold=0.8
     )
 
 
 _Q23_SQL = """
-WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+v AS (
+  SELECT vec_id, e FROM base
+  UNION ALL
+  SELECT vec_id + 1000000, list_transform(e, x -> x * 2.0)
+  FROM base WHERE vec_id < 3
+)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_dot_product(a.e, b.e) /
              (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) AS cosine
@@ -1191,17 +1211,43 @@ WHERE NOT EXISTS (SELECT 1 FROM comp c
 def q50_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train-test decontamination: corpus docs sharing any word 8-gram
     with the (deterministic stand-in) benchmark slice doc_id % 97 == 0.
-    Candidate generation = shingle-hash equi-join, benchmark broadcast."""
+    Candidate generation = shingle-hash equi-join, benchmark broadcast.
+
+    The templated corpus shares no natural 8-gram across the 97-split,
+    so a constant 8-token tail is APPENDED in-query to every benchmark
+    doc and to corpus docs with doc_id % 101 == 0 (same CASE
+    expression in the oracle): the shingle-join, grouping and count
+    paths are certified on non-empty overlap instead of a vacuous 0=0
+    match (r3 VERDICT "what's wrong" #2)."""
     docs = _t(spark, sf_dir, "documents")
-    corpus = docs.filter(F.col("doc_id") % 97 != 0)
-    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    tail = (
+        " contam0 contam1 contam2 contam3 contam4 contam5 contam6 contam7"
+    )
+    injected = docs.select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 97 == 0) | (F.col("doc_id") % 101 == 0),
+            F.concat(F.col("text"), F.lit(tail)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    corpus = injected.filter(F.col("doc_id") % 97 != 0)
+    benchmark = injected.filter(F.col("doc_id") % 97 == 0)
     return dedup.cross_corpus_overlap(
         corpus, benchmark, text_col="text", id_col="doc_id", n=8
     )
 
 
 _Q50_SQL = f"""
-WITH sh AS ({{shingle_cte}}),
+WITH injected AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 97 = 0 OR doc_id % 101 = 0
+              THEN text || ' contam0 contam1 contam2 contam3 contam4 contam5 contam6 contam7'
+              ELSE text END AS text
+  FROM documents
+),
+sh AS ({{shingle_cte}}),
 c AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
 b AS (SELECT DISTINCT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 97 = 0)
 SELECT c.doc_id,
@@ -1209,7 +1255,11 @@ SELECT c.doc_id,
        count(DISTINCT b.eval_id) AS n_eval_docs
 FROM c JOIN b USING (shingle)
 GROUP BY 1
-""".format(shingle_cte=_shingle_cte(8))
+""".format(
+    # the shared shingle CTE scans `documents`; q50 shingles the
+    # contamination-injected projection instead
+    shingle_cte=_shingle_cte(8).replace("FROM documents", "FROM injected")
+)
 
 
 def q51_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
