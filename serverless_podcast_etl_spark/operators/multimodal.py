@@ -3,11 +3,13 @@
 Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata structs; decode / feature-extraction runs as Arrow-batched
 ``mapInPandas`` stages.  Image decode uses REAL Pillow when the
-library is importable (``default_image_decoder``); everything else —
-and the no-Pillow fallback — is a clearly-marked deterministic STUB
-(the image/audio libraries are not in this container).  The Spark-side
-plumbing — schema, partitioning, UDF signature, batch shape — is real
-and tested on both paths.
+library is importable (``default_image_decoder``); audio decode uses
+the REAL stdlib ``wave`` codec for RIFF/WAVE payloads
+(``default_audio_decoder``, per-payload container sniff); everything
+else — no-Pillow fallback, non-WAV audio (mp3), video demux — is a
+clearly-marked deterministic STUB (the codec libraries are not in
+this container).  The Spark-side plumbing — schema, partitioning, UDF
+signature, batch shape — is real and tested on both paths.
 
 Reference parity: the reference treats mp3 audio as opaque bytes and
 chunks it at a fixed byte size (src/lambda_3.py:84-114); ``chunk_binary``
@@ -237,10 +239,98 @@ AUDIO_FEATURES_SCHEMA = StructType(
     [
         StructField("asset_id", LongType()),
         StructField("duration_ms", LongType()),
-        StructField("rms_energy", StringType()),  # stub: hex digest stand-in
+        StructField("rms_energy", StringType()),  # real RMS (wav) or digest stub
         StructField("n_samples", LongType()),
     ]
 )
+
+
+def _stub_decode_audio(
+    payload: bytes, bytes_per_ms: int = 16
+) -> tuple[int, int, str]:
+    """STUB: a real implementation would decode mp3 frames
+    (libmpg123/ffmpeg) here — no codec libs in this container.
+
+    Deterministic byte-length-derived stand-in: duration from payload
+    size, digest-based pseudo-energy, so the Arrow batch shape and
+    schema contract are exercised on arbitrary (e.g. mp3) bytes.
+    """
+    import hashlib
+
+    return (
+        len(payload) // bytes_per_ms,
+        len(payload) // 2,
+        hashlib.md5(payload).hexdigest()[:8],
+    )
+
+
+def _wave_decode_audio(
+    payload: bytes, bytes_per_ms: int = 16
+) -> tuple[int, int, str]:
+    """Real codec path: stdlib ``wave`` parse of a RIFF/WAVE payload →
+    (duration_ms, n_samples, rms_energy).
+
+    Duration and sample count come from the header (frame count ×
+    rate/channels); RMS is computed over the decoded PCM frames via a
+    vectorized numpy reduction when samples are 16-bit (the common
+    case), digest stand-in otherwise.  Raises on non-WAV payloads —
+    callers route through ``default_audio_decoder``, which sniffs the
+    container magic first.
+    """
+    import io
+    import wave
+
+    if not payload:
+        raise ValueError("empty audio payload")
+    with wave.open(io.BytesIO(payload)) as w:
+        nframes = w.getnframes()
+        rate = w.getframerate()
+        nch = w.getnchannels()
+        sampwidth = w.getsampwidth()
+        frames = w.readframes(nframes)
+    n_samples = nframes * nch
+    duration_ms = (nframes * 1000) // rate if rate else 0
+    if sampwidth == 2 and n_samples:
+        import numpy as np
+
+        x = np.frombuffer(frames, dtype="<i2").astype(np.float64)
+        rms = f"{float(np.sqrt(np.mean(x * x))):.2f}"
+    else:
+        import hashlib
+
+        rms = hashlib.md5(payload).hexdigest()[:8]
+    return duration_ms, n_samples, rms
+
+
+def is_wav_payload(payload: bytes) -> bool:
+    """RIFF/WAVE container sniff (magic at offsets 0 and 8)."""
+    return (
+        len(payload) >= 12
+        and payload[:4] == b"RIFF"
+        and payload[8:12] == b"WAVE"
+    )
+
+
+def default_audio_decoder(
+    bytes_per_ms: int = 16,
+) -> Callable[[bytes], tuple[int, int, str]]:
+    """Per-payload codec selection: REAL stdlib-``wave`` decode for
+    RIFF/WAVE payloads, deterministic stub for everything else.
+
+    The image analogue (``default_image_decoder``) selects driver-side
+    on library availability; audio selects PER PAYLOAD because the
+    real codec (stdlib ``wave``) is unconditionally importable but
+    only speaks WAV — mp3 (the reference's actual format,
+    src/lambda_3.py:84-114) still needs an external lib this container
+    doesn't ship, so those bytes take the labeled stub.
+    """
+
+    def decode(payload: bytes) -> tuple[int, int, str]:
+        if is_wav_payload(payload):
+            return _wave_decode_audio(payload, bytes_per_ms)
+        return _stub_decode_audio(payload, bytes_per_ms)
+
+    return decode
 
 
 def extract_audio_features(
@@ -248,31 +338,34 @@ def extract_audio_features(
     id_col: str,
     binary_col: str,
     bytes_per_ms: int = 16,
+    decode: Callable[[bytes], tuple[int, int, str]] | None = None,
 ) -> DataFrame:
-    """Audio feature-extraction seam (STUB codec, real plumbing).
+    """Audio feature extraction via ``mapInPandas`` (real WAV codec,
+    stub for other formats; plumbing identical on both paths).
 
-    A real implementation decodes mp3 frames (libmpg123/ffmpeg) and
-    computes RMS/spectral features; the deterministic stand-in derives
-    duration from byte length and a digest-based pseudo-energy so the
-    Arrow batch shape and schema contract are fully exercised.
+    The codec is pluggable; the default is ``default_audio_decoder()``
+    — stdlib ``wave`` header+PCM decode for RIFF/WAVE payloads, the
+    deterministic byte-derived stub otherwise.  Batch shape: one
+    pandas DataFrame per Arrow batch, output rows aligned 1:1.
     """
-    import hashlib
+    decode_fn = decode or default_audio_decoder(bytes_per_ms)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = [bytes(p) for p in pdf[binary_col]]
+            durs: list[int] = []
+            samps: list[int] = []
+            rmss: list[str] = []
+            for p in pdf[binary_col]:
+                d, n, r = decode_fn(bytes(p))
+                durs.append(d)
+                samps.append(n)
+                rmss.append(r)
             yield pd.DataFrame(
                 {
                     "asset_id": pdf[id_col].astype("int64"),
-                    "duration_ms": pd.array(
-                        [len(p) // bytes_per_ms for p in payloads], dtype="int64"
-                    ),
-                    "rms_energy": [
-                        hashlib.md5(p).hexdigest()[:8] for p in payloads
-                    ],
-                    "n_samples": pd.array(
-                        [len(p) // 2 for p in payloads], dtype="int64"
-                    ),
+                    "duration_ms": pd.array(durs, dtype="int64"),
+                    "rms_energy": rmss,
+                    "n_samples": pd.array(samps, dtype="int64"),
                 }
             )
 

