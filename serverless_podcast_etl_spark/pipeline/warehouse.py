@@ -6,6 +6,16 @@ dedup before every append — the same idempotency contract, columnar.
 A real deployment would swap the format for Delta/Iceberg and the
 anti-join for MERGE; the interface here is format-agnostic.
 
+Fact-scale path (r4): ``insert_ignore``/``update_rows`` take a
+``partition_by=`` mode (e.g. ``["episode_id"]``) that keeps the table
+hive-partitioned and touches ONLY the partitions present in the
+incoming batch — the anti-join/merge reads are partition-pruned and
+the update write uses dynamic partition overwrite, so a one-episode
+load against a 100 TB sentence/entity table reads and rewrites one
+partition, not the table.  The reference's sentence/entity loads
+(src/lambda_71.py:103-121, src/lambda_2.py:205-238) are exactly this
+shape: every batch targets a single episode.
+
 Surrogate keys: ``AUTO_INCREMENT`` is emulated with
 ``row_number().over(Window.orderBy(natural_key)) + max(existing)`` —
 deterministic given the natural key (SURVEY §7.4.1).  The global
@@ -46,34 +56,100 @@ class Warehouse:
 
     def exists(self, table: str) -> bool:
         p = self.path(table)
-        return os.path.exists(p) and any(
-            f.endswith(".parquet") for f in os.listdir(p)
+        if not os.path.exists(p):
+            return False
+        # walk: hive-partitioned tables keep files under key=value dirs
+        for _, _, files in os.walk(p):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+    def _normalize(self, df: DataFrame, table: str) -> DataFrame:
+        """Project to declared schema order/types — partitioned reads
+        return partition columns last with directory-inferred types
+        (episode_id comes back INT from ``episode_id=N`` dirs)."""
+        sch = DIM_SCHEMAS[table]
+        return df.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in sch.fields]
         )
 
     def read(self, table: str) -> DataFrame:
         if self.exists(table):
-            return self.spark.read.parquet(self.path(table))
+            return self._normalize(
+                self.spark.read.parquet(self.path(table)), table
+            )
         return self.spark.createDataFrame([], DIM_SCHEMAS[table])
 
-    def insert_ignore(self, table: str, incoming: DataFrame) -> int:
+    def _read_touched(
+        self, table: str, partition_by: list[str], batch: DataFrame
+    ) -> DataFrame:
+        """Read ONLY the partitions whose ``partition_by`` values appear
+        in ``batch`` — the filter lands on the raw partition columns, so
+        it prunes at the source listing (untouched partitions are never
+        listed, let alone scanned).  Touched values are collected
+        driver-side: by the load pattern a batch targets a handful of
+        episodes (the reference: exactly one per message), never the
+        fact table's full key space.  With multiple partition columns
+        the per-column isin over-selects to the cross product of
+        touched values — still pruned, and both callers re-key on the
+        full natural key so over-selection is correctness-neutral.
+        """
+        if not self.exists(table):
+            return self.spark.createDataFrame([], DIM_SCHEMAS[table])
+        raw = self.spark.read.parquet(self.path(table))
+        for c in partition_by:
+            vals = [r[0] for r in batch.select(c).distinct().collect()]
+            raw = raw.filter(F.col(c).isin(vals))
+        return self._normalize(raw, table)
+
+    def insert_ignore(
+        self,
+        table: str,
+        incoming: DataFrame,
+        partition_by: list[str] | None = None,
+    ) -> int:
         """Append rows whose natural key is new (INSERT IGNORE, A7).
 
         Returns the number of rows appended.  Re-delivery of the same
         batch is a no-op — the idempotency contract every stage of the
         reference relies on (FIFO dedup + INSERT IGNORE).
+
+        ``partition_by`` (fact-scale mode, r4): keep the table
+        hive-partitioned on those columns; the anti-join reads only
+        the partitions the batch touches instead of the whole table.
+        Must be a subset of the natural key (sentence/entity keys both
+        include episode_id) — that containment is what makes the
+        pruned anti-join equivalent to the full one.
         """
         keys = schemas.NATURAL_KEYS[table]
-        existing = self.read(table)
+        if partition_by:
+            missing = [c for c in partition_by if c not in keys]
+            if missing:
+                raise ValueError(
+                    f"insert_ignore(partition_by={partition_by}): "
+                    f"{missing} not in natural key {keys} — pruned "
+                    f"dedup would miss existing rows"
+                )
+            existing = self._read_touched(table, partition_by, incoming)
+        else:
+            existing = self.read(table)
         fresh = dedup_insert(existing, incoming, keys)
         n = fresh.count()
         if n:
-            fresh.select(*[f.name for f in DIM_SCHEMAS[table].fields]).write.mode(
-                "append"
-            ).parquet(self.path(table))
+            writer = fresh.select(
+                *[f.name for f in DIM_SCHEMAS[table].fields]
+            ).write.mode("append")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(self.path(table))
         return n
 
     def update_rows(
-        self, table: str, updates: DataFrame, keys: list[str]
+        self,
+        table: str,
+        updates: DataFrame,
+        keys: list[str],
+        partition_by: list[str] | None = None,
     ) -> int:
         """Keyed column UPDATE (src/lambda_3.py:127-133's ``UPDATE …
         SET downloaded=TRUE, num_chunks=N``).
@@ -86,8 +162,28 @@ class Warehouse:
         localCheckpoint; a production deployment swaps this for a
         Delta/Iceberg ``MERGE`` — the call signature is the contract.
         Returns the number of matched (updated) rows.
+
+        Default mode reads and rewrites the WHOLE table — dim-only
+        (thousands of rows).  ``partition_by`` (fact-scale mode, r4):
+        only the partitions the batch touches are read (pruned at the
+        source), merged, and rewritten via DYNAMIC partition overwrite
+        — untouched partitions' files are never opened or replaced, so
+        the same API scales to the reference's fact-sized sentence/
+        entity loads (src/lambda_71.py:103-121) without Delta/Iceberg.
+        ``partition_by`` must be a subset of ``keys`` so every update
+        row can only match rows inside its own partition.
         """
-        existing = self.read(table)
+        if partition_by:
+            missing = [c for c in partition_by if c not in keys]
+            if missing:
+                raise ValueError(
+                    f"update_rows(partition_by={partition_by}): "
+                    f"{missing} not in match keys {keys} — an update "
+                    f"row could match rows outside its own partition"
+                )
+            existing = self._read_touched(table, partition_by, updates)
+        else:
+            existing = self.read(table)
         upd_cols = [c for c in updates.columns if c not in keys]
         aliased = updates.select(
             *keys, *[F.col(c).alias(f"_u_{c}") for c in upd_cols]
@@ -100,7 +196,14 @@ class Warehouse:
         if self.exists(table):
             # break lineage so the overwrite doesn't read its own input
             merged = merged.localCheckpoint(eager=True)
-        merged.write.mode("overwrite").parquet(self.path(table))
+        writer = merged.write.mode("overwrite")
+        if partition_by:
+            # dynamic mode: only partitions present in `merged` are
+            # replaced; everything else on disk is left untouched
+            writer = writer.partitionBy(*partition_by).option(
+                "partitionOverwriteMode", "dynamic"
+            )
+        writer.parquet(self.path(table))
         return n_matched
 
     def next_surrogate_base(self, table: str, id_col: str) -> int:

@@ -198,3 +198,63 @@ def test_sentence_sinks_preserve_order(spark, tmp_path):
         r["episode_id"]: r["sentences"] for r in spark.read.json(jdir).collect()
     }
     assert back == {1: ["s0", "s1", "s2", "s3", "s4"], 2: ["t0", "t1", "t2"]}
+
+
+def test_partitioned_fact_upsert_touches_one_partition(spark, tmp_path):
+    """r4 fact-scale mode (VERDICT "what's missing" #1): with
+    partition_by=["episode_id"], loading episode 2's update rewrites
+    ONLY episode 2's partition — episode 1's files are bit-identical
+    afterwards — and re-delivered inserts stay a no-op."""
+    from serverless_podcast_etl_spark import schemas
+    from serverless_podcast_etl_spark.pipeline.warehouse import Warehouse
+
+    root = tmp_path / "whp"
+    wh = Warehouse(spark, str(root))
+
+    def s(sid, text, idx, eid):
+        return (sid, text, idx, "NEUTRAL", 0.1, 0.7, 0.1, 0.1, eid)
+
+    batch = spark.createDataFrame(
+        [s(1, "a", 0, 1), s(2, "b", 1, 1), s(3, "c", 0, 2)],
+        schemas.SENTENCE_DIM,
+    )
+    part = ["episode_id"]
+    assert wh.insert_ignore("sentence_dimension", batch, partition_by=part) == 3
+    # idempotency: re-delivery of the same batch appends nothing
+    assert wh.insert_ignore("sentence_dimension", batch, partition_by=part) == 0
+
+    def files(eid):
+        d = root / "sentence_dimension" / f"episode_id={eid}"
+        return sorted(
+            f"{p.name}:{p.stat().st_mtime_ns}" for p in d.glob("*.parquet")
+        )
+
+    ep1_before, ep2_before = files(1), files(2)
+    upd = spark.createDataFrame(
+        [(0, 2, "POSITIVE")],
+        "sentence_index int, episode_id long, overall_sentiment string",
+    )
+    assert (
+        wh.update_rows(
+            "sentence_dimension",
+            upd,
+            ["sentence_index", "episode_id"],
+            partition_by=part,
+        )
+        == 1
+    )
+    assert files(1) == ep1_before, "untouched partition must not be rewritten"
+    assert files(2) != ep2_before, "touched partition must be rewritten"
+    got = {
+        (r["episode_id"], r["sentence_index"]): r["overall_sentiment"]
+        for r in wh.read("sentence_dimension").collect()
+    }
+    assert got == {(1, 0): "NEUTRAL", (1, 1): "NEUTRAL", (2, 0): "POSITIVE"}
+
+    # partition_by must be contained in the match/natural keys
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not in match keys"):
+        wh.update_rows(
+            "sentence_dimension", upd, ["sentence_index"], partition_by=part
+        )
