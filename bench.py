@@ -7,12 +7,27 @@ Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 
 Each query is forced with a ``noop``-format write — full computation,
 no driver-side collect, mirroring how a cluster job would sink.
+
+Measurement protocol (r4 — after the round-3 postmortem showed
+min-of-2 in one session cannot distinguish plan changes from session
+noise, and an A/B proved per-query ``System.gc()`` has no isolation
+effect): each query pays ONE untimed warm run (Janino codegen — a
+one-shot cost a resident cluster amortizes), then
+``$SPARK_GRAFT_BENCH_RUNS`` (default 5) timed runs; the reported
+figure is the MEDIAN.  When ``BENCH_GOLDEN.json`` exists (frozen
+per-query medians + observed cross-session variance bands; regenerate
+with ``tools/make_bench_golden.py``), the output embeds a
+``vs_golden`` comparison, so every round's BENCH file grades itself
+against an absolute anchor instead of the previous round's noise.
+For round-over-round claims about a PLAN change, still A/B the two
+plan variants alternating within one session (NOTES.md fact 8).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -126,46 +141,83 @@ def main() -> None:
 
     spark.range(8).select(_warm("id")).write.format("noop").mode("overwrite").save()
 
-    # Two timed runs per query, report the min: run 1 pays one-shot
-    # Janino codegen compilation (~0.3-3 s per distinct plan — a cost
-    # a resident cluster pays once, not per query), run 2 measures the
-    # steady-state latency a deployed engine delivers.
-    #
-    # Isolation hygiene (round-2 verdict: unchanged plans drifted 1.18×
-    # in a 60-query session): a full System.gc() before each query's
-    # timed runs stops heap pressure from earlier queries leaking into
-    # later timings, so round-over-round deltas reflect plan changes,
-    # not where in the session a query happened to run.
-    jvm_gc = spark._jvm.System.gc  # noqa: SLF001
+    # Median-of-N protocol (r4): run 0 is UNTIMED warm-up — it pays
+    # the one-shot Janino codegen compilation (~0.3-3 s per distinct
+    # plan, a cost a resident cluster pays once, not per query) and is
+    # recorded separately as `cold`.  The N timed runs that follow
+    # measure steady-state latency; the median is robust to the
+    # ±50%-per-session swings the round-3 postmortem measured on
+    # heavy queries (min-of-2 was not).
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     cold: dict[str, float] = {}
     for name in HEADLINE:
         fn = CATALOG[name].fn
-        jvm_gc()
-        for attempt in range(2):
+        start = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        cold[name] = round(time.perf_counter() - start, 3)
+        samples: list[float] = []
+        for _ in range(runs):
             start = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            elapsed = round(time.perf_counter() - start, 3)
-            if attempt == 0:
-                cold[name] = elapsed
-            timings[name] = min(timings.get(name, elapsed), elapsed)
+            samples.append(round(time.perf_counter() - start, 3))
+        timings[name] = round(statistics.median(samples), 3)
+        spread[name] = [min(samples), max(samples)]
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "runs_per_query": 2,
-                "cold_total": round(sum(cold.values()), 3),
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "runs_per_query": runs,
+        "cold_total": round(sum(cold.values()), 3),
+        "spread": spread,
+    }
+    golden = _load_golden(float(sf) if sf.replace(".", "").isdigit() else sf)
+    if golden is not None:
+        out["vs_golden"] = _vs_golden(timings, golden)
+    print(json.dumps(out))
     spark.stop()
+
+
+def _load_golden(sf) -> dict | None:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_GOLDEN.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        g = json.load(f)
+    # the anchor is only meaningful at its own scale factor
+    return g if g.get("sf") == sf else None
+
+
+def _vs_golden(timings: dict[str, float], golden: dict) -> dict:
+    """Self-grading vs the frozen anchor: per-query ratio to the
+    golden median, flagged when above 2× the golden session-band
+    maximum (i.e. slow even after granting the observed cross-session
+    variance).  ``median_ratio`` near 1.0 = this session is typical;
+    a uniform shift means session/environment drift, per-query
+    outliers mean plan regressions."""
+    ratios: dict[str, float] = {}
+    flagged: list[str] = []
+    for name, t in timings.items():
+        q = golden["per_query"].get(name)
+        if not q:
+            continue
+        ratios[name] = round(t / q["median"], 3)
+        if t > 2.0 * q["hi"]:
+            flagged.append(name)
+    med = round(statistics.median(ratios.values()), 3) if ratios else None
+    return {
+        "golden_sessions": golden.get("n_sessions"),
+        "median_ratio": med,
+        "n_compared": len(ratios),
+        "above_2x_band": sorted(flagged),
+    }
 
 
 if __name__ == "__main__":
