@@ -70,7 +70,12 @@ def run_nlp(wh: Warehouse, transcript_df: DataFrame) -> dict[str, int]:
     )
     aligned_sent = nlp.align_sentiment(sentences, sent_lines)
     sentence_rows = nlp.build_sentence_dim(aligned_sent)
-    n_sent = wh.insert_ignore("sentence_dimension", sentence_rows)
+    # fact-scale mode (r4): a batch targets a handful of episodes, so
+    # the INSERT IGNORE anti-join prunes to the touched episode_id
+    # partitions instead of scanning the whole sentence table
+    n_sent = wh.insert_ignore(
+        "sentence_dimension", sentence_rows, partition_by=["episode_id"]
+    )
 
     # entities over the '\n'-joined document (offsets per lambda_72)
     doc_text = sentences.groupBy("episode_id").agg(
@@ -101,7 +106,9 @@ def run_nlp(wh: Warehouse, transcript_df: DataFrame) -> dict[str, int]:
     spans = nlp.sentence_spans(sentences)
     aligned_ents = nlp.align_entities(ents, spans)
     entity_rows = nlp.build_entity_dim(aligned_ents)
-    n_ent = wh.insert_ignore("entity_dimension", entity_rows)
+    n_ent = wh.insert_ignore(
+        "entity_dimension", entity_rows, partition_by=["episode_id"]
+    )
 
     return {"sentence_dimension": n_sent, "entity_dimension": n_ent}
 
