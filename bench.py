@@ -109,6 +109,7 @@ HEADLINE = [
     "q66_duplicated_spans",
     "q67_strip_duplicated_spans",
     "q68_neardup_pair_recall",
+    "q69_bloom_decontamination",
 ]
 
 

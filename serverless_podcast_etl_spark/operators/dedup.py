@@ -326,6 +326,110 @@ def cross_corpus_overlap(
     )
 
 
+def _build_bloom(keys_u64, bits_per_key: int, seed: int):
+    """Vectorized blocked-free Bloom bitset over uint64 keys.
+
+    m = next power of two ≥ bits_per_key·n (so probes are a multiply +
+    shift, no modulo); k ≈ bits_per_key·ln2 multiplicative hash
+    functions (odd 64-bit constants — the keys are already uniform
+    shingle hashes, so Knuth multiplicative mixing of the TOP log2(m)
+    bits suffices).  Returns (packed_words, shift, constants).
+    """
+    import numpy as np
+
+    n = max(int(keys_u64.size), 1)
+    m = 1 << max(int(np.ceil(np.log2(n * bits_per_key))), 6)
+    k = max(1, int(round(bits_per_key * 0.6931)))
+    rng = np.random.default_rng(seed)
+    consts = (
+        rng.integers(1, 2**62, size=k, dtype=np.uint64) << np.uint64(1)
+    ) | np.uint64(1)
+    shift = np.uint64(64 - int(np.log2(m)))
+    words = np.zeros(m >> 6, dtype=np.uint64)
+    for c in consts:
+        pos = (keys_u64 * c) >> shift
+        # fancy |= drops duplicate indices; bitwise_or.at accumulates
+        np.bitwise_or.at(
+            words, pos >> np.uint64(6),
+            np.uint64(1) << (pos & np.uint64(63)),
+        )
+    return words, shift, consts
+
+
+def _bloom_probe(vals_u64, words, shift, consts):
+    import numpy as np
+
+    ok = np.ones(vals_u64.size, dtype=bool)
+    for c in consts:
+        pos = (vals_u64 * c) >> shift
+        ok &= ((words[pos >> np.uint64(6)] >> (pos & np.uint64(63)))
+               & np.uint64(1)).astype(bool)
+    return ok
+
+
+def bloom_cross_corpus_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    bits_per_key: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """``cross_corpus_overlap`` for eval sets TOO LARGE to broadcast
+    as a join hash table — same output contract, exact results.
+
+    Scale shape: the corpus scan carries an in-row Bloom prefilter
+    (Arrow-batched pandas UDF probing a broadcast numpy bitset —
+    bits_per_key·n_eval_shingles BITS on each executor, ~1/30th of a
+    JVM broadcast-hash-join table for the same keys), which drops
+    ~every clean shingle at the scan.  Only the tiny survivor set
+    (true hits + ~0.04% false positives at 16 bits/key) reaches the
+    confirm equi-join, which therefore shuffles almost nothing — and
+    the confirm join makes the result EXACT: Bloom false positives
+    are eliminated there, and false negatives are impossible by
+    construction.  The driver transiently holds the distinct eval
+    shingle hash array (Arrow transfer) to build the bitset; the
+    executors never hold more than the bitset.
+    """
+    import numpy as np
+
+    c_sh = shingles(corpus, text_col, id_col, n=n)
+    b_sh = shingles(benchmark, text_col, id_col, n=n).select(
+        F.col(id_col).alias("_eval_id"), "shingle"
+    )
+    uniq = (
+        b_sh.select("shingle")
+        .distinct()
+        .toPandas()["shingle"]
+        .to_numpy(dtype=np.int64)
+        .view(np.uint64)
+    )
+    words, shift, consts = _build_bloom(uniq, bits_per_key, seed)
+    bc = corpus.sparkSession.sparkContext.broadcast((words, shift, consts))
+
+    @F.pandas_udf("boolean")
+    def might_contain(s):
+        import pandas as pd
+
+        w, sh, cs = bc.value
+        vals = s.to_numpy(dtype=np.int64, na_value=0).view(np.uint64)
+        return pd.Series(_bloom_probe(vals, w, sh, cs))
+
+    survivors = c_sh.filter(might_contain(F.col("shingle")))
+    # deliberately NOT broadcast: the whole point is the eval side no
+    # longer fits an executor hash table; survivors are tiny, so the
+    # shuffle exchanges almost nothing
+    return (
+        survivors.join(b_sh, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_grams"),
+            F.countDistinct("_eval_id").alias("n_eval_docs"),
+        )
+    )
+
+
 def _resolve_checkpoint_dir(
     df: DataFrame, checkpoint_dir: str | None
 ) -> str | None:

@@ -1262,6 +1262,33 @@ GROUP BY 1
 )
 
 
+def q69_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q50's decontamination via the Bloom-prefilter scale path
+    (dedup.bloom_cross_corpus_overlap): an in-row bitset probe at the
+    corpus scan replaces the broadcast of the eval shingle hash table
+    — the form for eval sets beyond broadcast-join reach.  EXACT
+    (confirm join removes Bloom false positives), so it shares q50's
+    oracle semantics; same deterministic contamination injection."""
+    docs = _t(spark, sf_dir, "documents")
+    tail = (
+        " contam0 contam1 contam2 contam3 contam4 contam5 contam6 contam7"
+    )
+    injected = docs.select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 97 == 0) | (F.col("doc_id") % 101 == 0),
+            F.concat(F.col("text"), F.lit(tail)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    corpus = injected.filter(F.col("doc_id") % 97 != 0)
+    benchmark = injected.filter(F.col("doc_id") % 97 == 0)
+    return dedup.bloom_cross_corpus_overlap(
+        corpus, benchmark, text_col="text", id_col="doc_id", n=8
+    )
+
+
 def q51_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 characteristic terms per document by TF-IDF (log-free
     rational idf so Spark and DuckDB doubles are bit-identical; see
@@ -2056,6 +2083,12 @@ CATALOG: dict[str, QueryDef] = {
     "q68_neardup_pair_recall": QueryDef(
         q68_neardup_pair_recall, None, "near-dup pair recall: LSH vs exact"
     ),
+    # exact semantics == q50, so the oracle is shared verbatim
+    "q69_bloom_decontamination": QueryDef(
+        q69_bloom_decontamination,
+        _Q50_SQL,
+        "decontamination via Bloom-prefilter scale path",
+    ),
 }
 
 
@@ -2109,6 +2142,9 @@ DRIVER_OVERFLOW: frozenset[str] = frozenset(
         "q63_url_domains",
         "q64_language_id_eval",
         "q68_neardup_pair_recall",
+        # r4 addition: q69 is q50's scale twin (same oracle, Bloom
+        # prefilter plan); q50 holds the family's driver row
+        "q69_bloom_decontamination",
     }
 )
 

@@ -1023,6 +1023,62 @@ def test_fingerprint_decontaminate_planted_overlap(spark):
     assert out[0]["n_shared_fingerprints"] >= 1
 
 
+def test_bloom_bitset_membership_and_fp_rate():
+    """Bloom unit contract: inserted keys ALWAYS probe true (no false
+    negatives — that's what makes the confirm-join result exact);
+    random non-members probe true at ≪1% (16 bits/key ⇒ ~0.04%
+    theoretical)."""
+    import numpy as np
+
+    from serverless_podcast_etl_spark.operators.dedup import (
+        _bloom_probe,
+        _build_bloom,
+    )
+
+    rng = np.random.default_rng(0)
+    keys = rng.integers(0, 2**63, size=5000, dtype=np.uint64)
+    words, shift, consts = _build_bloom(keys, 16, 7)
+    assert _bloom_probe(keys, words, shift, consts).all()
+    probes = rng.integers(0, 2**63, size=50000, dtype=np.uint64)
+    fresh = probes[~np.isin(probes, keys)]
+    fp = float(_bloom_probe(fresh, words, shift, consts).mean())
+    assert fp < 0.01, f"false-positive rate {fp} too high"
+
+
+def test_bloom_decontamination_parity_with_broadcast_form(spark):
+    """bloom_cross_corpus_overlap must produce EXACTLY the broadcast-
+    join form's rows (Bloom fps removed by the confirm join, fns
+    impossible) — on planted contamination AND on a clean corpus."""
+    from serverless_podcast_etl_spark.operators.dedup import (
+        bloom_cross_corpus_overlap,
+        cross_corpus_overlap,
+    )
+
+    leak = " ".join(f"w{i}" for i in range(12))  # ≥ 8-gram shared span
+    corpus = spark.createDataFrame(
+        [
+            (1, "intro words then " + leak + " trailing text here"),
+            (2, "completely different content about other things entirely"),
+            (3, "more unique prose with no overlap at all in any gram"),
+        ],
+        "doc_id long, text string",
+    )
+    benchmark = spark.createDataFrame(
+        [(100, "benchmark prompt " + leak), (101, "another eval doc")],
+        "doc_id long, text string",
+    )
+    a = sorted(
+        map(tuple, cross_corpus_overlap(corpus, benchmark, "text", "doc_id", n=8).collect())
+    )
+    b = sorted(
+        map(tuple, bloom_cross_corpus_overlap(corpus, benchmark, "text", "doc_id", n=8).collect())
+    )
+    assert a == b and len(a) == 1 and a[0][0] == 1
+
+    clean = corpus.filter(F.col("doc_id") > 1)
+    assert bloom_cross_corpus_overlap(clean, benchmark, "text", "doc_id", n=8).count() == 0
+
+
 def test_duplicated_spans_planted(spark):
     """A 25-token phrase occurring twice (within and across docs)
     yields exactly the maximal token spans covering it; unique text
