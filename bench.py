@@ -110,6 +110,7 @@ HEADLINE = [
     "q67_strip_duplicated_spans",
     "q68_neardup_pair_recall",
     "q69_bloom_decontamination",
+    "q70_semantic_dedup",
 ]
 
 

@@ -672,6 +672,86 @@ def embedding_neardup_pairs(
     )
 
 
+def semantic_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    seed: int = 7,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embeddings (the existing
+    IVF coarse quantizer — seeded, deterministic) and score cosine
+    ONLY within a cluster.
+
+    Scale shape: candidate generation is an equi-join on the cluster
+    id, so pair cost is Σ|cluster|² ≈ n²/k for balanced cells, tuned
+    by ``n_clusters`` (SemDeDup's own lever — the paper runs ~11k
+    clusters over LAION embeddings; size n_clusters so the expected
+    cell, |corpus|/k, keeps the per-cell self-join small).  Assignment
+    itself is shuffle-free (centroids inlined, one BLAS argmin per
+    Arrow batch).  Near-dups straddling a cluster boundary are missed
+    by construction — the paper accepts this; use
+    ``embedding_neardup_pairs(planes=...)`` when boundary recall
+    matters more than cost.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            df, vec_col, n_clusters=n_clusters, seed=seed
+        )
+    assigned = assign_ivf_cluster(df, centroids, vec_col)
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "cluster"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "cluster"
+    )
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("_va"), F.col("_vb"))
+                / (_norm(F.col("_va")) * _norm(F.col("_vb"))),
+                4,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    seed: int = 7,
+) -> DataFrame:
+    """Apply SemDeDup: resolve ``semantic_neardup_pairs`` into
+    connected components and keep each component's minimum-id row
+    (composition with the dedup stack's cluster-aware removal — near
+    duplicates are transitive in practice, so removal is per
+    component, not per pair)."""
+    from .dedup import neardup_dedup_keep_first
+
+    pairs = semantic_neardup_pairs(
+        df,
+        id_col,
+        vec_col,
+        centroids=centroids,
+        n_clusters=n_clusters,
+        threshold=threshold,
+        seed=seed,
+    )
+    return neardup_dedup_keep_first(df, pairs, id_col)
+
+
 def recall_at_k(
     approx: DataFrame,
     exact: DataFrame,

@@ -1289,6 +1289,32 @@ def q69_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q70_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster-bounded embedding near-dup
+    removal — k-means cells via the IVF coarse quantizer, cosine pairs
+    within cells only, connected-component min-id survivors.
+
+    Seeded k-means is deterministic but not SQL-expressible ⇒
+    rows-only driver check; the count itself certifies behavior: the
+    same 3 scaled clones as q23 are injected (vec_id + 1_000_000,
+    ×2 — cosine 1.0 with their originals, guaranteed same cell), so
+    the output row count EQUALS the embeddings-table count exactly
+    when they are detected and removed (500 at sf0.01), 3 more when
+    broken.  Pair/removal semantics are
+    exact-tested with planted clone chains in
+    tests/test_operators.py::test_semantic_dedup_planted_clones."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    clones = emb.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(2.0)).cast("float")
+        ).alias("embedding"),
+    )
+    return similarity.semantic_dedup(
+        emb.unionByName(clones), id_col="vec_id", threshold=0.95
+    ).select("vec_id")
+
+
 def q51_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 characteristic terms per document by TF-IDF (log-free
     rational idf so Spark and DuckDB doubles are bit-identical; see
@@ -2089,6 +2115,9 @@ CATALOG: dict[str, QueryDef] = {
         _Q50_SQL,
         "decontamination via Bloom-prefilter scale path",
     ),
+    "q70_semantic_dedup": QueryDef(
+        q70_semantic_dedup, None, "SemDeDup cluster-bounded removal"
+    ),
 }
 
 
@@ -2142,9 +2171,11 @@ DRIVER_OVERFLOW: frozenset[str] = frozenset(
         "q63_url_domains",
         "q64_language_id_eval",
         "q68_neardup_pair_recall",
-        # r4 addition: q69 is q50's scale twin (same oracle, Bloom
-        # prefilter plan); q50 holds the family's driver row
+        # r4 additions: q69 is q50's scale twin (same oracle, Bloom
+        # prefilter plan) — q50 holds the family's driver row; q70's
+        # family sibling is q23/q35 (embedding near-dup, driver-green)
         "q69_bloom_decontamination",
+        "q70_semantic_dedup",
     }
 )
 

@@ -1284,6 +1284,50 @@ def test_lsh_or_construction_recall_floor(spark):
     assert r["lo"] >= 0.2, f"LSH worst-query recall {r['lo']} collapsed"
 
 
+def test_semantic_dedup_planted_clones(spark):
+    """SemDeDup composition: planted clone chains (A≈B, B≈C inside one
+    k-means cell) collapse to ONE surviving representative (the min
+    id); distinct-direction vectors all survive.  Clones of the same
+    center always share a cell (argmin is deterministic), so the
+    planted pairs cannot straddle a boundary."""
+    import numpy as np
+
+    from serverless_podcast_etl_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_neardup_pairs,
+    )
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(8, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = []
+    # ids 0..7: distinct directions; 100+i: near-clone of vector i<3
+    for i in range(8):
+        rows.append((i, [float(x) for x in base[i]]))
+    for i in range(3):
+        clone = base[i] + 0.01 * rng.normal(size=16)
+        rows.append((100 + i, [float(x) for x in clone]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    pairs = semantic_neardup_pairs(
+        df, "vec_id", n_clusters=4, threshold=0.99, seed=7
+    ).collect()
+    planted = {(min(a, b), max(a, b)) for a, b in [(i, 100 + i) for i in range(3)]}
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert planted <= found, f"missing planted pairs: {planted - found}"
+
+    kept = {
+        r["vec_id"]
+        for r in semantic_dedup(
+            df, "vec_id", n_clusters=4, threshold=0.99, seed=7
+        ).collect()
+    }
+    # every clone loses to its original (min id); originals survive
+    assert {0, 1, 2} <= kept
+    assert kept.isdisjoint({100, 101, 102})
+    assert {3, 4, 5, 6, 7} <= kept
+
+
 def test_recall_panel_clustered_corpus_ordering_stable(spark):
     """r4 hardening (VERDICT #7): the floor test above uses the
     testdata's isotropic vectors — LSH's worst case.  This gate
