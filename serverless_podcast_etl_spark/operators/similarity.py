@@ -701,7 +701,14 @@ def semantic_neardup_pairs(
         centroids = train_ivf_centroids(
             df, vec_col, n_clusters=n_clusters, seed=seed
         )
-    assigned = assign_ivf_cluster(df, centroids, vec_col)
+    # materialize the assignment ONCE: the self-join references it on
+    # both sides, and without the eager checkpoint each side re-runs
+    # the Arrow-batched argmin over the full corpus (same-session
+    # alternating A/B at sf0.1: 2.25-2.35 s vs 2.47-2.67 s lazy; at
+    # corpus scale, one assignment pass vs two is decisive)
+    assigned = assign_ivf_cluster(df, centroids, vec_col).localCheckpoint(
+        eager=True
+    )
     a = assigned.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "cluster"
     )
