@@ -672,6 +672,35 @@ def embedding_neardup_pairs(
     )
 
 
+def spherical_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Fixed-quantizer cell assignment by MAXIMUM DOT PRODUCT against
+    literal centroids — the JVM expression tier (sequential zip_with
+    fold, centroids inlined as array literals), oracle-exact against
+    DuckDB's ``list_dot_product`` + ``list_position(l, list_max(l))``.
+
+    The expression twin of ``assign_ivf_cluster``'s BLAS path — the
+    same dual the top-k scorers keep (q22 JVM expression / q36 numpy,
+    one oracle).  Unit-norm centroids make max-dot equivalent to
+    nearest-cosine (spherical k-means assignment).
+    """
+    d = _as_double(df, vec_col)
+    dots = F.array(
+        *[
+            _dot(
+                F.col(vec_col),
+                F.array(*[F.lit(float(x)) for x in c]),
+            )
+            for c in centroids
+        ]
+    )
+    return d.withColumn(out_col, F.array_position(dots, F.array_max(dots)))
+
+
 def semantic_neardup_pairs(
     df: DataFrame,
     id_col: str,
@@ -680,6 +709,7 @@ def semantic_neardup_pairs(
     n_clusters: int = 16,
     threshold: float = 0.95,
     seed: int = 7,
+    spherical_expr: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster the embeddings (the existing
@@ -696,19 +726,29 @@ def semantic_neardup_pairs(
     by construction — the paper accepts this; use
     ``embedding_neardup_pairs(planes=...)`` when boundary recall
     matters more than cost.
+
+    ``spherical_expr=True`` (requires explicit ``centroids``) swaps
+    the BLAS argmin for ``spherical_assign``'s JVM expression tier —
+    bit-replicable in the DuckDB oracle, the form the certified q70
+    uses.
     """
+    if spherical_expr and centroids is None:
+        raise ValueError("spherical_expr requires explicit centroids")
     if centroids is None:
         centroids = train_ivf_centroids(
             df, vec_col, n_clusters=n_clusters, seed=seed
         )
+    assigned = (
+        spherical_assign(df, centroids, vec_col)
+        if spherical_expr
+        else assign_ivf_cluster(df, centroids, vec_col)
+    )
     # materialize the assignment ONCE: the self-join references it on
     # both sides, and without the eager checkpoint each side re-runs
-    # the Arrow-batched argmin over the full corpus (same-session
-    # alternating A/B at sf0.1: 2.25-2.35 s vs 2.47-2.67 s lazy; at
-    # corpus scale, one assignment pass vs two is decisive)
-    assigned = assign_ivf_cluster(df, centroids, vec_col).localCheckpoint(
-        eager=True
-    )
+    # the argmin over the full corpus (same-session alternating A/B at
+    # sf0.1: 2.25-2.35 s vs 2.47-2.67 s lazy; at corpus scale, one
+    # assignment pass vs two is decisive)
+    assigned = assigned.localCheckpoint(eager=True)
     a = assigned.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "cluster"
     )
@@ -739,6 +779,7 @@ def semantic_dedup(
     n_clusters: int = 16,
     threshold: float = 0.95,
     seed: int = 7,
+    spherical_expr: bool = False,
 ) -> DataFrame:
     """Apply SemDeDup: resolve ``semantic_neardup_pairs`` into
     connected components and keep each component's minimum-id row
@@ -755,6 +796,7 @@ def semantic_dedup(
         n_clusters=n_clusters,
         threshold=threshold,
         seed=seed,
+        spherical_expr=spherical_expr,
     )
     return neardup_dedup_keep_first(df, pairs, id_col)
 

@@ -1289,19 +1289,39 @@ def q69_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _unit_rows(vectors: list[list[float]]) -> list[list[float]]:
+    import math
+
+    out = []
+    for v in vectors:
+        n = math.sqrt(sum(x * x for x in v))
+        out.append([x / n for x in v])
+    return out
+
+
+#: Fixed spherical quantizer for the certified SemDeDup entry: 8 unit
+#: seeded-Gaussian directions (deterministic constants, like
+#: _LSH_TABLES).  Pinning the quantizer is what makes the WHOLE query
+#: — assignment, pairs, components, removal — oracle-exact; the
+#: operator's default path trains real k-means instead
+#: (train_ivf_centroids) and is certified by the planted-clone test.
+_SEM_CENTROIDS = _unit_rows(_plane_tables(1, 8, seed=4321)[0])
+
+
 def q70_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): cluster-bounded embedding near-dup
-    removal — k-means cells via the IVF coarse quantizer, cosine pairs
-    within cells only, connected-component min-id survivors.
+    removal — quantizer cells, cosine pairs within cells only,
+    connected-component min-id survivors.
 
-    Seeded k-means is deterministic but not SQL-expressible ⇒
-    rows-only driver check; the count itself certifies behavior: the
-    same 3 scaled clones as q23 are injected (vec_id + 1_000_000,
-    ×2 — cosine 1.0 with their originals, guaranteed same cell), so
-    the output row count EQUALS the embeddings-table count exactly
-    when they are detected and removed (500 at sf0.01), 3 more when
-    broken.  Pair/removal semantics are
-    exact-tested with planted clone chains in
+    Certified form uses the FIXED _SEM_CENTROIDS spherical quantizer
+    via the JVM expression assignment (spherical_assign), so the
+    oracle replicates every stage: max-dot cell assignment
+    (list_position/list_max over list_dot_product), within-cell pair
+    scoring, recursive-CTE closure (q48's pattern) and min-id
+    removal.  The same 3 scaled clones as q23 are injected
+    (vec_id + 1_000_000, ×2 — cosine 1.0, and scaling preserves the
+    argmax-dot cell), so removal is exercised on non-empty pairs.
+    The trained-k-means/BLAS path is certified by
     tests/test_operators.py::test_semantic_dedup_planted_clones."""
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     clones = emb.filter(F.col("vec_id") < 3).select(
@@ -1311,8 +1331,48 @@ def q70_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     return similarity.semantic_dedup(
-        emb.unionByName(clones), id_col="vec_id", threshold=0.95
+        emb.unionByName(clones),
+        id_col="vec_id",
+        centroids=_SEM_CENTROIDS,
+        threshold=0.95,
+        spherical_expr=True,
     ).select("vec_id")
+
+
+def _semantic_dedup_sql(threshold: float = 0.95) -> str:
+    def lit_vec(c: list[float]) -> str:
+        return "[" + ", ".join(repr(x) for x in c) + "]"
+
+    ds = ", ".join(
+        f"list_dot_product(e, {lit_vec(c)})" for c in _SEM_CENTROIDS
+    )
+    cos = (
+        "round(list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e))"
+        " * sqrt(list_dot_product(b.e, b.e))), 4)"
+    )
+    return f"""
+WITH RECURSIVE base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+v AS (SELECT vec_id, e FROM base
+      UNION ALL
+      SELECT vec_id + 1000000, list_transform(e, x -> x * 2.0)
+      FROM base WHERE vec_id < 3),
+assigned AS (SELECT vec_id, e, list_position(ds, list_max(ds)) AS cluster
+             FROM (SELECT vec_id, e, [{ds}] AS ds FROM v)),
+pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM assigned a JOIN assigned b
+            ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+          WHERE {cos} >= {threshold}),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(id, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT reach.id, e2.b FROM reach JOIN edges e2 ON e2.a = reach.r
+),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+SELECT v.vec_id FROM v
+WHERE NOT EXISTS (SELECT 1 FROM comp c
+                  WHERE c.id = v.vec_id AND c.component <> v.vec_id)
+"""
 
 
 def q51_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2116,7 +2176,9 @@ CATALOG: dict[str, QueryDef] = {
         "decontamination via Bloom-prefilter scale path",
     ),
     "q70_semantic_dedup": QueryDef(
-        q70_semantic_dedup, None, "SemDeDup cluster-bounded removal"
+        q70_semantic_dedup,
+        _semantic_dedup_sql(),
+        "SemDeDup cluster-bounded removal (fixed quantizer, oracle-exact)",
     ),
 }
 
