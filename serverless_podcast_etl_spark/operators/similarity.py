@@ -748,12 +748,25 @@ def semantic_neardup_pairs(
     # the argmin over the full corpus (same-session alternating A/B at
     # sf0.1: 2.25-2.35 s vs 2.47-2.67 s lazy; at corpus scale, one
     # assignment pass vs two is decisive)
-    assigned = assigned.localCheckpoint(eager=True)
+    # precompute the norm ONCE PER ROW before the checkpoint: cosine
+    # scoring is an interpreted higher-order fold (zip_with/aggregate
+    # are not whole-stage-codegen'd), and the candidate join evaluates
+    # it per PAIR — hoisting the two norms cuts the per-pair work to
+    # the dot product alone (same doubles: sqrt once vs inline)
+    assigned = assigned.withColumn(
+        "_nrm", _norm(F.col(vec_col))
+    ).localCheckpoint(eager=True)
     a = assigned.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "cluster"
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        F.col("_nrm").alias("_na"),
+        "cluster",
     )
     b = assigned.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "cluster"
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_nrm").alias("_nb"),
+        "cluster",
     )
     return (
         a.join(b, "cluster")
@@ -762,7 +775,7 @@ def semantic_neardup_pairs(
             "cosine",
             F.round(
                 _dot(F.col("_va"), F.col("_vb"))
-                / (_norm(F.col("_va")) * _norm(F.col("_vb"))),
+                / (F.col("_na") * F.col("_nb")),
                 4,
             ),
         )
