@@ -1159,8 +1159,10 @@ def test_connected_components_deep_chain(spark):
     ).filter(lambda es: any(a != b for a, b in es))
 )
 def test_connected_components_matches_union_find(spark, edges):
-    """Random graphs: BOTH iterative DataFrame labelings (min-label
-    propagation and large-star/small-star) equal a union-find ground
+    """Random graphs: ALL THREE labelings — the r4 driver-side
+    union-find fast path (default on small graphs), the distributed
+    min-label loop (forced via small_graph_max=0) and
+    large-star/small-star — equal an independent union-find ground
     truth (same partition, min-id representative)."""
     from serverless_podcast_etl_spark.operators.dedup import (
         connected_components,
@@ -1170,9 +1172,14 @@ def test_connected_components_matches_union_find(spark, edges):
     edges = [(a, b) for a, b in edges if a != b]
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     truth = _union_find_components(edges)
-    for impl in (connected_components, connected_components_star):
+    variants = [
+        ("fast", lambda d: connected_components(d)),
+        ("distributed", lambda d: connected_components(d, small_graph_max=0)),
+        ("star", connected_components_star),
+    ]
+    for name, impl in variants:
         out = {r["id"]: r["component"] for r in impl(df).collect()}
-        assert out == truth, impl.__name__
+        assert out == truth, name
 
 
 def test_connected_components_star_deep_chain(spark):
