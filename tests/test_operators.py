@@ -1079,6 +1079,40 @@ def test_bloom_decontamination_parity_with_broadcast_form(spark):
     assert bloom_cross_corpus_overlap(clean, benchmark, "text", "doc_id", n=8).count() == 0
 
 
+def test_bloom_decontamination_exact_despite_degraded_filter(spark):
+    """Exactness must come from the confirm join, NOT from a lucky fp
+    rate: with the bloom degraded to 2 bits/key (k=1, heavy false
+    positives) the output still equals the broadcast-join form — only
+    the survivor-set size changes, never the result."""
+    from serverless_podcast_etl_spark.operators.dedup import (
+        bloom_cross_corpus_overlap,
+        cross_corpus_overlap,
+    )
+
+    leak = " ".join(f"w{i}" for i in range(12))
+    corpus = spark.createDataFrame(
+        [(i, f"doc {i} filler text body number {i} with unique tail {i}")
+         for i in range(2, 40)]
+        + [(1, "intro words then " + leak + " trailing text here")],
+        "doc_id long, text string",
+    )
+    benchmark = spark.createDataFrame(
+        [(100, "benchmark prompt " + leak)], "doc_id long, text string"
+    )
+    a = sorted(
+        map(tuple, cross_corpus_overlap(corpus, benchmark, "text", "doc_id", n=8).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            bloom_cross_corpus_overlap(
+                corpus, benchmark, "text", "doc_id", n=8, bits_per_key=2
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) == 1
+
+
 def test_duplicated_spans_planted(spark):
     """A 25-token phrase occurring twice (within and across docs)
     yields exactly the maximal token spans covering it; unique text
