@@ -58,6 +58,40 @@ def test_vs_golden_ignores_queries_absent_from_anchor():
     assert out["above_2x_band"] == []
 
 
+def test_driver_contract_line_fits_2000_chars():
+    """BENCH_r04.json parsed as null because the stdout line outgrew
+    the driver's 2000-char record (r4 verdict, What's wrong #1).  Pin
+    the r5 fix: the compact contract line — worst-case 4-digit-seconds
+    values for every HEADLINE query — stays under the budget.  Detail
+    (spread/cold/vs_golden) lives in the BENCH_DETAIL.json sidecar.
+    9.999 s/query is the width bound: the slowest golden median is
+    3.6 s and the protocol reports the median of 5 runs, so a
+    single-digit-seconds width already grants ~2.8x drift on the
+    heaviest query."""
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": 9999.999,
+            "unit": "sec",
+            "queries": {n: 9.999 for n in bench.HEADLINE},
+            "sf": 0.01,
+        },
+        separators=(",", ":"),
+    )
+    assert len(line) < 2000, len(line)
+
+
+def test_headline_plus_excluded_covers_catalog_exactly():
+    """No silent bench exclusions (r4 VERDICT "do this" #3): every
+    CATALOG entry is benched or carries a stated reason in
+    bench.EXCLUDED."""
+    from serverless_podcast_etl_spark.plans.catalog import CATALOG
+
+    assert set(bench.HEADLINE) | bench.EXCLUDED == set(CATALOG)
+    assert not set(bench.HEADLINE) & bench.EXCLUDED
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
+
+
 def test_load_golden_sf_mismatch_and_missing(tmp_path, monkeypatch):
     # missing file -> None (bench runs without an anchor)
     monkeypatch.setattr(
