@@ -2216,10 +2216,22 @@ CATALOG: dict[str, QueryDef] = {
 #: driver sibling: q14 distinct/set-ops, q39 string parsing, q38
 #: lang-ID), retiring the residual replica-vs-driver divergence risk
 #: for the rotated-in three.
+#:
+#: Round-5 rotation (r4 VERDICT "do this" #2): q69/q70 — the r4
+#: flagship curation operators (Bloom decontamination, SemDeDup), both
+#: oracle-exact but until now certified only by the pytest replica —
+#: rotated INTO the window; q19/q44 rotated out (q19's family keeps
+#: driver-green q56 capped-Jaccard + q30 banded MinHash-LSH — q19
+#: itself went green in CORRECTNESS_r04; q44's family keeps
+#: driver-green q18 exact-dedup).
 DRIVER_OVERFLOW: frozenset[str] = frozenset(
     {
         "q03_filtered_mention_counts",
         "q06_distinct_types",
+        # r5 rotations-out (driver-green in r4; families keep green
+        # siblings q56/q30 and q18 — see the round-5 note above)
+        "q19_ngram_jaccard",
+        "q44_exact_dedup_keep_first",
         "q15_word_frequencies",
         "q16_text_quality",
         "q17_language_id",
@@ -2236,11 +2248,6 @@ DRIVER_OVERFLOW: frozenset[str] = frozenset(
         "q63_url_domains",
         "q64_language_id_eval",
         "q68_neardup_pair_recall",
-        # r4 additions: q69 is q50's scale twin (same oracle, Bloom
-        # prefilter plan) — q50 holds the family's driver row; q70's
-        # family sibling is q23/q35 (embedding near-dup, driver-green)
-        "q69_bloom_decontamination",
-        "q70_semantic_dedup",
     }
 )
 
