@@ -12,7 +12,10 @@ hive-partitioned and touches ONLY the partitions present in the
 incoming batch — the anti-join/merge reads are partition-pruned and
 the update write uses dynamic partition overwrite, so a one-episode
 load against a 100 TB sentence/entity table reads and rewrites one
-partition, not the table.  The reference's sentence/entity loads
+partition, not the table.  A table's layout is PINNED by its first
+write (r5): every later write's ``partition_by`` must match the
+on-disk layout (inferred from the ``key=value`` dir structure) or the
+call raises — mixed-layout dirs break Spark's partition discovery.  The reference's sentence/entity loads
 (src/lambda_71.py:103-121, src/lambda_2.py:205-238) are exactly this
 shape: every batch targets a single episode.
 
@@ -63,6 +66,66 @@ class Warehouse:
             if any(f.endswith(".parquet") for f in files):
                 return True
         return False
+
+    def _disk_layout(self, table: str) -> list[str] | None:
+        """Infer the table's committed partition layout from its
+        directory structure: hive-partitioned writes nest parquet
+        files under ``key=value`` dirs, flat writes keep them at the
+        root.  Returns ``None`` when the table doesn't exist yet, else
+        the ordered partition-column list (``[]`` = flat).  Inference
+        (vs a sidecar meta file) also covers tables written by earlier
+        code versions or by external writers."""
+        if not self.exists(table):
+            return None
+        layout: list[str] = []
+        cur = self.path(table)
+        while True:
+            entries = [
+                e for e in os.listdir(cur) if not e.startswith(("_", "."))
+            ]
+            files = [e for e in entries if e.endswith(".parquet")]
+            partdirs = [
+                e
+                for e in entries
+                if "=" in e and os.path.isdir(os.path.join(cur, e))
+            ]
+            if partdirs and files:
+                raise ValueError(
+                    f"{table}: mixed layout on disk — both parquet files "
+                    f"and partition dirs {sorted(partdirs)[:3]} under "
+                    f"{cur}; the table needs a rewrite before further "
+                    f"appends"
+                )
+            if not partdirs:
+                return layout
+            keys = {e.split("=", 1)[0] for e in partdirs}
+            if len(keys) != 1:
+                raise ValueError(
+                    f"{table}: conflicting partition keys {sorted(keys)} "
+                    f"at one level under {cur}"
+                )
+            layout.append(keys.pop())
+            cur = os.path.join(cur, partdirs[0])
+
+    def _check_layout(
+        self, table: str, partition_by: list[str] | None
+    ) -> None:
+        """Refuse writes whose ``partition_by`` disagrees with the
+        table's committed on-disk layout (r4 VERDICT "do this" #4): an
+        append in the other layout silently mixes root-level files
+        with ``key=value`` dirs, after which partition discovery fails
+        or drops the partition column."""
+        disk = self._disk_layout(table)
+        if disk is None:
+            return
+        want = list(partition_by or [])
+        if disk != want:
+            raise ValueError(
+                f"{table}: on-disk layout is partition_by={disk or None} "
+                f"but this write requested partition_by={want or None} — "
+                f"mixing layouts in one table dir corrupts partition "
+                f"discovery; rewrite the table to change its layout"
+            )
 
     def _normalize(self, df: DataFrame, table: str) -> DataFrame:
         """Project to declared schema order/types — partitioned reads
@@ -122,6 +185,7 @@ class Warehouse:
         pruned anti-join equivalent to the full one.
         """
         keys = schemas.NATURAL_KEYS[table]
+        self._check_layout(table, partition_by)
         if partition_by:
             missing = [c for c in partition_by if c not in keys]
             if missing:
@@ -173,6 +237,7 @@ class Warehouse:
         ``partition_by`` must be a subset of ``keys`` so every update
         row can only match rows inside its own partition.
         """
+        self._check_layout(table, partition_by)
         if partition_by:
             missing = [c for c in partition_by if c not in keys]
             if missing:

@@ -258,3 +258,53 @@ def test_partitioned_fact_upsert_touches_one_partition(spark, tmp_path):
         wh.update_rows(
             "sentence_dimension", upd, ["sentence_index"], partition_by=part
         )
+
+
+def test_partition_layout_is_pinned_at_first_write(spark, tmp_path):
+    """r5 (r4 VERDICT "do this" #4): a table's layout is committed by
+    its first write — a later call with a different partition_by
+    raises instead of silently mixing flat files into a
+    hive-partitioned dir (or vice versa)."""
+    import pytest as _pytest
+
+    from serverless_podcast_etl_spark import schemas
+    from serverless_podcast_etl_spark.pipeline.warehouse import Warehouse
+
+    def s(sid, text, idx, eid):
+        return (sid, text, idx, "NEUTRAL", 0.1, 0.7, 0.1, 0.1, eid)
+
+    batch = spark.createDataFrame(
+        [s(1, "a", 0, 1), s(2, "b", 0, 2)], schemas.SENTENCE_DIM
+    )
+    more = spark.createDataFrame([s(3, "c", 1, 1)], schemas.SENTENCE_DIM)
+    upd = spark.createDataFrame(
+        [(0, 1, "POSITIVE")],
+        "sentence_index int, episode_id long, overall_sentiment string",
+    )
+
+    # partitioned first write → flat append/update refused
+    wh = Warehouse(spark, str(tmp_path / "wh_part"))
+    wh.insert_ignore("sentence_dimension", batch, partition_by=["episode_id"])
+    with _pytest.raises(ValueError, match="on-disk layout"):
+        wh.insert_ignore("sentence_dimension", more)
+    with _pytest.raises(ValueError, match="on-disk layout"):
+        wh.update_rows(
+            "sentence_dimension", upd, ["sentence_index", "episode_id"]
+        )
+
+    # flat first write → partitioned append refused
+    wh2 = Warehouse(spark, str(tmp_path / "wh_flat"))
+    wh2.insert_ignore("sentence_dimension", batch)
+    with _pytest.raises(ValueError, match="on-disk layout"):
+        wh2.insert_ignore(
+            "sentence_dimension", more, partition_by=["episode_id"]
+        )
+
+    # matching layouts keep working on both tables
+    assert (
+        wh.insert_ignore(
+            "sentence_dimension", more, partition_by=["episode_id"]
+        )
+        == 1
+    )
+    assert wh2.insert_ignore("sentence_dimension", more) == 1
