@@ -535,7 +535,14 @@ def _cc_driver_union_find(
     union-by-min-root, so the representative is the component minimum
     — OUTPUT-IDENTICAL to the distributed min-label loop, pinned by
     the backend-parity tests).  Two jobs total (count + collect)
-    instead of ~3 jobs per distributed iteration."""
+    instead of ~3 jobs per distributed iteration.
+
+    Driver memory is O(nodes + pairs); the caller's pair bound is also
+    a node bound (each pair introduces ≤2 nodes ⇒ nodes ≤ 2×pairs, so
+    the default 200k-pair cap ⇒ ≤400k parent-map entries, a few MB).
+    Null ids are rejected by ``connected_components`` before either
+    backend runs — this function assumes non-null ids (they are dict
+    keys and compared with ``<``)."""
     from pyspark.sql.types import StructField, StructType
 
     rows = pairs.select(id_a, id_b).collect()
@@ -612,6 +619,10 @@ def connected_components(
     do exceed the bound (massively duplicated corpora), the
     distributed loop runs unchanged.  Pass ``small_graph_max=0`` to
     force the distributed path.
+
+    Null ids are rejected loudly on BOTH backends (one contract):
+    silently dropping a null-endpoint edge (what a bare equi-join
+    would do) could split a component and ship a wrong dedup decision.
     """
     ckpt = _resolve_checkpoint_dir(pairs, checkpoint_dir)
     # materialize the upstream pair pipeline ONCE (e.g. the whole
@@ -620,7 +631,30 @@ def connected_components(
     sym = _materialize(
         pairs.select(F.col(id_a).alias("_a"), F.col(id_b).alias("_b")), ckpt
     )
-    if small_graph_max and sym.count() <= small_graph_max:
+    # One contract for both backends (r4 ADVICE): a null id is
+    # malformed input — the equi-joins of the distributed loop would
+    # silently DROP the edge while the driver union-find would raise
+    # TypeError mid-merge.  Reject loudly before branching; the null
+    # audit rides the same aggregate job as the size probe.
+    stats = sym.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.coalesce(
+            F.sum(
+                F.col("_a").isNull().cast("long")
+                + F.col("_b").isNull().cast("long")
+            ),
+            F.lit(0),
+        ).alias("_nulls"),
+    ).collect()[0]
+    if stats["_nulls"]:
+        raise ValueError(
+            f"connected_components: {stats['_nulls']} null id(s) in the "
+            f"pair list ({id_a}/{id_b}) — a null edge endpoint cannot "
+            f"be labeled; filter or fix upstream candidate generation"
+        )
+    # pair bound ⇒ node bound: nodes ≤ 2×pairs, so 200k pairs caps the
+    # union-find parent map at ≤400k entries (a few MB driver-side)
+    if small_graph_max and stats["_n"] <= small_graph_max:
         return _cc_driver_union_find(sym, "_a", "_b", out_id, out_comp)
     edges = _materialize(
         sym.union(sym.select(F.col("_b").alias("_a"), F.col("_a").alias("_b")))

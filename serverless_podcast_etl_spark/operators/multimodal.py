@@ -311,23 +311,90 @@ def is_wav_payload(payload: bytes) -> bool:
     )
 
 
+def _ffprobe_decode_audio(
+    payload: bytes, ffprobe: str, bytes_per_ms: int = 16
+) -> tuple[int, int, str]:
+    """ffprobe-if-present tier (r4 VERDICT "do this" #7): container
+    metadata probe for formats stdlib ``wave`` can't read (mp3 — the
+    reference's actual format, src/lambda_3.py:84-114).
+
+    Duration comes from the container header; the sample count is
+    ``duration × sample_rate × channels`` from the first audio stream.
+    ffprobe does not decode PCM, so RMS keeps the digest stand-in
+    (``probe:`` prefixed to mark a real-header/stub-energy row).
+    Raises on unparseable payloads — ``default_audio_decoder`` catches
+    and routes to the stub.
+    """
+    import hashlib
+    import json as _json
+    import subprocess
+
+    proc = subprocess.run(
+        [
+            ffprobe,
+            "-v", "error",
+            "-show_entries", "format=duration:stream=sample_rate,channels",
+            "-select_streams", "a:0",
+            "-of", "json",
+            "-",
+        ],
+        input=payload,
+        capture_output=True,
+        timeout=30,
+    )
+    if proc.returncode != 0:
+        raise ValueError(f"ffprobe failed: {proc.stderr[:200]!r}")
+    meta = _json.loads(proc.stdout)
+    duration_s = float(meta["format"]["duration"])
+    stream = meta["streams"][0]
+    rate = int(stream.get("sample_rate", 0))
+    nch = int(stream.get("channels", 1))
+    return (
+        int(duration_s * 1000),
+        int(duration_s * rate * nch),
+        "probe:" + hashlib.md5(payload).hexdigest()[:8],
+    )
+
+
 def default_audio_decoder(
     bytes_per_ms: int = 16,
 ) -> Callable[[bytes], tuple[int, int, str]]:
     """Per-payload codec selection: REAL stdlib-``wave`` decode for
-    RIFF/WAVE payloads, deterministic stub for everything else.
+    RIFF/WAVE payloads, ffprobe header probe for other containers when
+    the environment ships one, deterministic stub otherwise.
 
     The image analogue (``default_image_decoder``) selects driver-side
     on library availability; audio selects PER PAYLOAD because the
     real codec (stdlib ``wave``) is unconditionally importable but
-    only speaks WAV — mp3 (the reference's actual format,
-    src/lambda_3.py:84-114) still needs an external lib this container
-    doesn't ship, so those bytes take the labeled stub.
+    only speaks WAV — mp3 still needs an external tool, hence the
+    ffprobe tier (resolved once per decoder construction, i.e. once
+    per executor task setup, not per payload).
+
+    TOTAL over arbitrary bytes (r4 ADVICE): a payload that passes the
+    12-byte RIFF/WAVE sniff but has a truncated or malformed body
+    falls back to the stub with a ``bad:`` RMS marker instead of
+    propagating ``wave.Error`` — one corrupt asset must not kill a
+    fact-scale ``mapInPandas`` stage.  The marker keeps corrupt rows
+    queryable (``rms_energy LIKE 'bad:%'``) for quarantine.
     """
+    import shutil
+
+    ffprobe = shutil.which("ffprobe")
 
     def decode(payload: bytes) -> tuple[int, int, str]:
         if is_wav_payload(payload):
-            return _wave_decode_audio(payload, bytes_per_ms)
+            import wave
+
+            try:
+                return _wave_decode_audio(payload, bytes_per_ms)
+            except (wave.Error, EOFError, ValueError):
+                d, n, r = _stub_decode_audio(payload, bytes_per_ms)
+                return d, n, "bad:" + r
+        if ffprobe is not None:
+            try:
+                return _ffprobe_decode_audio(payload, ffprobe, bytes_per_ms)
+            except Exception:
+                pass  # unparseable by ffprobe too — take the stub
         return _stub_decode_audio(payload, bytes_per_ms)
 
     return decode

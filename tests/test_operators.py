@@ -284,6 +284,104 @@ def test_audio_decoder_real_wav_and_stub_paths(spark):
     assert out[2]["rms_energy"] == hashlib.md5(b"a" * 3200).hexdigest()[:8]
 
 
+def test_audio_decoder_total_over_corrupt_wav(spark):
+    """r5 (r4 ADVICE): a payload that passes the RIFF/WAVE sniff but
+    has a truncated/garbage body must NOT propagate wave.Error out of
+    the decoder — one corrupt asset cannot kill a fact-scale
+    mapInPandas stage.  The fallback row is the deterministic stub
+    with a ``bad:`` marker so corrupt assets stay queryable."""
+    import hashlib
+
+    from serverless_podcast_etl_spark.operators import multimodal as mm
+
+    corrupt = b"RIFF" + b"\x00" * 4 + b"WAVE" + b"\xde\xad\xbe\xef" * 10
+    assert mm.is_wav_payload(corrupt)
+    decode = mm.default_audio_decoder()
+    d, n, r = decode(corrupt)
+    assert r == "bad:" + hashlib.md5(corrupt).hexdigest()[:8]
+    assert (d, n) == (len(corrupt) // 16, len(corrupt) // 2)
+
+    # and through a full Spark stage alongside a healthy payload
+    df = spark.createDataFrame(
+        [(1, corrupt), (2, b"x" * 320)], "asset_id long, content binary"
+    )
+    out = {
+        r["asset_id"]: r["rms_energy"]
+        for r in mm.extract_audio_features(df, "asset_id", "content").collect()
+    }
+    assert out[1].startswith("bad:") and not out[2].startswith("bad:")
+
+
+def test_audio_decoder_ffprobe_tier(monkeypatch):
+    """r5 (r4 VERDICT "do this" #7): when the environment ships
+    ffprobe, non-WAV payloads take a real container-header probe
+    (duration/samples from format metadata, ``probe:``-marked digest
+    RMS); a probe failure falls back to the stub.  The tool is faked —
+    the sandbox has no ffprobe — so this pins the dispatch + parse
+    plumbing, mirroring the fake-PIL pattern for images."""
+    import hashlib
+    import json
+    import subprocess
+
+    from serverless_podcast_etl_spark.operators import multimodal as mm
+
+    monkeypatch.setattr(
+        "shutil.which", lambda name: "/fake/ffprobe" if name == "ffprobe" else None
+    )
+    meta = {
+        "format": {"duration": "2.5"},
+        "streams": [{"sample_rate": "44100", "channels": 2}],
+    }
+
+    class _Proc:
+        returncode = 0
+        stdout = json.dumps(meta).encode()
+        stderr = b""
+
+    calls = {}
+
+    def fake_run(cmd, **kw):
+        calls["cmd"] = cmd
+        calls["input"] = kw.get("input")
+        return _Proc()
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    payload = b"\xffID3 not a wav" * 5
+    decode = mm.default_audio_decoder()
+    d, n, r = decode(payload)
+    assert calls["cmd"][0] == "/fake/ffprobe" and calls["input"] == payload
+    assert d == 2500
+    assert n == int(2.5 * 44100 * 2)
+    assert r == "probe:" + hashlib.md5(payload).hexdigest()[:8]
+
+    # probe failure -> deterministic stub, no raise
+    class _Bad(_Proc):
+        returncode = 1
+        stdout = b""
+        stderr = b"boom"
+
+    monkeypatch.setattr(subprocess, "run", lambda *a, **k: _Bad())
+    d2, n2, r2 = decode(payload)
+    assert r2 == hashlib.md5(payload).hexdigest()[:8]
+    assert (d2, n2) == (len(payload) // 16, len(payload) // 2)
+
+    # WAV payloads never touch ffprobe even when present
+    import io
+    import wave as _wave
+
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x00" * 80)
+    monkeypatch.setattr(
+        subprocess, "run", lambda *a, **k: (_ for _ in ()).throw(AssertionError)
+    )
+    d3, n3, _ = decode(buf.getvalue())
+    assert (d3, n3) == (10, 80)
+
+
 def test_image_decoder_selection_and_both_paths(spark):
     """Golden test per decode path (VERDICT r2 #9): the stub path runs
     through the full Arrow round-trip; the Pillow path is exercised
@@ -1500,6 +1598,33 @@ def test_cc_small_graph_fast_path_parity(spark):
     assert fast == dist == star
     comp = dict(fast)
     assert comp[12] == 1 and comp[5] == 5 and comp[8] == 8
+
+
+def test_cc_rejects_null_ids_on_both_backends(spark):
+    """r5 (r4 ADVICE): a null edge endpoint is malformed input — the
+    distributed loop's equi-joins would silently drop the edge while
+    the union-find fast path would TypeError mid-merge.  Both backends
+    share one loud contract: ValueError before any labeling."""
+    import pytest
+
+    from serverless_podcast_etl_spark.operators.dedup import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 2), (None, 3), (4, None)], "id_a long, id_b long"
+    )
+    for kwargs in ({}, {"small_graph_max": 0}):
+        with pytest.raises(ValueError, match="null id"):
+            connected_components(df, **kwargs)
+    # all-null-free input still works on both paths
+    ok = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    for kwargs in ({}, {"small_graph_max": 0}):
+        out = {
+            r["id"]: r["component"]
+            for r in connected_components(ok, **kwargs).collect()
+        }
+        assert out == {1: 1, 2: 1}
 
 
 def test_checkpoint_dir_scoped_per_invocation(spark, tmp_path):
