@@ -10,6 +10,13 @@ same logical plans scale to a real multi-executor cluster:
   columnar batches instead of pickled rows.
 * UTC session timezone — date-part extraction must not depend on the
   host timezone (the DuckDB oracle is timezone-naive).
+* Driver heap sized to the workload (r5): the sf1 scale rehearsal
+  died at the JVM's 1 GiB default heap ("Not enough memory to build
+  and broadcast the table") on a 128 GiB machine — in local mode the
+  driver heap IS the executor memory, so it must be sized like one.
+  ``SPARK_GRAFT_DRIVER_MEM`` overrides; only effective for sessions
+  this factory actually creates (JVM-launch config, ignored on
+  getOrCreate reuse).
 """
 
 from __future__ import annotations
@@ -40,6 +47,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.ui.enabled", "false")
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
     )
     if master is not None:
         builder = builder.master(master)

@@ -46,9 +46,24 @@ _nanos_cols_cache: dict[str, list[str]] = {}
 
 
 def _nanos_columns(path: str) -> list[str]:
-    """Column names stored as timestamp[ns] in the parquet footer."""
+    """Column names stored as timestamp[ns] in the parquet footer.
+
+    ``path`` may be a single file (the driver's testdata layout) or a
+    Spark-written directory of part files (the cluster norm) — for a
+    directory the first part file's footer speaks for the table."""
     if path not in _nanos_cols_cache:
-        schema = pq.read_schema(path)
+        probe = path
+        if os.path.isdir(path):
+            parts = sorted(
+                f
+                for f in os.listdir(path)
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            )
+            if not parts:
+                _nanos_cols_cache[path] = []
+                return _nanos_cols_cache[path]
+            probe = os.path.join(path, parts[0])
+        schema = pq.read_schema(probe)
         _nanos_cols_cache[path] = [
             f.name
             for f in schema

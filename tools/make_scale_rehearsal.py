@@ -1,0 +1,106 @@
+"""Generate the sf1 scale-rehearsal dataset (r4 VERDICT "do this" #5).
+
+The driver ships sf0.001/0.01/0.1 only (TESTDATA.md; /root/testdata is
+read-only), so the 10x rehearsal inputs are DERIVED deterministically
+from sf0.1 into ``<repo>/.scale/sf1/`` (gitignored): 10 replicas per
+source row with offset ids.
+
+Construction choices, on purpose:
+
+* ``documents`` (5,000 -> 50,000): replica 0 is the original; replicas
+  1-9 append one `` repN`` token — each original becomes a 10-doc
+  near-dup clone group (3-gram Jaccard ~0.95 within the group).  A
+  massively duplicated corpus is exactly the case where q48's pair
+  list exceeds ``small_graph_max`` (5,000 groups x C(10,2) = 225k
+  within-group pairs alone), so the rehearsal exercises the
+  DISTRIBUTED connected-components loop on real volume instead of the
+  driver union-find fast path.
+* ``embeddings`` (2,000 -> 20,000): per-component deterministic
+  sinusoidal jitter (amplitude 0.01 on unit-scale components) keeps
+  replicas near their original (cosine ~ 1) without being degenerate
+  exact duplicates — SemDeDup (q70) and the recall panel (q62) see a
+  realistic clustered-with-near-dups distribution at 10x volume.
+
+Re-running overwrites; output is a function of sf0.1 only.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from serverless_podcast_etl_spark.session import get_spark  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(REPO, ".scale", "sf1")
+REPLICAS = 10
+ID_STRIDE = 10_000  # > max source id on both tables at sf0.1
+
+
+def main() -> None:
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="make_scale_rehearsal")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(os.path.join(src, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(src, "embeddings.parquet"))
+    rep = spark.range(REPLICAS).select(F.col("id").alias("_rep"))
+
+    docs_out = (
+        docs.crossJoin(F.broadcast(rep))
+        .select(
+            (F.col("doc_id") + F.col("_rep") * ID_STRIDE).alias("doc_id"),
+            F.when(F.col("_rep") == 0, F.col("text"))
+            .otherwise(
+                F.concat(F.col("text"), F.lit(" rep"), F.col("_rep"))
+            )
+            .alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        .withColumn("n_chars", F.length("text").cast("long"))
+    )
+    emb_out = emb.crossJoin(F.broadcast(rep)).select(
+        (F.col("vec_id") + F.col("_rep") * ID_STRIDE).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: (
+                x
+                + F.lit(0.01)
+                * F.sin(
+                    F.col("vec_id") * F.lit(31.0)
+                    + F.col("_rep") * F.lit(17.0)
+                    + i.cast("double")
+                )
+                * F.col("_rep").cast("double")
+                / F.lit(float(REPLICAS))
+            ).cast("float"),
+        ).alias("embedding"),
+        "label",
+    )
+
+    os.makedirs(OUT, exist_ok=True)
+    docs_out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(OUT, "documents.parquet")
+    )
+    emb_out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(OUT, "embeddings.parquet")
+    )
+    print(
+        f"wrote {OUT}: documents="
+        f"{spark.read.parquet(os.path.join(OUT, 'documents.parquet')).count()}"
+        f" embeddings="
+        f"{spark.read.parquet(os.path.join(OUT, 'embeddings.parquet')).count()}"
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

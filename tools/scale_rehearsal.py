@@ -1,0 +1,87 @@
+"""sf1 scale rehearsal: the 5 heaviest curation queries at 10x bench
+scale (r4 VERDICT "do this" #5).
+
+Runs q62/q68/q70/q48/q69 once cold + once warm against the derived
+``.scale/sf1`` dataset (``tools/make_scale_rehearsal.py``) and prints
+one JSON report with wall-times plus the q48 pair count — the number
+that proves whether the rehearsal actually crossed
+``small_graph_max`` (200k) and exercised the distributed
+connected-components loop rather than the driver union-find fast
+path.  Results go to NOTES.md's scale-rehearsal section per round.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from serverless_podcast_etl_spark.operators import dedup  # noqa: E402
+from serverless_podcast_etl_spark.plans.catalog import CATALOG, _t  # noqa: E402
+from serverless_podcast_etl_spark.session import get_spark  # noqa: E402
+
+QUERIES = [
+    "q48_neardup_clusters",
+    "q62_ann_recall_panel",
+    "q68_neardup_pair_recall",
+    "q69_bloom_decontamination",
+    "q70_semantic_dedup",
+]
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF1 = os.path.join(REPO, ".scale", "sf1")
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", SF1)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(
+        app_name="scale_rehearsal",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1).count()
+
+    # q48's candidate-pair volume at sf1 — the crossover probe
+    pairs = dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        text_col="text",
+        id_col="doc_id",
+        n=3,
+        num_hashes=8,
+        bands=4,
+        verify_threshold=0.3,
+    )
+    t0 = time.perf_counter()
+    n_pairs = pairs.count()
+    pair_count_sec = round(time.perf_counter() - t0, 2)
+
+    report: dict = {
+        "sf_dir": sf_dir,
+        "q48_pair_count": n_pairs,
+        "q48_pair_count_sec": pair_count_sec,
+        "crosses_small_graph_max": n_pairs > 200_000,
+        "queries": {},
+    }
+    for name in QUERIES:
+        fn = CATALOG[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        cold = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        warm = round(time.perf_counter() - t0, 2)
+        report["queries"][name] = {"cold": cold, "warm": warm}
+        print(f"  {name}: cold={cold}s warm={warm}s", file=sys.stderr)
+    print(json.dumps(report, indent=1))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
