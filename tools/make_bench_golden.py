@@ -44,6 +44,9 @@ def run_session(i: int) -> dict:
     )
     line = proc.stdout.strip().splitlines()[-1]
     data = json.loads(line)
+    # r5: runs_per_query moved off the contract line into the sidecar
+    with open(os.path.join(REPO, "BENCH_DETAIL.json")) as f:
+        data["runs_per_query"] = json.load(f)["runs_per_query"]
     print(
         f"[golden] session {i}: total {data['value']} s "
         f"({data['runs_per_query']} runs/query)",
