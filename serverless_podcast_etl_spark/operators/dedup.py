@@ -539,7 +539,7 @@ def _cc_driver_union_find(
 
     Driver memory is O(nodes + pairs); the caller's pair bound is also
     a node bound (each pair introduces ≤2 nodes ⇒ nodes ≤ 2×pairs, so
-    the default 200k-pair cap ⇒ ≤400k parent-map entries, a few MB).
+    the default 500k-pair cap ⇒ ≤1M parent-map entries, tens of MB).
     Null ids are rejected by ``connected_components`` before either
     backend runs — this function assumes non-null ids (they are dict
     keys and compared with ``<``)."""
@@ -582,7 +582,7 @@ def connected_components(
     out_id: str = "id",
     out_comp: str = "component",
     checkpoint_dir: str | None = None,
-    small_graph_max: int = 200_000,
+    small_graph_max: int = 500_000,
 ) -> DataFrame:
     """Connected components over a near-dup pair list: (id, component)
     with component = the minimum id reachable from the node.
@@ -609,11 +609,16 @@ def connected_components(
     singleton component.
 
     HYBRID (r4): pair sets at or under ``small_graph_max`` rows
-    (default 200k ⇒ ≤ a few MB collected) are resolved DRIVER-SIDE by
-    union-find — output-identical, two jobs instead of ~3 per
-    distributed iteration (same-session alternating A/B at sf0.1 on
-    the q48 pipeline: 2.4-3.0 s → 1.65-1.8 s; the residual is the
-    upstream LSH candidate generation itself).  Pair lists are the
+    (default 500k ⇒ ≤1M union-find entries, tens of MB collected) are
+    resolved DRIVER-SIDE by union-find — output-identical, two jobs
+    instead of ~3 per distributed iteration (same-session alternating
+    A/B at sf0.1 on the q48 pipeline: 2.4-3.0 s → 1.65-1.8 s; the
+    residual is the upstream LSH candidate generation itself).  The
+    bound was raised 200k → 500k in r5 after the sf1 rehearsal's
+    250k-pair clone-heavy graph measured union-find at 1.36-1.45 s vs
+    1.92-2.2 s for the distributed loop on identical checkpointed
+    pairs (3 alternating runs each, exact output parity) — the
+    crossover is above this size.  Pair lists are the
     post-verification near-dup
     survivors, orders of magnitude smaller than the corpus; when they
     do exceed the bound (massively duplicated corpora), the
@@ -652,8 +657,8 @@ def connected_components(
             f"pair list ({id_a}/{id_b}) — a null edge endpoint cannot "
             f"be labeled; filter or fix upstream candidate generation"
         )
-    # pair bound ⇒ node bound: nodes ≤ 2×pairs, so 200k pairs caps the
-    # union-find parent map at ≤400k entries (a few MB driver-side)
+    # pair bound ⇒ node bound: nodes ≤ 2×pairs, so 500k pairs caps the
+    # union-find parent map at ≤1M entries (tens of MB driver-side)
     if small_graph_max and stats["_n"] <= small_graph_max:
         return _cc_driver_union_find(sym, "_a", "_b", out_id, out_comp)
     edges = _materialize(

@@ -3,11 +3,13 @@ scale (r4 VERDICT "do this" #5).
 
 Runs q62/q68/q70/q48/q69 once cold + once warm against the derived
 ``.scale/sf1`` dataset (``tools/make_scale_rehearsal.py``) and prints
-one JSON report with wall-times plus the q48 pair count — the number
-that proves whether the rehearsal actually crossed
-``small_graph_max`` (200k) and exercised the distributed
-connected-components loop rather than the driver union-find fast
-path.  Results go to NOTES.md's scale-rehearsal section per round.
+one JSON report with wall-times plus the q48 pair count and an
+explicit A/B of BOTH connected-components backends on that pair
+graph — the distributed min-label loop is exercised on real volume
+every rehearsal regardless of where ``small_graph_max`` sits (r5
+raised it to 500k after this A/B measured union-find faster at 250k
+pairs), and backend parity is asserted.  Results go to NOTES.md's
+scale-rehearsal section per round.
 """
 
 from __future__ import annotations
@@ -48,7 +50,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1).count()
 
-    # q48's candidate-pair volume at sf1 — the crossover probe
+    # q48's candidate-pair volume at sf1, checkpointed once so the
+    # backend A/B below times component resolution only
     pairs = dedup.minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"),
         text_col="text",
@@ -57,16 +60,48 @@ def main() -> None:
         num_hashes=8,
         bands=4,
         verify_threshold=0.3,
-    )
+    ).localCheckpoint(eager=True)
     t0 = time.perf_counter()
     n_pairs = pairs.count()
     pair_count_sec = round(time.perf_counter() - t0, 2)
+
+    import inspect
+
+    default_bound = inspect.signature(
+        dedup.connected_components
+    ).parameters["small_graph_max"].default
+
+    # Both CC backends on the real sf1 graph: warm each once, then
+    # time one run each, and assert exact output parity.
+    cc_ab: dict = {"pair_count": n_pairs, "default_bound": default_bound}
+    for label, bound in (("distributed", 0), ("unionfind", n_pairs + 1)):
+        dedup.connected_components(pairs, small_graph_max=bound).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        t0 = time.perf_counter()
+        dedup.connected_components(pairs, small_graph_max=bound).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        cc_ab[label + "_sec"] = round(time.perf_counter() - t0, 2)
+    a = sorted(
+        map(tuple, dedup.connected_components(
+            pairs, small_graph_max=0
+        ).collect())
+    )
+    b = sorted(
+        map(tuple, dedup.connected_components(
+            pairs, small_graph_max=n_pairs + 1
+        ).collect())
+    )
+    cc_ab["backend_parity"] = a == b
+    assert cc_ab["backend_parity"], "CC backends diverged on the sf1 graph"
 
     report: dict = {
         "sf_dir": sf_dir,
         "q48_pair_count": n_pairs,
         "q48_pair_count_sec": pair_count_sec,
-        "crosses_small_graph_max": n_pairs > 200_000,
+        "crosses_default_bound": n_pairs > default_bound,
+        "cc_backends": cc_ab,
         "queries": {},
     }
     for name in QUERIES:
