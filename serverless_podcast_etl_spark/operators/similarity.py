@@ -635,15 +635,32 @@ def embedding_neardup_pairs(
     ``exact_max_rows`` corpus rows (the count costs one cheap job and
     enforces the contract that the quadratic path never runs on a real
     corpus; pass ``planes`` there instead).
+
+    Per-row norms are hoisted BELOW the pairing join (r5, NOTES fact
+    16: HOF expressions never enter whole-stage codegen, so per-pair
+    scoring must carry per-row work as data, not recompute it) —
+    each row's norm is computed once and joins as an 8-byte column,
+    leaving one dot product as the only per-pair HOF.  Bit-identical
+    to the per-pair form (same expression, same evaluation order), so
+    q23's oracle hash is unaffected.  No dedup pass is needed:
+    ``hyperplane_bucket`` assigns exactly ONE bucket per row (a
+    single bit-signature, not multi-table bands), so a pair can only
+    appear once.
     """
-    d = _as_double(df, vec_col)
+    d = _as_double(df, vec_col).withColumn("_nv", _norm(F.col(vec_col)))
     if planes is not None:
         banded = hyperplane_bucket(d, vec_col, planes)
         a = banded.select(
-            F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "bucket"
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("_va"),
+            F.col("_nv").alias("_na"),
+            "bucket",
         )
         b = banded.select(
-            F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "bucket"
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("_vb"),
+            F.col("_nv").alias("_nb"),
+            "bucket",
         )
         cand = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
     else:
@@ -654,21 +671,28 @@ def embedding_neardup_pairs(
                 f"{n} rows (> {exact_max_rows}); pass `planes` for the "
                 f"LSH-bucketed scale path"
             )
-        a = d.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-        b = d.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+        a = d.select(
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("_va"),
+            F.col("_nv").alias("_na"),
+        )
+        b = d.select(
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("_vb"),
+            F.col("_nv").alias("_nb"),
+        )
         cand = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     return (
         cand.withColumn(
             "cosine",
             F.round(
                 _dot(F.col("_va"), F.col("_vb"))
-                / (_norm(F.col("_va")) * _norm(F.col("_vb"))),
+                / (F.col("_na") * F.col("_nb")),
                 4,
             ),
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
-        .dropDuplicates(["id_a", "id_b"])
     )
 
 
