@@ -69,11 +69,17 @@ def brute_force_topk(
     Queries and corpus must share one id space (self-matches are
     excluded by id equality — see ``quantized_topk``'s id-space note).
     """
+    # norms hoisted below the pairing join (NOTES fact 16): computed
+    # once per row, carried as data — the per-pair HOF is one dot
     q = _as_double(queries, vec_col).select(
-        F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv")
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        _norm(F.col(vec_col)).alias("_qn"),
     )
     c = _as_double(corpus, vec_col).select(
-        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        _norm(F.col(vec_col)).alias("_cn"),
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
@@ -81,7 +87,7 @@ def brute_force_topk(
             "cosine",
             F.round(
                 _dot(F.col("_qv"), F.col("_cv"))
-                / (_norm(F.col("_qv")) * _norm(F.col("_cv"))),
+                / (F.col("_qn") * F.col("_cn")),
                 4,
             ),
         )
@@ -291,18 +297,32 @@ def lsh_topk(
     tables = plane_tables if plane_tables is not None else [planes]
     if len({len(t) for t in tables}) != 1:
         raise ValueError("all hyperplane tables must have the same size")
+    # norms hoisted BEFORE the probe explode (NOTES fact 16): one
+    # norm per vector, not per (vector, table, query)
     q = _bucket_keys(
-        _as_double(queries, vec_col), vec_col, tables, probe_hamming
+        _as_double(queries, vec_col).withColumn(
+            "_qn", _norm(F.col(vec_col))
+        ),
+        vec_col,
+        tables,
+        probe_hamming,
     ).select(
         F.col(query_id).alias("query_id"),
         F.col(vec_col).alias("_qv"),
+        "_qn",
         F.explode("_probes").alias("_tb"),
     )
     c = _bucket_keys(
-        _as_double(corpus, vec_col), vec_col, tables, probe_hamming=0
+        _as_double(corpus, vec_col).withColumn(
+            "_cn", _norm(F.col(vec_col))
+        ),
+        vec_col,
+        tables,
+        probe_hamming=0,
     ).select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
+        "_cn",
         # one row per (vector, table): the OR-construction's storage
         # cost lives here, b rows per corpus vector
         F.explode("_probes").alias("_tb"),
@@ -314,7 +334,7 @@ def lsh_topk(
             "cosine",
             F.round(
                 _dot(F.col("_qv"), F.col("_cv"))
-                / (_norm(F.col("_qv")) * _norm(F.col("_cv"))),
+                / (F.col("_qn") * F.col("_cn")),
                 4,
             ),
         )
@@ -448,15 +468,19 @@ def ivf_topk(
         centroids = train_ivf_centroids(
             corpus, vec_col, n_clusters=n_clusters, seed=seed
         )
+    # norms hoisted below the probe join (NOTES fact 16): once per
+    # row, before the query side fans out to nprobe rows
     c = assign_ivf_cluster(corpus, centroids, vec_col).select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
+        _norm(F.col(vec_col)).alias("_cn"),
         "cluster",
     )
     qd = _as_double(queries, vec_col)
     q = _nearest_centroids(qd, centroids, vec_col, nprobe, "_probe").select(
         F.col(query_id).alias("query_id"),
         F.col(vec_col).alias("_qv"),
+        _norm(F.col(vec_col)).alias("_qn"),
         F.explode("_probe").alias("cluster"),
     )
     scored = (
@@ -466,7 +490,7 @@ def ivf_topk(
             "cosine",
             F.round(
                 _dot(F.col("_qv"), F.col("_cv"))
-                / (_norm(F.col("_qv")) * _norm(F.col("_cv"))),
+                / (F.col("_qn") * F.col("_cn")),
                 4,
             ),
         )
