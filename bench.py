@@ -124,6 +124,9 @@ HEADLINE = [
     "q68_neardup_pair_recall",
     "q69_bloom_decontamination",
     "q70_semantic_dedup",
+    "q71_cross_doc_spans",
+    "q72_strip_cross_doc_spans",
+    "q73_leakage_free_split",
 ]
 
 #: Every exclusion, with its reason in the header comment above —
@@ -198,18 +201,25 @@ def main() -> None:
     # Driver contract (r5 — BENCH_r04.json came back `parsed: null`
     # because this line outgrew the driver's 2000-char record once
     # `spread`/`vs_golden` were inlined): stdout carries ONLY the
-    # contract keys, compact-separated (~1.8k chars at 62 queries);
-    # everything else goes to the BENCH_DETAIL.json sidecar.
+    # contract keys, compact-separated; everything else goes to the
+    # BENCH_DETAIL.json sidecar.  The stdout `queries` dict is keyed
+    # by the UNIQUE qNN prefix (full names at 68 queries would again
+    # brush the 2000-char record; prefixes keep the line ~900 chars
+    # with headroom to 100+ queries — full-name timings live in the
+    # sidecar under `queries_full`).
+    short = {short_name(n): t for n, t in timings.items()}
+    assert len(short) == len(timings), "qNN prefixes must be unique"
     out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": short,
         "sf": sf_val,
     }
     detail = {
         "sf": sf_val,
         "runs_per_query": runs,
+        "queries_full": timings,
         "cold_total": round(sum(cold.values()), 3),
         "cold": cold,
         "spread": spread,
@@ -226,6 +236,11 @@ def main() -> None:
         print(json.dumps({"vs_golden": detail["vs_golden"]}), file=sys.stderr)
     print(json.dumps(out, separators=(",", ":")))
     spark.stop()
+
+
+def short_name(name: str) -> str:
+    """The unique ``qNN`` prefix used as the stdout contract key."""
+    return name.split("_", 1)[0]
 
 
 def _load_golden(sf) -> dict | None:

@@ -873,9 +873,7 @@ def duplicated_spans(
     """
     from pyspark.sql import Window
 
-    bound = _bound_token_hashes(df, text_col, id_col)
-    grams = hashing.shingle_hash_array(F.col("_th"), k)
-    pos_rows = bound.select(F.col(id_col), F.posexplode(grams).alias("pos", "h"))
+    pos_rows = _positioned_window_hashes(df, text_col, id_col, k)
     dup_hashes = (
         pos_rows.groupBy("h")
         .agg(F.count(F.lit(1)).alias("_c"))
@@ -883,6 +881,28 @@ def duplicated_spans(
         .select("h")
     )
     dup_pos = pos_rows.join(dup_hashes, "h", "left_semi")
+    return _merge_windows_to_spans(dup_pos, id_col, k)
+
+
+def _positioned_window_hashes(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(id, pos, h): every k-token window's hash with its 0-based
+    token offset — the shared candidate layout of the span family
+    (intra-corpus ``duplicated_spans``, cross-doc ``common_spans``)."""
+    bound = _bound_token_hashes(df, text_col, id_col)
+    grams = hashing.shingle_hash_array(F.col("_th"), k)
+    return bound.select(F.col(id_col), F.posexplode(grams).alias("pos", "h"))
+
+
+def _merge_windows_to_spans(
+    dup_pos: DataFrame, id_col: str, k: int
+) -> DataFrame:
+    """Per-document gaps-and-islands over flagged window positions →
+    maximal disjoint spans (see ``duplicated_spans`` for the
+    q − p ≤ k break-condition proof)."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy(id_col).orderBy("pos")
     # new island when this window's coverage neither overlaps nor
     # touches the previous one's (first row: lag null -> break)
@@ -898,6 +918,90 @@ def duplicated_spans(
             F.count(F.lit(1)).alias("n_windows"),
         )
         .drop("_g")
+    )
+
+
+def common_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 20,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Cross-document boilerplate detection (the CCNet/RefinedWeb
+    repeated-content pass): maximal spans of k-token windows that
+    occur in ≥ ``min_docs`` DISTINCT documents.
+
+    The intra-document sibling of ``duplicated_spans`` differs in ONE
+    predicate: a window is boilerplate by its document frequency, not
+    its raw occurrence count — a phrase repeated 50× inside one
+    document is repetition (q57's territory), not boilerplate, and a
+    header shared verbatim by a third of the corpus is boilerplate
+    even though each document contains it once.
+
+    Plan: the same positioned-window layout, then distinct (h, id)
+    before the count — two shuffles on the window hash (the distinct
+    and the count are co-partitioned, so AQE coalesces them into one
+    exchange's worth of data movement), a semi-join back, and the
+    per-document island merge.  At 100 TB the df table (hashes with
+    ≥ min_docs docs) is a small fraction of the window count and the
+    semi-join shuffles only flagged positions.
+    """
+    pos_rows = _positioned_window_hashes(df, text_col, id_col, k)
+    boilerplate = (
+        pos_rows.select("h", id_col)
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("h")
+    )
+    flagged = pos_rows.join(boilerplate, "h", "left_semi")
+    return _merge_windows_to_spans(flagged, id_col, k)
+
+
+def leakage_free_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    seed: str = "seed0",
+    eval_hex: str = "1a",
+) -> DataFrame:
+    """Leakage-free train/eval split: assign every document to a split
+    by the md5 of its near-duplicate COMPONENT representative, so a
+    clone group can never straddle the train/eval boundary (the
+    classic contamination-by-construction bug a row-level random split
+    commits on a deduplicated-but-clustered corpus).
+
+    ``pairs`` is any near-dup pair list (e.g. ``minhash_lsh_pairs``);
+    components come from ``connected_components``; documents in no
+    pair are their own representative.  The split is DETERMINISTIC —
+    ``md5(seed || ':' || rep)``'s first two hex chars compared against
+    ``eval_hex`` ('1a' ⇒ 26/256 ≈ 10% eval) — so it is reproducible
+    across runs/engines and oracle-exact, unlike an RNG split.
+
+    Scale: the component table is bounded by the pair list (≪ corpus)
+    and broadcast into the one corpus-side join; the corpus itself is
+    never shuffled.  Returns (id, split_key, split).
+    """
+    comp = connected_components(pairs).withColumnRenamed("id", id_col)
+    rep = F.coalesce(F.col("component"), F.col(id_col))
+    digest = F.md5(
+        F.encode(
+            F.concat(F.lit(seed), F.lit(":"), rep.cast("string")), "utf-8"
+        )
+    )
+    return (
+        df.join(F.broadcast(comp), id_col, "left")
+        .select(
+            F.col(id_col),
+            rep.alias("split_key"),
+            F.when(
+                F.substring(digest, 1, 2) < F.lit(eval_hex), F.lit("eval")
+            )
+            .otherwise(F.lit("train"))
+            .alias("split"),
+        )
     )
 
 

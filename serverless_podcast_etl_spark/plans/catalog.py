@@ -2029,6 +2029,120 @@ def q29_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.select("asset_id", "width", "height", "n_pixels")
 
 
+def q71_cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate spans (the CCNet/RefinedWeb
+    repeated-content pass): maximal spans of 20-token windows present
+    in ≥3 DISTINCT documents — df-thresholded, unlike q66's raw
+    occurrence count (operators/dedup.common_spans)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.common_spans(
+        docs, text_col="text", id_col="doc_id", k=20, min_docs=3
+    ).orderBy("doc_id", "span_start")
+
+
+def _common_spans_sql(k: int = 20, min_docs: int = 3) -> str:
+    th_cte = (
+        f"SELECT doc_id, {hashing.token_hashes_sql('t')} AS th FROM ({_TOKS_CTE})"
+    )
+    return f"""
+WITH th AS ({th_cte}),
+p0 AS (
+  SELECT doc_id, unnest(list_transform(
+           range(1, greatest(len(th) - {k} + 2, 1)),
+           i -> {{'pos': i - 1, 'h': {hashing.shingle_hash_sql('th', 'i', k)}}}
+         )) AS g
+  FROM th
+),
+p AS (SELECT doc_id, g.pos AS pos, g.h AS h FROM p0),
+bp AS (SELECT h FROM (SELECT DISTINCT h, doc_id FROM p)
+       GROUP BY h HAVING count(*) >= {min_docs}),
+d AS (SELECT p.doc_id, p.pos FROM p JOIN bp USING (h)),
+b AS (SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= {k}
+                  THEN 0 ELSE 1 END AS brk
+      FROM d),
+g AS (SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM b)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {k} - 1 AS BIGINT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_windows
+FROM g GROUP BY doc_id, grp ORDER BY doc_id, span_start
+"""
+
+
+def q72_strip_cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Applied cross-document boilerplate removal: every token covered
+    by a ≥3-doc 20-token window is stripped; md5 pins the rebuilt text
+    byte-for-byte (the q67 pattern over q71's span table)."""
+    docs = _t(spark, sf_dir, "documents")
+    spans = dedup.common_spans(
+        docs, text_col="text", id_col="doc_id", k=20, min_docs=3
+    )
+    out = dedup.strip_spans(docs, spans, text_col="text", id_col="doc_id")
+    return out.select(
+        "doc_id",
+        "n_tokens_before",
+        "n_tokens_after",
+        F.md5(F.encode(F.col("text_stripped"), "utf-8")).alias("stripped_md5"),
+    ).orderBy("doc_id")
+
+
+def _strip_common_spans_sql(k: int = 20, min_docs: int = 3) -> str:
+    return f"""
+WITH spans AS ({_common_spans_sql(k, min_docs)}),
+sp AS (SELECT doc_id, list({{'s': span_start, 'e': span_end}}) AS spans
+       FROM spans GROUP BY doc_id),
+t AS (
+  SELECT d.doc_id,
+         list_filter(regexp_split_to_array(lower(d.text), '\\s+'),
+                     x -> x <> '') AS toks,
+         coalesce(sp.spans, []) AS spans
+  FROM documents d LEFT JOIN sp ON d.doc_id = sp.doc_id
+),
+kept AS (
+  SELECT doc_id, toks,
+         list_filter(toks, (x, i) ->
+           NOT len(list_filter(spans,
+                   r -> i - 1 >= r.s AND i - 1 <= r.e)) > 0) AS kt
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens_before,
+       CAST(len(kt) AS BIGINT) AS n_tokens_after,
+       md5(coalesce(array_to_string(kt, ' '), '')) AS stripped_md5
+FROM kept ORDER BY doc_id
+"""
+
+
+def q73_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/eval split: documents assigned to splits by
+    the md5 of their near-dup COMPONENT representative (q48's
+    clusters), so a clone group can never straddle the boundary.
+    Deterministic digest split ⇒ oracle-exact, unlike an RNG split
+    (operators/dedup.leakage_free_split)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, text_col="text", id_col="doc_id",
+        n=3, num_hashes=8, bands=4, verify_threshold=0.3,
+    )
+    return dedup.leakage_free_split(docs, pairs, id_col="doc_id")
+
+
+def _leakage_free_split_sql(seed: str = "seed0", eval_hex: str = "1a") -> str:
+    return f"""
+WITH RECURSIVE comp AS ({_neardup_cluster_sql()}),
+r AS (SELECT d.doc_id,
+             coalesce(c.component, d.doc_id) AS split_key
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id)
+SELECT doc_id, split_key,
+       CASE WHEN substr(md5('{seed}' || ':' || CAST(split_key AS VARCHAR)), 1, 2)
+                 < '{eval_hex}'
+            THEN 'eval' ELSE 'train' END AS split
+FROM r
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "q01_pricing_summary": QueryDef(q01_pricing_summary, _Q01_SQL, "filter+agg+sort (A1/A3)"),
     "q02_event_type_counts": QueryDef(q02_event_type_counts, _Q02_SQL, "groupBy count desc (A1/O1)"),
@@ -2203,6 +2317,21 @@ CATALOG: dict[str, QueryDef] = {
         _semantic_dedup_sql(),
         "SemDeDup cluster-bounded removal (fixed quantizer, oracle-exact)",
     ),
+    "q71_cross_doc_spans": QueryDef(
+        q71_cross_doc_spans,
+        _common_spans_sql(),
+        "cross-doc boilerplate spans (df-thresholded windows)",
+    ),
+    "q72_strip_cross_doc_spans": QueryDef(
+        q72_strip_cross_doc_spans,
+        _strip_common_spans_sql(),
+        "applied cross-doc boilerplate removal",
+    ),
+    "q73_leakage_free_split": QueryDef(
+        q73_leakage_free_split,
+        _leakage_free_split_sql(),
+        "leakage-free train/eval split by near-dup component",
+    ),
 }
 
 
@@ -2244,6 +2373,15 @@ CATALOG: dict[str, QueryDef] = {
 #: driver-green q56 capped-Jaccard + q30 banded MinHash-LSH — q19
 #: itself went green in CORRECTNESS_r04; q44's family keeps
 #: driver-green q18 exact-dedup).
+#:
+#: Round-5 additions: q71/q72/q73 (cross-doc boilerplate spans,
+#: applied stripping, leakage-free split — all oracle-exact) enter the
+#: window; q20/q65/q66 rotate out (all driver-green in r4 first, per
+#: the rotation rule; families keep green siblings: q20 minhash
+#: signatures → q30 banded LSH consumes the identical signature
+#: pipeline + q21 simhash sigs; q65 winnowed decontamination → q50
+#: n-gram + q69 Bloom forms; q66 span table → q67, whose oracle
+#: embeds q66's span CTE verbatim and md5-pins the applied result).
 DRIVER_OVERFLOW: frozenset[str] = frozenset(
     {
         "q03_filtered_mention_counts",
@@ -2252,6 +2390,12 @@ DRIVER_OVERFLOW: frozenset[str] = frozenset(
         # siblings q56/q30 and q18 — see the round-5 note above)
         "q19_ngram_jaccard",
         "q44_exact_dedup_keep_first",
+        # r5 rotations-out for the q71/q72/q73 additions (driver-green
+        # in r4; families keep green siblings q30+q21, q50+q69, q67 —
+        # see the round-5 additions note above)
+        "q20_minhash_signatures",
+        "q65_fingerprint_decontamination",
+        "q66_duplicated_spans",
         "q15_word_frequencies",
         "q16_text_quality",
         "q17_language_id",

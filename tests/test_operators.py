@@ -1235,6 +1235,91 @@ def test_duplicated_spans_planted(spark):
     assert out == [(1, 10, 34, 6), (1, 45, 69, 6), (2, 5, 29, 6)]
 
 
+def test_common_spans_thresholds_on_distinct_docs(spark):
+    """Cross-doc boilerplate is DF-thresholded: a phrase shared by 3
+    distinct docs is flagged in each; the same phrase repeated 3x
+    inside ONE doc is repetition, not boilerplate (duplicated_spans'
+    territory), and a 2-doc phrase misses min_docs=3."""
+    from serverless_podcast_etl_spark.operators.dedup import common_spans
+
+    boiler = " ".join(f"b{i}" for i in range(22))
+    duo = " ".join(f"d{i}" for i in range(22))
+    filler = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))  # noqa: E731
+    rows = [
+        (1, filler("u", 5) + " " + boiler),
+        (2, boiler + " " + filler("v", 5)),
+        (3, filler("w", 3) + " " + boiler + " " + filler("x", 3)),
+        # 3 intra-doc repeats, one doc only
+        (4, " ".join([boiler.replace("b", "r")] * 3)),
+        (5, duo),
+        (6, duo + " " + filler("y", 4)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+        for r in common_spans(df, "text", "doc_id", k=20, min_docs=3).collect()
+    )
+    # 22-token phrase = 3 twenty-grams -> one merged span per doc
+    assert out == [(1, 5, 26, 3), (2, 0, 21, 3), (3, 3, 24, 3)]
+
+
+def test_leakage_free_split_is_component_atomic_and_deterministic(spark):
+    """Every member of a near-dup component lands in the SAME split
+    (no train/eval straddle); singletons key on their own id; the
+    digest split matches a hand-computed md5 and is stable across
+    invocations."""
+    import hashlib
+
+    from serverless_podcast_etl_spark.operators.dedup import leakage_free_split
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 10, 11, 20, 21)],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    out = {
+        r["doc_id"]: (r["split_key"], r["split"])
+        for r in leakage_free_split(docs, pairs, id_col="doc_id").collect()
+    }
+    assert {k: v[0] for k, v in out.items()} == {
+        1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 21
+    }
+    # component-atomic by construction; pin it anyway
+    assert out[1][1] == out[2][1] == out[3][1]
+    assert out[10][1] == out[11][1]
+    for doc_id, (key, split) in out.items():
+        digest = hashlib.md5(f"seed0:{key}".encode()).hexdigest()
+        assert split == ("eval" if digest[:2] < "1a" else "train"), doc_id
+    rerun = {
+        r["doc_id"]: (r["split_key"], r["split"])
+        for r in leakage_free_split(docs, pairs, id_col="doc_id").collect()
+    }
+    assert rerun == out
+
+
+def test_leakage_free_split_seed_moves_the_boundary(spark):
+    """The seed re-draws the assignment (so K folds are K seeds) while
+    keeping component atomicity."""
+    from serverless_podcast_etl_spark.operators.dedup import leakage_free_split
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    splits = {}
+    for seed in ("seed0", "seed1"):
+        rows = leakage_free_split(
+            docs, pairs, id_col="doc_id", seed=seed, eval_hex="40"
+        ).collect()
+        splits[seed] = {r["doc_id"]: r["split"] for r in rows}
+        n_eval = sum(1 for v in splits[seed].values() if v == "eval")
+        # 0x40/0x100 = 25% expected; grant a wide band on 199 keys
+        assert 20 <= n_eval <= 85, (seed, n_eval)
+    assert splits["seed0"] != splits["seed1"]
+
+
 def test_strip_spans_removes_ranges_keeps_others(spark):
     """Tokens inside given spans are removed; docs without spans pass
     through; composing with a keep-policy filter works."""
