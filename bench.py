@@ -127,6 +127,8 @@ HEADLINE = [
     "q71_cross_doc_spans",
     "q72_strip_cross_doc_spans",
     "q73_leakage_free_split",
+    "q74_token_budget_selection",
+    "q75_source_quota_cap",
 ]
 
 #: Every exclusion, with its reason in the header comment above —

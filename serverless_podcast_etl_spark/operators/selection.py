@@ -1,0 +1,129 @@
+"""Corpus selection operators: global budget selection and per-group
+quota capping — the data-mixing/selection steps of a pretraining
+pipeline (pick the best documents until a token budget is spent; cap
+any one domain's share of the corpus).
+
+Both are pure DataFrame compositions.  The budget selector needs a
+GLOBAL running sum in a total order — the one window shape Spark's
+``Window.orderBy`` (no partitionBy) gets wrong at scale by collapsing
+to a single partition — so it is built as the classic two-pass
+distributed prefix sum instead: range-partition on the order keys,
+cumsum within each partition, then add per-partition offsets computed
+from one bounded (rows = #partitions) driver-side pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    cost_col: str,
+    order_cols: list[Column],
+    out_col: str = "cum_cost",
+    materialize: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Inclusive running sum of ``cost_col`` in the total order given
+    by ``order_cols`` (which must be a TOTAL order — include a unique
+    tiebreak key, or the result is nondeterministic), computed without
+    ever collapsing the data to one partition:
+
+    1. ``repartitionByRange`` on the order keys — partition i holds a
+       contiguous key range, ranges ascend with the partition id per
+       the requested sort direction;
+    2. within-partition cumsum (``Window.partitionBy(partition_id)``
+       — parallel across partitions);
+    3. per-partition totals → prefix offsets, ONE bounded collect
+       (rows = number of shuffle partitions, not data rows), offsets
+       broadcast back and added.
+
+    ``materialize`` (default) eagerly localCheckpoints the sorted
+    frame so the range shuffle + sort run ONCE and both passes (the
+    totals aggregate and the final join) read the materialized
+    partitions; without it the upstream plan executes twice.  The
+    result is independent of where the sampled range boundaries land —
+    offsets are computed from the realized partitioning.
+
+    ``num_partitions`` overrides the range-partition count (default:
+    ``spark.sql.shuffle.partitions``, which AQE may coalesce at small
+    volume — pass it explicitly to pin the fan-out).
+    """
+    range_keys = (
+        [num_partitions, *order_cols] if num_partitions else order_cols
+    )
+    ranged = df.repartitionByRange(*range_keys).sortWithinPartitions(
+        *order_cols
+    )
+    part = ranged.withColumn("_pid", F.spark_partition_id())
+    if materialize:
+        part = part.localCheckpoint(eager=True)
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    local = part.withColumn("_local_cum", F.sum(cost_col).over(w))
+    # bounded driver pass: one row per partition
+    totals = part.groupBy("_pid").agg(
+        F.sum(F.col(cost_col).cast("long")).alias("_t")
+    ).collect()
+    offsets, acc = [], 0
+    for r in sorted(totals, key=lambda r: r["_pid"]):
+        offsets.append((r["_pid"], acc))
+        acc += r["_t"]
+    off = df.sparkSession.createDataFrame(
+        offsets, "_pid int, _off long"
+    )
+    return (
+        local.join(F.broadcast(off), "_pid")
+        .withColumn(
+            out_col, (F.col("_local_cum").cast("long") + F.col("_off"))
+        )
+        .drop("_pid", "_local_cum")
+    )
+
+
+def select_under_budget(
+    df: DataFrame,
+    cost_col: str,
+    order_cols: list[Column],
+    budget: int,
+    cum_col: str = "cum_cost",
+) -> DataFrame:
+    """Greedy selection under a global budget: rank rows by
+    ``order_cols`` (best first; must include a unique tiebreak) and
+    keep rows while the running ``cost_col`` total stays ≤ ``budget``
+    — the token-budget data-selection step (take the highest-quality
+    documents until the training budget is spent).
+
+    Exact and deterministic: the digest of a selection decision is the
+    prefix sum, not an RNG, so the same corpus + budget always yields
+    the same set and the operator is oracle-checkable against a SQL
+    running-sum window.
+    """
+    cum = global_prefix_sum(df, cost_col, order_cols, out_col=cum_col)
+    return cum.filter(F.col(cum_col) <= F.lit(budget))
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[Column],
+    n: int,
+    rank_col: str = "rank_in_group",
+) -> DataFrame:
+    """Per-group quota cap: keep at most ``n`` rows per group, best
+    first by ``order_cols`` (unique tiebreak required for determinism)
+    — the domain-capping pass (no single source may dominate the
+    corpus mixture).
+
+    One shuffle on the group key; the rank window is partitioned per
+    group so it parallelizes across groups (the skew concern at 100 TB
+    is a single giant domain — AQE's skew-join handling doesn't apply
+    to windows, so a pathological domain bounds one task; the cap
+    itself keeps the OUTPUT bounded regardless).
+    """
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= F.lit(n))
+    )

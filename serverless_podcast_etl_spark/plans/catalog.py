@@ -28,6 +28,7 @@ from ..operators import (
     joins,
     multimodal,
     packing,
+    selection,
     similarity,
     windows,
 )
@@ -2143,6 +2144,71 @@ FROM r
 """
 
 
+def q74_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget data selection: rank documents by quality (here
+    stopword_ratio — natural text first — with doc_id as the unique
+    tiebreak) and keep the best until a 10k-token budget is spent.
+    Built on the two-pass distributed prefix sum
+    (operators/selection.global_prefix_sum) — no single-partition
+    global window."""
+    docs = _t(spark, sf_dir, "documents")
+    stats = textstats.quality_stats(docs, text_col="text", id_col="doc_id")
+    sel = selection.select_under_budget(
+        stats.select(
+            "doc_id", "stopword_ratio", F.col("n_tokens").cast("long").alias("n_tokens")
+        ),
+        cost_col="n_tokens",
+        order_cols=[F.col("stopword_ratio").desc(), F.col("doc_id")],
+        budget=10_000,
+        cum_col="cum_tokens",
+    )
+    return sel.select("doc_id", "stopword_ratio", "n_tokens", "cum_tokens")
+
+
+def _token_budget_sql(budget: int = 10_000) -> str:
+    return f"""
+WITH s AS ({_Q16_SQL}),
+c AS (SELECT doc_id, stopword_ratio, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY stopword_ratio DESC, doc_id)
+                  AS BIGINT) AS cum_tokens
+      FROM s)
+SELECT doc_id, stopword_ratio, n_tokens, cum_tokens
+FROM c WHERE cum_tokens <= {budget}
+"""
+
+
+def q75_source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota cap (domain capping): at most 20 documents per
+    source, best-quality first — no single domain may dominate the
+    mixture (operators/selection.cap_per_group)."""
+    docs = _t(spark, sf_dir, "documents")
+    stats = textstats.quality_stats(docs, text_col="text", id_col="doc_id")
+    ranked = selection.cap_per_group(
+        docs.select("doc_id", "source")
+        .join(stats.select("doc_id", "stopword_ratio"), "doc_id"),
+        group_col="source",
+        order_cols=[F.col("stopword_ratio").desc(), F.col("doc_id")],
+        n=20,
+    )
+    return ranked.select(
+        "doc_id", "source", "stopword_ratio",
+        F.col("rank_in_group").cast("long").alias("rank_in_group"),
+    )
+
+
+def _source_quota_sql(n: int = 20) -> str:
+    return f"""
+WITH s AS ({_Q16_SQL}),
+r AS (SELECT d.doc_id, d.source, s.stopword_ratio,
+             CAST(row_number() OVER (PARTITION BY d.source
+                  ORDER BY s.stopword_ratio DESC, d.doc_id) AS BIGINT)
+               AS rank_in_group
+      FROM documents d JOIN s ON d.doc_id = s.doc_id)
+SELECT doc_id, source, stopword_ratio, rank_in_group
+FROM r WHERE rank_in_group <= {n}
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "q01_pricing_summary": QueryDef(q01_pricing_summary, _Q01_SQL, "filter+agg+sort (A1/A3)"),
     "q02_event_type_counts": QueryDef(q02_event_type_counts, _Q02_SQL, "groupBy count desc (A1/O1)"),
@@ -2332,6 +2398,16 @@ CATALOG: dict[str, QueryDef] = {
         _leakage_free_split_sql(),
         "leakage-free train/eval split by near-dup component",
     ),
+    "q74_token_budget_selection": QueryDef(
+        q74_token_budget_selection,
+        _token_budget_sql(),
+        "token-budget selection via distributed prefix sum",
+    ),
+    "q75_source_quota_cap": QueryDef(
+        q75_source_quota_cap,
+        _source_quota_sql(),
+        "per-source quota cap (domain capping)",
+    ),
 }
 
 
@@ -2382,6 +2458,9 @@ CATALOG: dict[str, QueryDef] = {
 #: pipeline + q21 simhash sigs; q65 winnowed decontamination → q50
 #: n-gram + q69 Bloom forms; q66 span table → q67, whose oracle
 #: embeds q66's span CTE verbatim and md5-pins the applied result).
+#: q74/q75 (token-budget selection, source quota cap — oracle-exact)
+#: start in overflow, replica-certified, as q69/q70 did in r4; they
+#: are the r6 rotation candidates.
 DRIVER_OVERFLOW: frozenset[str] = frozenset(
     {
         "q03_filtered_mention_counts",
@@ -2396,6 +2475,10 @@ DRIVER_OVERFLOW: frozenset[str] = frozenset(
         "q20_minhash_signatures",
         "q65_fingerprint_decontamination",
         "q66_duplicated_spans",
+        # r5 additions start in overflow (replica-certified; r6
+        # rotation candidates, the q69/q70-in-r4 pattern)
+        "q74_token_budget_selection",
+        "q75_source_quota_cap",
         "q15_word_frequencies",
         "q16_text_quality",
         "q17_language_id",

@@ -1792,3 +1792,95 @@ def test_duplicated_spans_merges_overlapping_coverage(spark):
     # doc A: window 6 (t6..t10) is unique, but coverage of windows 5
     # and 7 overlaps -> single span over t0..t14
     assert out == [(1, 0, 14, 10), (2, 0, 9, 6), (3, 0, 7, 4)]
+
+
+def test_global_prefix_sum_spans_partitions_and_matches_reference(spark):
+    """The two-pass distributed prefix sum equals the sequential
+    running sum in the requested total order, with the data genuinely
+    spread across multiple range partitions (the single-partition
+    Window.orderBy antipattern would also pass value checks — pin the
+    partitioning too)."""
+    from pyspark.sql import functions as F
+
+    from serverless_podcast_etl_spark.operators.selection import (
+        global_prefix_sum,
+    )
+
+    rows = [(i, (i * 37) % 101, (i % 7) + 1) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, score long, cost long")
+    out = {
+        r["id"]: r["cum"]
+        for r in global_prefix_sum(
+            df,
+            "cost",
+            [F.col("score").desc(), F.col("id")],
+            out_col="cum",
+            num_partitions=8,
+        ).collect()
+    }
+    expected, acc = {}, 0
+    for i, score, cost in sorted(rows, key=lambda r: (-r[1], r[0])):
+        acc += cost
+        expected[i] = acc
+    assert out == expected
+    # the realized range partitioning actually distributes the data
+    # (explicit numPartitions — AQE coalesces the default at test
+    # volume, which would leave the offset path unexercised)
+    n_parts = (
+        df.repartitionByRange(8, F.col("score").desc(), F.col("id"))
+        .select(F.spark_partition_id().alias("p"))
+        .distinct()
+        .count()
+    )
+    assert n_parts > 1, "prefix sum must be exercised across partitions"
+
+
+def test_select_under_budget_boundary(spark):
+    """Selection keeps the exact prefix whose running cost fits the
+    budget — a row that would cross the boundary is excluded even if
+    later (worse) rows are smaller."""
+    from pyspark.sql import functions as F
+
+    from serverless_podcast_etl_spark.operators.selection import (
+        select_under_budget,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 9.0, 4), (2, 8.0, 4), (3, 7.0, 5), (4, 6.0, 1)],
+        "id long, score double, cost long",
+    )
+    kept = sorted(
+        r["id"]
+        for r in select_under_budget(
+            df, "cost", [F.col("score").desc(), F.col("id")], budget=10
+        ).collect()
+    )
+    # 4+4=8 fits; +5 crosses 10; row 4 (cum 8+5+1) is ALSO out — the
+    # budget binds the prefix, it does not knapsack-skip
+    assert kept == [1, 2]
+    none_fit = select_under_budget(
+        df, "cost", [F.col("score").desc(), F.col("id")], budget=3
+    ).count()
+    assert none_fit == 0
+
+
+def test_cap_per_group_deterministic_top_n(spark):
+    """At most n per group, best first, unique tiebreak ⇒ stable set."""
+    from pyspark.sql import functions as F
+
+    from serverless_podcast_etl_spark.operators.selection import cap_per_group
+
+    rows = [(i, f"s{i % 3}", float(i % 5)) for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, src string, score double")
+    out = cap_per_group(
+        df, "src", [F.col("score").desc(), F.col("id")], n=4
+    ).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["src"], []).append((r["rank_in_group"], r["id"]))
+    assert all(len(v) == 4 for v in by_src.values())
+    for src, v in by_src.items():
+        expected = sorted(
+            (r for r in rows if r[1] == src), key=lambda r: (-r[2], r[0])
+        )[:4]
+        assert sorted(v) == [(i + 1, e[0]) for i, e in enumerate(expected)]
