@@ -129,6 +129,7 @@ HEADLINE = [
     "q73_leakage_free_split",
     "q74_token_budget_selection",
     "q75_source_quota_cap",
+    "q76_incremental_neardup",
 ]
 
 #: Every exclusion, with its reason in the header comment above —

@@ -215,6 +215,43 @@ def minhash_signatures(
     )
 
 
+def minhash_bands(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, band, bucket): the LSH band table — each document's
+    signature split into ``bands`` concatenated-bucket keys.  This IS
+    the persistent near-dup index of an incremental pipeline: written
+    once (bucketed on (band, bucket) via ``sources.bucketed``), every
+    future batch joins against it without re-signing the corpus."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n=n, num_hashes=num_hashes)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"mh_{bi * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("bucket"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    return sig.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
+        F.col(id_col),
+        F.col("bk.band").alias("band"),
+        F.col("bk.bucket").alias("bucket"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -233,26 +270,8 @@ def minhash_lsh_pairs(
     candidate pairs (the whole point of LSH: verification cost scales
     with candidates, never with all n² pairs).
     """
-    rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n=n, num_hashes=num_hashes)
-
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.concat_ws(
-                    "_",
-                    *[
-                        F.col(f"mh_{bi * rows_per_band + r}")
-                        for r in range(rows_per_band)
-                    ],
-                ).alias("bucket"),
-            )
-            for bi in range(bands)
-        ]
-    )
-    banded = sig.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
-        F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket")
+    banded = minhash_bands(
+        df, text_col, id_col, n=n, num_hashes=num_hashes, bands=bands
     )
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
@@ -291,6 +310,88 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard") >= verify_threshold)
         .select("id_a", "id_b", "n_shared", "jaccard")
+    )
+
+
+def incremental_neardup_admission(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    verify_threshold: float = 0.2,
+) -> DataFrame:
+    """Admission gate for incremental ingestion: for each NEW document,
+    the count of verified near-duplicates already in the corpus —
+    admit (``n_matches = 0``) or reject without ever comparing new
+    docs to each other or re-pairing the corpus against itself.
+
+    This is the production shape of near-dup dedup at 100 TB: the
+    corpus side of the join is exactly ``minhash_bands`` — a
+    persistable index (write it bucketed on (band, bucket) via
+    ``sources.bucketed.write_bucketed`` and the per-batch candidate
+    join is shuffle-free on the corpus side) — so daily batches cost
+    O(batch signatures + candidates), never O(corpus²) or a corpus
+    re-sign.  Candidate verification re-derives shingles only through
+    equi-joins that touch matched documents.
+
+    Semantics are exactly ``minhash_lsh_pairs`` over the union,
+    restricted to (new × corpus) pairs — pinned by the catalog oracle
+    (q76), which computes full-corpus pairs and filters to the split.
+    """
+    nb = minhash_bands(
+        new_df, text_col, id_col, n=n, num_hashes=num_hashes, bands=bands
+    ).select(F.col(id_col).alias("_id_new"), "band", "bucket")
+    cb = minhash_bands(
+        corpus_df, text_col, id_col, n=n, num_hashes=num_hashes, bands=bands
+    ).select(F.col(id_col).alias("_id_old"), "band", "bucket")
+    candidates = (
+        nb.join(cb, ["band", "bucket"]).select("_id_new", "_id_old").distinct()
+    )
+    sh_new = shingles(new_df, text_col, id_col, n=n).select(
+        F.col(id_col).alias("_id_new"), "shingle"
+    )
+    sh_old = shingles(corpus_df, text_col, id_col, n=n).select(
+        F.col(id_col).alias("_id_old"), "shingle"
+    )
+    shared = (
+        candidates.join(sh_new, "_id_new")
+        .join(sh_old, ["_id_old", "shingle"])
+        .groupBy("_id_new", "_id_old")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sz_new = sh_new.groupBy("_id_new").agg(F.count(F.lit(1)).alias("sz_n"))
+    sz_old = sh_old.groupBy("_id_old").agg(F.count(F.lit(1)).alias("sz_o"))
+    verified = (
+        shared.join(sz_new, "_id_new")
+        .join(sz_old, "_id_old")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_shared")
+                / (F.col("sz_n") + F.col("sz_o") - F.col("n_shared")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= verify_threshold)
+    )
+    matches = verified.groupBy("_id_new").agg(
+        F.count(F.lit(1)).alias("n_matches")
+    )
+    return (
+        new_df.select(F.col(id_col))
+        .join(matches.withColumnRenamed("_id_new", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_matches"), F.lit(0)).cast("long").alias(
+                "n_matches"
+            ),
+            (F.coalesce(F.col("n_matches"), F.lit(0)) == 0)
+            .cast("int")
+            .alias("admitted"),
+        )
     )
 
 

@@ -2209,6 +2209,41 @@ FROM r WHERE rank_in_group <= {n}
 """
 
 
+def q76_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup admission: the deterministic batch slice
+    (doc_id % 10 == 7) gated against the rest of the corpus — each new
+    doc's verified MinHash-LSH match count and admit/reject flag,
+    computed batch-vs-index only (never corpus×corpus;
+    operators/dedup.incremental_neardup_admission)."""
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 7)
+    corpus = docs.filter(F.col("doc_id") % 10 != 7)
+    return dedup.incremental_neardup_admission(
+        batch, corpus, text_col="text", id_col="doc_id",
+        n=3, num_hashes=8, bands=4, verify_threshold=0.3,
+    )
+
+
+def _incremental_neardup_sql() -> str:
+    pairs = _minhash_lsh_sql(n=3, num_hashes=8, bands=4, threshold=0.3)
+    return f"""
+WITH pairs AS ({pairs}),
+cross_pairs AS (
+  SELECT id_a AS id_new, id_b AS id_old FROM pairs
+  WHERE id_a % 10 = 7 AND id_b % 10 <> 7
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+  WHERE id_b % 10 = 7 AND id_a % 10 <> 7
+),
+m AS (SELECT id_new, count(*) AS n_matches FROM cross_pairs GROUP BY 1)
+SELECT d.doc_id,
+       CAST(coalesce(m.n_matches, 0) AS BIGINT) AS n_matches,
+       CAST(coalesce(m.n_matches, 0) = 0 AS INTEGER) AS admitted
+FROM documents d LEFT JOIN m ON m.id_new = d.doc_id
+WHERE d.doc_id % 10 = 7
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "q01_pricing_summary": QueryDef(q01_pricing_summary, _Q01_SQL, "filter+agg+sort (A1/A3)"),
     "q02_event_type_counts": QueryDef(q02_event_type_counts, _Q02_SQL, "groupBy count desc (A1/O1)"),
@@ -2408,6 +2443,11 @@ CATALOG: dict[str, QueryDef] = {
         _source_quota_sql(),
         "per-source quota cap (domain capping)",
     ),
+    "q76_incremental_neardup": QueryDef(
+        q76_incremental_neardup,
+        _incremental_neardup_sql(),
+        "incremental near-dup admission (batch vs corpus index)",
+    ),
 }
 
 
@@ -2479,6 +2519,7 @@ DRIVER_OVERFLOW: frozenset[str] = frozenset(
         # rotation candidates, the q69/q70-in-r4 pattern)
         "q74_token_budget_selection",
         "q75_source_quota_cap",
+        "q76_incremental_neardup",
         "q15_word_frequencies",
         "q16_text_quality",
         "q17_language_id",

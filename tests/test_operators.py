@@ -1884,3 +1884,142 @@ def test_cap_per_group_deterministic_top_n(spark):
             (r for r in rows if r[1] == src), key=lambda r: (-r[2], r[0])
         )[:4]
         assert sorted(v) == [(i + 1, e[0]) for i, e in enumerate(expected)]
+
+
+def _py_components(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=24),
+            st.integers(min_value=0, max_value=24),
+        ).filter(lambda p: p[0] != p[1]),
+        max_size=12,
+    )
+)
+def test_leakage_free_split_property(spark, edge_list):
+    """For arbitrary pair graphs: split_key equals the union-find
+    component minimum for paired docs (own id otherwise), and every
+    component is split-atomic."""
+    from serverless_podcast_etl_spark.operators.dedup import leakage_free_split
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(25)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        edge_list or [(98, 99)], "id_a long, id_b long"
+    )
+    comp = _py_components(edge_list or [(98, 99)])
+    out = {
+        r["doc_id"]: (r["split_key"], r["split"])
+        for r in leakage_free_split(docs, pairs, id_col="doc_id").collect()
+    }
+    assert set(out) == set(range(25))
+    splits_by_key = {}
+    for doc_id, (key, split) in out.items():
+        assert key == comp.get(doc_id, doc_id), doc_id
+        assert splits_by_key.setdefault(key, split) == split
+
+
+def _py_covered(docs, k, min_docs=None):
+    """Token offsets covered by duplicated (or >=min_docs-doc) k-gram
+    windows, per doc — pure-Python reference for the span family."""
+    grams = {}
+    for doc_id, words in docs:
+        for i in range(len(words) - k + 1):
+            grams.setdefault(tuple(words[i : i + k]), []).append((doc_id, i))
+    covered = {}
+    for g, occs in grams.items():
+        if min_docs is None:
+            hot = len(occs) >= 2
+        else:
+            hot = len({d for d, _ in occs}) >= min_docs
+        if hot:
+            for d, i in occs:
+                covered.setdefault(d, set()).update(range(i, i + k))
+    return covered
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["w0", "w1", "w2"]), min_size=0, max_size=10
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_common_spans_property_vs_reference(spark, word_docs):
+    """common_spans' merged spans cover exactly the token offsets the
+    pure-Python df-threshold reference flags, and are a subset of
+    duplicated_spans' coverage at min_docs=2 (df>=2 implies count>=2)."""
+    from serverless_podcast_etl_spark.operators.dedup import (
+        common_spans,
+        duplicated_spans,
+    )
+
+    k = 3
+    docs = [(i, w) for i, w in enumerate(word_docs)]
+    df = spark.createDataFrame(
+        [(i, " ".join(w)) for i, w in docs], "doc_id long, text string"
+    )
+    got = {}
+    for r in common_spans(df, "text", "doc_id", k=k, min_docs=2).collect():
+        got.setdefault(r["doc_id"], set()).update(
+            range(r["span_start"], r["span_end"] + 1)
+        )
+    assert got == _py_covered(docs, k, min_docs=2)
+    dup_cov = {}
+    for r in duplicated_spans(df, "text", "doc_id", k=k).collect():
+        dup_cov.setdefault(r["doc_id"], set()).update(
+            range(r["span_start"], r["span_end"] + 1)
+        )
+    for d, cov in got.items():
+        assert cov <= dup_cov.get(d, set())
+
+
+def test_incremental_admission_ignores_intra_batch_dups(spark):
+    """The gate compares new docs against the CORPUS only: two clones
+    inside the batch are both admitted when the corpus has no match,
+    while a batch doc cloning a corpus doc is rejected with the
+    corpus match counted."""
+    from serverless_podcast_etl_spark.operators.dedup import (
+        incremental_neardup_admission,
+    )
+
+    base = " ".join(f"t{i}" for i in range(30))
+    other = " ".join(f"u{i}" for i in range(30))
+    batch = spark.createDataFrame(
+        [(101, other), (102, other), (103, base + " tail")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(1, base), (2, " ".join(f"v{i}" for i in range(30)))],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_matches"], r["admitted"])
+        for r in incremental_neardup_admission(
+            batch, corpus, text_col="text", id_col="doc_id",
+            n=3, num_hashes=8, bands=4, verify_threshold=0.3,
+        ).collect()
+    }
+    assert out[101] == (0, 1) and out[102] == (0, 1), out
+    assert out[103][0] >= 1 and out[103][1] == 0, out

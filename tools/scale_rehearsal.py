@@ -33,6 +33,10 @@ QUERIES = [
     "q68_neardup_pair_recall",
     "q69_bloom_decontamination",
     "q70_semantic_dedup",
+    # r5 additions: the heaviest new curation op (cross-doc window
+    # df + strip) and the two-pass global prefix sum at 10x
+    "q72_strip_cross_doc_spans",
+    "q74_token_budget_selection",
 ]
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
