@@ -267,7 +267,11 @@ def _vs_golden(timings: dict[str, float], golden: dict) -> dict:
     ratios: dict[str, float] = {}
     flagged: list[str] = []
     for name, t in timings.items():
-        q = golden["per_query"].get(name)
+        # anchors frozen since the r5 key-shortening are keyed by the
+        # qNN prefix; fall back to the full name for older anchors
+        q = golden["per_query"].get(short_name(name)) or golden[
+            "per_query"
+        ].get(name)
         if not q:
             continue
         ratios[name] = round(t / q["median"], 3)

@@ -112,3 +112,12 @@ def test_load_golden_sf_mismatch_and_missing(tmp_path, monkeypatch):
     )
     assert bench._load_golden(0.01) is None
     assert bench._load_golden(0.1) is not None
+
+
+def test_vs_golden_matches_short_keyed_anchor():
+    """Anchors frozen after the r5 key-shortening store qNN keys; the
+    comparison must resolve full query names against them."""
+    g = _golden({"q01": {"median": 2.0, "lo": 1.8, "hi": 2.2}})
+    out = bench._vs_golden({"q01_pricing_summary": 2.0}, g)
+    assert out["n_compared"] == 1
+    assert out["median_ratio"] == 1.0

@@ -184,3 +184,39 @@ def test_q62_exact_baseline_materialized_once(spark, sf_dir):
     bnlj_nodes = re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M)
     assert len(bnlj_nodes) == 1, f"{len(bnlj_nodes)} BNLJ nodes: {plan[:2000]}"
     assert "ExistingRDD" in plan
+
+
+def test_band_index_join_shuffles_batch_side_only(spark, sf_dir):
+    """The incremental-admission candidate join against a PERSISTED
+    minhash band index (bucketed on the join key) must not shuffle the
+    corpus side: exactly one hashpartitioning Exchange — the incoming
+    batch — appears in the plan.  This is the q76 scale contract: the
+    100 TB corpus index is signed and shuffled once at write time,
+    every future batch pays only its own side."""
+    from serverless_podcast_etl_spark.operators.dedup import minhash_bands
+    from serverless_podcast_etl_spark.sources.bucketed import write_bucketed
+    from serverless_podcast_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_bands = minhash_bands(
+        docs.filter(F.col("doc_id") % 10 != 7), "text", "doc_id"
+    )
+    write_bucketed(
+        corpus_bands, "b_band_index", ["band", "bucket"], n_buckets=8,
+        sort_cols=["band", "bucket"],
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        batch_bands = minhash_bands(
+            docs.filter(F.col("doc_id") % 10 == 7), "text", "doc_id"
+        ).select(F.col("doc_id").alias("id_new"), "band", "bucket")
+        cand = batch_bands.join(
+            spark.table("b_band_index"), ["band", "bucket"]
+        )
+        plan = physical_plan(cand)
+        assert "SortMergeJoin" in plan
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert cand.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b_band_index")
