@@ -215,7 +215,10 @@ def test_band_index_join_shuffles_batch_side_only(spark, sf_dir):
         )
         plan = physical_plan(cand)
         assert "SortMergeJoin" in plan
-        assert plan.count("Exchange hashpartitioning") == 1, plan
+        # formatted mode lists each Exchange's partitioning in its
+        # detail block; exactly one hash exchange (the batch side —
+        # the other Exchange is ensure_parallelism's round-robin)
+        assert plan.count("hashpartitioning(") == 1, plan
         assert cand.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
