@@ -377,3 +377,80 @@ def test_pack_stream_carries_fill_across_batches(spark, tmp_path):
     )
     expected = sorted(map(tuple, batch.collect()))
     assert sorted(map(tuple, got)) == expected
+
+
+def test_streaming_admission_matches_batch_gate(spark, tmp_path):
+    """The foreachBatch near-dup admission gate admits/rejects exactly
+    what the batch q76 operator decides, across micro-batches, with
+    rejected docs routed to the audit sink."""
+    import os
+
+    from serverless_podcast_etl_spark.operators.dedup import (
+        incremental_neardup_admission,
+    )
+    from serverless_podcast_etl_spark.streaming.admission import (
+        admission_batch_fn,
+    )
+
+    base = " ".join(f"t{i}" for i in range(30))
+    fresh = " ".join(f"u{i}" for i in range(30))
+    corpus = spark.createDataFrame(
+        [(1, base), (2, " ".join(f"v{i}" for i in range(30)))],
+        "doc_id long, text string",
+    )
+    arrivals = [
+        (101, fresh),            # no corpus match -> admitted
+        (102, base + " tail"),   # clone of corpus doc 1 -> rejected
+        (103, fresh + " x"),     # near-dups 101 but NOT corpus -> admitted
+    ]
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "arrivals")
+    os.makedirs(src)
+    # two files -> two micro-batches under maxFilesPerTrigger=1
+    spark.createDataFrame(arrivals[:2], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(arrivals[2:], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    admitted: list = []
+    rejected: list = []
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    fn = admission_batch_fn(
+        corpus,
+        text_col="text",
+        id_col="doc_id",
+        sink=lambda df, _e: admitted.extend(df.collect()),
+        rejected_sink=lambda df, _e: rejected.extend(df.collect()),
+        n=3,
+        num_hashes=8,
+        bands=4,
+        verify_threshold=0.3,
+    )
+    q = (
+        stream.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(r["doc_id"] for r in admitted) == [101, 103]
+    assert [r["doc_id"] for r in rejected] == [102]
+    assert all(r["n_matches"] == 0 for r in admitted)
+    assert rejected[0]["n_matches"] >= 1
+    assert "text" in admitted[0].asDict()  # original columns preserved
+
+    # batch parity: same decisions from the batch operator directly
+    batch = incremental_neardup_admission(
+        spark.read.parquet(src), corpus, text_col="text", id_col="doc_id",
+        n=3, num_hashes=8, bands=4, verify_threshold=0.3,
+    ).collect()
+    batch_admitted = sorted(
+        r["doc_id"] for r in batch if r["admitted"] == 1
+    )
+    assert batch_admitted == sorted(r["doc_id"] for r in admitted)
