@@ -1,0 +1,122 @@
+"""Runnable end-to-end corpus-curation demo: the training-data
+pipeline assembled from the engine's operators.
+
+Usage:  python examples/curation_pipeline_demo.py [sf_dir]
+
+Chains the curation stages the way a pretraining data pipeline does —
+quality gate → exact dedup → cross-doc boilerplate stripping →
+near-dup cluster dedup → eval-set decontamination → leakage-free
+train/eval split → per-source quota cap → token-budget selection —
+over the synthetic ``documents`` table,
+printing surviving row counts per stage.  Every stage is a certified
+catalog operator (q18/q43/q49/q50/q71-q76); this file only composes
+them.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from serverless_podcast_etl_spark.functions import textstats  # noqa: E402
+from serverless_podcast_etl_spark.operators import (  # noqa: E402
+    dedup,
+    selection,
+)
+from serverless_podcast_etl_spark.session import get_spark  # noqa: E402
+from serverless_podcast_etl_spark.sources.tables import load_table  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(app_name="curation-pipeline-demo", master="local[4]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = load_table(spark, sf_dir, "documents")
+    print(f"corpus: {docs.count()} docs")
+
+    # 1. cheap quality gate (q43)
+    kept = textstats.quality_filter(
+        docs, text_col="text", id_col="doc_id"
+    ).select("doc_id")
+    docs = docs.join(kept, "doc_id", "left_semi")
+    print(f"after quality gate: {docs.count()}")
+
+    # 2. exact dedup, keep-first (q44/q18)
+    docs = dedup.exact_dedup_keep_first(docs, text_col="text", id_col="doc_id")
+    print(f"after exact dedup: {docs.count()}")
+
+    # 3. cross-doc boilerplate stripping (q71/q72) — BEFORE near-dup
+    #    dedup, the CCNet ordering: strip first so shared boilerplate
+    #    neither glues unrelated docs into one near-dup cluster nor
+    #    survives inside the kept representatives
+    spans = dedup.common_spans(
+        docs, text_col="text", id_col="doc_id", k=20, min_docs=3
+    )
+    stripped = dedup.strip_spans(docs, spans, text_col="text", id_col="doc_id")
+    docs = docs.join(
+        stripped.select("doc_id", F.col("text_stripped").alias("_t")),
+        "doc_id",
+    ).withColumn("text", F.col("_t")).drop("_t")
+    print(f"boilerplate spans stripped: {spans.count()} spans")
+
+    # 4. near-dup cluster dedup — MinHash-LSH pairs → components →
+    #    min-id representative survives (q49)
+    pairs = dedup.minhash_lsh_pairs(
+        docs, text_col="text", id_col="doc_id",
+        n=3, num_hashes=8, bands=4, verify_threshold=0.3,
+    )
+    docs = dedup.neardup_dedup_keep_first(docs, pairs, id_col="doc_id")
+    print(f"after near-dup dedup: {docs.count()}")
+
+    # 5. decontamination against a stand-in eval slice (q50 semantics)
+    benchmark = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 97 == 0
+    )
+    contaminated = dedup.cross_corpus_overlap(
+        docs, benchmark, text_col="text", id_col="doc_id", n=8
+    ).select("doc_id")
+    docs = docs.join(contaminated, "doc_id", "left_anti")
+    print(f"after decontamination: {docs.count()}")
+
+    # 6. leakage-free split by near-dup component (q73) — pairs from
+    #    the PRE-dedup graph so any surviving member keys its group
+    split = dedup.leakage_free_split(docs, pairs, id_col="doc_id")
+    docs = docs.join(split.select("doc_id", "split"), "doc_id")
+    print(
+        "split sizes:",
+        {r["split"]: r["count"] for r in docs.groupBy("split").count().collect()},
+    )
+
+    # 7. per-source quota + token budget on the train split (q75/q74)
+    train = docs.filter(F.col("split") == "train")
+    stats = textstats.quality_stats(train, text_col="text", id_col="doc_id")
+    ranked = selection.cap_per_group(
+        train.select("doc_id", "source").join(
+            stats.select("doc_id", "stopword_ratio", "n_tokens"), "doc_id"
+        ),
+        group_col="source",
+        order_cols=[F.col("stopword_ratio").desc(), F.col("doc_id")],
+        n=20,
+    )
+    print(f"after source cap: {ranked.count()}")
+    budgeted = selection.select_under_budget(
+        ranked.select(
+            "doc_id", "stopword_ratio",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+        ),
+        cost_col="n_tokens",
+        order_cols=[F.col("stopword_ratio").desc(), F.col("doc_id")],
+        budget=5_000,
+        cum_col="cum_tokens",
+    )
+    print(f"final training set under 5k-token budget: {budgeted.count()}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
