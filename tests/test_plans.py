@@ -223,3 +223,44 @@ def test_band_index_join_shuffles_batch_side_only(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS b_band_index")
+
+
+def test_global_prefix_sum_has_no_single_partition_exchange(spark, sf_dir):
+    """The q74 scale contract: the global running sum must come from
+    the two-pass range-partition pattern, never a plan that funnels
+    the corpus through one partition (Window.orderBy without
+    partitionBy prints Exchange SinglePartition)."""
+    from serverless_podcast_etl_spark.functions import textstats
+    from serverless_podcast_etl_spark.operators.selection import (
+        select_under_budget,
+    )
+    from serverless_podcast_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = textstats.quality_stats(docs, text_col="text", id_col="doc_id")
+    sel = select_under_budget(
+        stats.select(
+            "doc_id", "stopword_ratio",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+        ),
+        cost_col="n_tokens",
+        order_cols=[F.col("stopword_ratio").desc(), F.col("doc_id")],
+        budget=10_000,
+        cum_col="cum_tokens",
+    )
+    plan = physical_plan(sel)
+    assert "SinglePartition" not in plan, plan
+    assert sel.count() > 0
+
+
+def test_leakage_free_split_broadcasts_component_table(spark, sf_dir):
+    """The q73 scale contract: the corpus-side join against the
+    (pair-list-bounded) component table must broadcast — the corpus
+    itself is never shuffled for the split assignment."""
+    plan = physical_plan(
+        CATALOG["q73_leakage_free_split"].fn(spark, sf_dir)
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    # the corpus scan side carries no hash exchange: the only join is
+    # the broadcast one
+    assert "SortMergeJoin" not in plan, plan
