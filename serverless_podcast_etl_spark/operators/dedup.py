@@ -260,6 +260,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     verify_threshold: float = 0.2,
+    prune_verify: bool = False,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding + exact Jaccard verification.
 
@@ -269,6 +270,17 @@ def minhash_lsh_pairs(
     of O(n²)) → verified with exact shingle Jaccard computed ONLY for
     candidate pairs (the whole point of LSH: verification cost scales
     with candidates, never with all n² pairs).
+
+    ``prune_verify`` broadcast-semi-joins the shingle tables down to
+    candidate doc ids before the (id, shingle) verify shuffle.  Default
+    OFF from a measured A/B at sf0.1 (parity exact; baseline
+    1.6-2.3 s vs pruned 2.4-2.7 s — two extra broadcast joins cost
+    more than the full shingle shuffle saves when the corpus is
+    small).  The regime flips when candidates ≪ corpus — at fact
+    scale the un-pruned verify shuffles EVERY document's shingles
+    while candidates touch a sliver, so a cluster deployment should
+    enable it (or Spark's runtime Bloom-filter join injection, the
+    engine-native form of the same idea).
     """
     banded = minhash_bands(
         df, text_col, id_col, n=n, num_hashes=num_hashes, bands=bands
@@ -289,6 +301,15 @@ def minhash_lsh_pairs(
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    if prune_verify:
+        sh_a = sh_a.join(
+            F.broadcast(candidates.select("id_a").distinct()), "id_a",
+            "left_semi",
+        )
+        sh_b = sh_b.join(
+            F.broadcast(candidates.select("id_b").distinct()), "id_b",
+            "left_semi",
+        )
     shared = (
         candidates.join(sh_a, "id_a")
         .join(sh_b, ["id_b", "shingle"])
