@@ -343,6 +343,7 @@ def incremental_neardup_admission(
     num_hashes: int = 8,
     bands: int = 4,
     verify_threshold: float = 0.2,
+    prune_verify: bool = False,
 ) -> DataFrame:
     """Admission gate for incremental ingestion: for each NEW document,
     the count of verified near-duplicates already in the corpus —
@@ -361,6 +362,13 @@ def incremental_neardup_admission(
     Semantics are exactly ``minhash_lsh_pairs`` over the union,
     restricted to (new × corpus) pairs — pinned by the catalog oracle
     (q76), which computes full-corpus pairs and filters to the split.
+
+    ``prune_verify`` (default off — see the measured A/B on
+    ``minhash_lsh_pairs``) semi-joins the CORPUS shingle table down to
+    candidate doc ids before the verify shuffle; here the asymmetry is
+    extreme (corpus ≫ batch ≫ candidates), so cluster deployments of
+    the incremental gate should enable it even though local bench
+    scale measures it as overhead.
     """
     nb = minhash_bands(
         new_df, text_col, id_col, n=n, num_hashes=num_hashes, bands=bands
@@ -377,6 +385,11 @@ def incremental_neardup_admission(
     sh_old = shingles(corpus_df, text_col, id_col, n=n).select(
         F.col(id_col).alias("_id_old"), "shingle"
     )
+    if prune_verify:
+        sh_old = sh_old.join(
+            F.broadcast(candidates.select("_id_old").distinct()), "_id_old",
+            "left_semi",
+        )
     shared = (
         candidates.join(sh_new, "_id_new")
         .join(sh_old, ["_id_old", "shingle"])

@@ -2023,6 +2023,15 @@ def test_incremental_admission_ignores_intra_batch_dups(spark):
     }
     assert out[101] == (0, 1) and out[102] == (0, 1), out
     assert out[103][0] >= 1 and out[103][1] == 0, out
+    pruned = {
+        r["doc_id"]: (r["n_matches"], r["admitted"])
+        for r in incremental_neardup_admission(
+            batch, corpus, text_col="text", id_col="doc_id",
+            n=3, num_hashes=8, bands=4, verify_threshold=0.3,
+            prune_verify=True,
+        ).collect()
+    }
+    assert pruned == out  # the scale lever is output-identical
 
 
 def test_minhash_lsh_pairs_prune_verify_parity(spark):
