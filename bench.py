@@ -130,6 +130,7 @@ HEADLINE = [
     "q74_token_budget_selection",
     "q75_source_quota_cap",
     "q76_incremental_neardup",
+    "q77_digest_sample",
 ]
 
 #: Every exclusion, with its reason in the header comment above —

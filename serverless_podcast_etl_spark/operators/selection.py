@@ -104,6 +104,38 @@ def select_under_budget(
     return cum.filter(F.col(cum_col) <= F.lit(budget))
 
 
+def digest_sample(
+    df: DataFrame,
+    id_col: str,
+    n: int,
+    seed: str = "seed0",
+    key_col: str = "sample_key",
+) -> DataFrame:
+    """Deterministic exact-N sample: rank rows by ``md5(seed || ':' ||
+    id)`` and keep the first ``n`` — the digest-over-RNG counterpart of
+    ``sampleBy`` (q52) for when a sample must be REPRODUCIBLE across
+    runs, engines and partitionings (ablation sets, eval slices).
+    Distinct ids ⇒ distinct digests ⇒ a total order, so the sample is
+    unique; a different seed is a fresh independent draw.
+
+    Scale: ``orderBy(...).limit(n)`` plans as TakeOrderedAndProject —
+    each partition keeps its local top-n and a single reduce merges
+    them; memory is O(n · partitions) at the driver-side merge and the
+    corpus is never globally sorted or shuffled.
+    """
+    key = F.md5(
+        F.encode(
+            F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string")),
+            "utf-8",
+        )
+    )
+    return (
+        df.withColumn(key_col, key)
+        .orderBy(key_col)
+        .limit(n)
+    )
+
+
 def cap_per_group(
     df: DataFrame,
     group_col: str,

@@ -2244,6 +2244,25 @@ WHERE d.doc_id % 10 = 7
 """
 
 
+def q77_digest_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact-200 corpus sample by digest order — the
+    reproducible (oracle-exact) counterpart of q52's seeded sampleBy;
+    plans as TakeOrderedAndProject, never a global sort
+    (operators/selection.digest_sample)."""
+    docs = _t(spark, sf_dir, "documents")
+    return selection.digest_sample(docs, id_col="doc_id", n=200).select(
+        "doc_id", "source", "sample_key"
+    )
+
+
+_Q77_SQL = """
+SELECT doc_id, source,
+       md5('seed0' || ':' || CAST(doc_id AS VARCHAR)) AS sample_key
+FROM documents
+ORDER BY sample_key LIMIT 200
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "q01_pricing_summary": QueryDef(q01_pricing_summary, _Q01_SQL, "filter+agg+sort (A1/A3)"),
     "q02_event_type_counts": QueryDef(q02_event_type_counts, _Q02_SQL, "groupBy count desc (A1/O1)"),
@@ -2448,6 +2467,11 @@ CATALOG: dict[str, QueryDef] = {
         _incremental_neardup_sql(),
         "incremental near-dup admission (batch vs corpus index)",
     ),
+    "q77_digest_sample": QueryDef(
+        q77_digest_sample,
+        _Q77_SQL,
+        "deterministic exact-N digest sample",
+    ),
 }
 
 
@@ -2520,6 +2544,7 @@ DRIVER_OVERFLOW: frozenset[str] = frozenset(
         "q74_token_budget_selection",
         "q75_source_quota_cap",
         "q76_incremental_neardup",
+        "q77_digest_sample",
         "q15_word_frequencies",
         "q16_text_quality",
         "q17_language_id",

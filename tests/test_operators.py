@@ -2056,3 +2056,24 @@ def test_minhash_lsh_pairs_prune_verify_parity(spark):
         map(tuple, minhash_lsh_pairs(df, prune_verify=True, **kw).collect())
     )
     assert a == b and len(a) > 0
+
+
+def test_digest_sample_exact_n_deterministic_and_seeded(spark):
+    """Exact N rows, identical across invocations and partitionings;
+    a different seed draws a different set."""
+    from serverless_podcast_etl_spark.operators.selection import digest_sample
+
+    df = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(500)], "doc_id long, text string"
+    )
+    a = sorted(r["doc_id"] for r in digest_sample(df, "doc_id", 50).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in digest_sample(df.repartition(13), "doc_id", 50).collect()
+    )
+    assert len(a) == 50 and a == b
+    c = sorted(
+        r["doc_id"]
+        for r in digest_sample(df, "doc_id", 50, seed="seed1").collect()
+    )
+    assert len(c) == 50 and c != a

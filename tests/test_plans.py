@@ -264,3 +264,13 @@ def test_leakage_free_split_broadcasts_component_table(spark, sf_dir):
     # the corpus scan side carries no hash exchange: the only join is
     # the broadcast one
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_digest_sample_plans_as_top_n_not_global_sort(spark, sf_dir):
+    """q77's exact-N sample must plan as TakeOrderedAndProject
+    (per-partition top-n + one merge), never a full global sort +
+    limit — the property that keeps a reproducible sample O(n) at
+    100 TB."""
+    plan = physical_plan(CATALOG["q77_digest_sample"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan, plan
