@@ -34,9 +34,11 @@ QUERIES = [
     "q69_bloom_decontamination",
     "q70_semantic_dedup",
     # r5 additions: the heaviest new curation op (cross-doc window
-    # df + strip) and the two-pass global prefix sum at 10x
+    # df + strip), the two-pass global prefix sum, and the
+    # incremental batch-vs-corpus admission gate at 10x
     "q72_strip_cross_doc_spans",
     "q74_token_budget_selection",
+    "q76_incremental_neardup",
 ]
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
