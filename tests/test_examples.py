@@ -1,0 +1,41 @@
+"""The examples/ demos must stay runnable — they are the user-facing
+composition proof (each spawns its own interpreter + SparkSession, so
+they run as subprocesses to keep the shared test session intact)."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(script: str, *args: str) -> str:
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", script), *args],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    return out.stdout
+
+
+def test_curation_demo_runs_end_to_end():
+    # arg is the sf_dir; default sf0.01 testdata
+    stdout = _run("curation_pipeline_demo.py")
+    assert "final training set under" in stdout, stdout
+
+
+def test_streaming_ingest_demo_runs_end_to_end(tmp_path):
+    stdout = _run("streaming_ingest_demo.py", str(tmp_path / "work"))
+    assert "warehouse rows: 1" in stdout, stdout
+
+
+def test_podcast_pipeline_demo_runs(tmp_path):
+    stdout = _run("podcast_pipeline_demo.py", str(tmp_path / "wh"))
+    assert stdout.strip(), "demo produced no output"
