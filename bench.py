@@ -131,6 +131,7 @@ HEADLINE = [
     "q75_source_quota_cap",
     "q76_incremental_neardup",
     "q77_digest_sample",
+    "q78_stratified_digest_sample",
 ]
 
 #: Every exclusion, with its reason in the header comment above —

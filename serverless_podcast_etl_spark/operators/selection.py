@@ -136,6 +136,48 @@ def digest_sample(
     )
 
 
+def stratified_digest_sample(
+    df: DataFrame,
+    stratum_col: str,
+    fractions: dict[str, float],
+    id_col: str,
+    seed: str = "seed0",
+) -> DataFrame:
+    """Deterministic stratified sampling: keep a row when the first 6
+    hex chars of ``md5(seed:stratum:id)`` fall below the stratum's
+    fraction of the 16^6 hex space — the exact-apply counterpart of
+    the mixture weights (q59) and the digest upgrade of ``sampleBy``
+    (q52): reproducible across runs/engines/partitionings, and
+    therefore oracle-checkable, where an RNG draw is rows-only.
+
+    Strata absent from ``fractions`` are DROPPED (fraction 0) — the
+    corpus-rebalancing contract where every kept stratum is listed.
+    Per-row in-row predicate: no shuffle, no state; the expected kept
+    fraction per stratum converges to its target by the uniformity of
+    the digest.
+    """
+    bounds = {
+        s: format(int(f * 16**6), "06x") for s, f in fractions.items()
+    }
+    digest = F.md5(
+        F.encode(
+            F.concat(
+                F.lit(seed), F.lit(":"), F.col(stratum_col).cast("string"),
+                F.lit(":"), F.col(id_col).cast("string"),
+            ),
+            "utf-8",
+        )
+    )
+    bound = None
+    for s, b in sorted(bounds.items()):
+        bound = (F.when if bound is None else bound.when)(
+            F.col(stratum_col) == s, F.lit(b)
+        )
+    bound = (bound.otherwise(F.lit("000000")) if bound is not None
+             else F.lit("000000"))
+    return df.filter(F.substring(digest, 1, 6) < bound)
+
+
 def cap_per_group(
     df: DataFrame,
     group_col: str,

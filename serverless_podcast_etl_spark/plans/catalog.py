@@ -2263,6 +2263,38 @@ ORDER BY sample_key LIMIT 200
 """
 
 
+#: q78's rebalancing targets: downsample the dominant language, keep
+#: the rest at higher rates (the q59 mixture-weight shape, applied).
+_Q78_FRACTIONS = {"en": 0.25, "de": 0.6, "es": 0.6, "fr": 0.6, "zh": 0.6}
+
+
+def q78_stratified_digest_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified rebalancing: per-language keep
+    fractions applied via digest thresholds — the oracle-exact apply
+    step for mixture weights (q59), upgrading q52's rows-only seeded
+    sampleBy (operators/selection.stratified_digest_sample)."""
+    docs = _t(spark, sf_dir, "documents")
+    return selection.stratified_digest_sample(
+        docs, stratum_col="lang", fractions=_Q78_FRACTIONS,
+        id_col="doc_id",
+    ).select("doc_id", "lang", "source")
+
+
+def _stratified_digest_sql(
+    fractions: dict[str, float], seed: str = "seed0"
+) -> str:
+    case = " ".join(
+        f"WHEN lang = '{s}' THEN '{format(int(f * 16**6), '06x')}'"
+        for s, f in sorted(fractions.items())
+    )
+    return f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE substr(md5('{seed}' || ':' || lang || ':' || CAST(doc_id AS VARCHAR)), 1, 6)
+      < CASE {case} ELSE '000000' END
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "q01_pricing_summary": QueryDef(q01_pricing_summary, _Q01_SQL, "filter+agg+sort (A1/A3)"),
     "q02_event_type_counts": QueryDef(q02_event_type_counts, _Q02_SQL, "groupBy count desc (A1/O1)"),
@@ -2472,6 +2504,11 @@ CATALOG: dict[str, QueryDef] = {
         _Q77_SQL,
         "deterministic exact-N digest sample",
     ),
+    "q78_stratified_digest_sample": QueryDef(
+        q78_stratified_digest_sample,
+        _stratified_digest_sql(_Q78_FRACTIONS),
+        "deterministic stratified rebalancing by digest threshold",
+    ),
 }
 
 
@@ -2545,6 +2582,7 @@ DRIVER_OVERFLOW: frozenset[str] = frozenset(
         "q75_source_quota_cap",
         "q76_incremental_neardup",
         "q77_digest_sample",
+        "q78_stratified_digest_sample",
         "q15_word_frequencies",
         "q16_text_quality",
         "q17_language_id",

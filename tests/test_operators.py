@@ -2077,3 +2077,29 @@ def test_digest_sample_exact_n_deterministic_and_seeded(spark):
         for r in digest_sample(df, "doc_id", 50, seed="seed1").collect()
     )
     assert len(c) == 50 and c != a
+
+
+def test_stratified_digest_sample_rates_and_determinism(spark):
+    """Per-stratum kept fractions track their digest thresholds,
+    unlisted strata drop entirely, and the draw is identical across
+    partitionings."""
+    from serverless_podcast_etl_spark.operators.selection import (
+        stratified_digest_sample,
+    )
+
+    rows = [(i, ["a", "b", "c"][i % 3], f"d{i}") for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    fr = {"a": 0.5, "b": 0.1}
+    out = stratified_digest_sample(df, "lang", fr, "doc_id").collect()
+    by = {}
+    for r in out:
+        by[r["lang"]] = by.get(r["lang"], 0) + 1
+    assert "c" not in by                      # unlisted stratum dropped
+    assert 400 <= by["a"] <= 600, by          # 1000 rows * 0.5 +- band
+    assert 60 <= by["b"] <= 140, by           # 1000 rows * 0.1 +- band
+    again = stratified_digest_sample(
+        df.repartition(17), "lang", fr, "doc_id"
+    ).collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(
+        r["doc_id"] for r in out
+    )
