@@ -454,3 +454,58 @@ def test_streaming_admission_matches_batch_gate(spark, tmp_path):
         r["doc_id"] for r in batch if r["admitted"] == 1
     )
     assert batch_admitted == sorted(r["doc_id"] for r in admitted)
+
+
+def test_streaming_admission_restart_processes_only_new_files(spark, tmp_path):
+    """Exactly-once admission across restarts: a second AvailableNow
+    drain with the same checkpoint sees only files staged after the
+    first drain — already-admitted documents are not re-offered to the
+    sink (the checkpointed-source-offset contract the gate relies on
+    instead of its own state)."""
+    import os
+
+    from serverless_podcast_etl_spark.streaming.admission import (
+        admission_batch_fn,
+    )
+
+    fresh_a = " ".join(f"a{i}" for i in range(30))
+    fresh_b = " ".join(f"b{i}" for i in range(30))
+    corpus = spark.createDataFrame(
+        [(1, " ".join(f"c{i}" for i in range(30)))],
+        "doc_id long, text string",
+    )
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "arrivals")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    admitted: list = []
+    fn = admission_batch_fn(
+        corpus, text_col="text", id_col="doc_id",
+        sink=lambda df, _e: admitted.extend(
+            r["doc_id"] for r in df.select("doc_id").collect()
+        ),
+        verify_threshold=0.3,
+    )
+
+    def drain():
+        q = (
+            spark.readStream.schema(schema).parquet(src)
+            .writeStream.foreachBatch(fn)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame([(201, fresh_a)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+    assert admitted == [201]
+    # restart with a new file staged: only the new doc flows
+    spark.createDataFrame([(202, fresh_b)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+    assert admitted == [201, 202]
