@@ -2103,3 +2103,38 @@ def test_stratified_digest_sample_rates_and_determinism(spark):
     assert sorted(r["doc_id"] for r in again) == sorted(
         r["doc_id"] for r in out
     )
+
+
+def test_selection_operators_edge_cases(spark):
+    """Empty inputs and degenerate parameters behave, not throw:
+    empty corpus → empty selection; budget larger than the corpus →
+    everything kept; sample n larger than the corpus → all rows;
+    empty fractions → empty stratified sample."""
+    from pyspark.sql import functions as F
+
+    from serverless_podcast_etl_spark.operators.selection import (
+        cap_per_group,
+        digest_sample,
+        select_under_budget,
+        stratified_digest_sample,
+    )
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, lang string, score double, cost long"
+    )
+    order = [F.col("score").desc(), F.col("doc_id")]
+    assert select_under_budget(empty, "cost", order, budget=10).count() == 0
+    assert cap_per_group(empty, "lang", order, n=3).count() == 0
+    assert digest_sample(empty, "doc_id", 5).count() == 0
+    assert (
+        stratified_digest_sample(empty, "lang", {"en": 0.5}, "doc_id").count()
+        == 0
+    )
+
+    df = spark.createDataFrame(
+        [(i, "en", float(i), 2) for i in range(10)],
+        "doc_id long, lang string, score double, cost long",
+    )
+    assert select_under_budget(df, "cost", order, budget=10_000).count() == 10
+    assert digest_sample(df, "doc_id", 50).count() == 10
+    assert stratified_digest_sample(df, "lang", {}, "doc_id").count() == 0
