@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def global_prefix_sum(
@@ -40,16 +41,34 @@ def global_prefix_sum(
        (rows = number of shuffle partitions, not data rows), offsets
        broadcast back and added.
 
-    ``materialize`` (default) eagerly localCheckpoints the sorted
-    frame so the range shuffle + sort run ONCE and both passes (the
-    totals aggregate and the final join) read the materialized
-    partitions; without it the upstream plan executes twice.  The
-    result is independent of where the sampled range boundaries land —
-    offsets are computed from the realized partitioning.
+    Costs are cast to LONG once, up front, and that cast column feeds
+    BOTH the local cumsum window and the per-partition totals — a
+    fractional ``cost_col`` therefore truncates identically in the two
+    passes instead of diverging (window-sum-then-cast vs
+    cast-then-sum).  The contract is integer costs (token counts,
+    bytes); fractional inputs are truncated per row.
+
+    The realized partitioning MUST be stable between the totals pass
+    and the final join, or offsets could describe different partition
+    boundaries than the local cumsums — so the sorted frame is always
+    pinned: ``materialize`` (default) eagerly localCheckpoints it (the
+    range shuffle + sort run once, both passes read materialized
+    partitions); ``materialize=False`` falls back to
+    ``persist(MEMORY_AND_DISK)``, which still fixes the realized
+    partition ids after the first action — there is no unpinned mode,
+    because re-sampled range boundaries on a re-execution are a
+    correctness hazard, not just a double-execution cost.
 
     ``num_partitions`` overrides the range-partition count (default:
     ``spark.sql.shuffle.partitions``, which AQE may coalesce at small
     volume — pass it explicitly to pin the fan-out).
+
+    Driver-side bounds: the ``totals`` collect and the rebuilt offsets
+    relation are one row PER PARTITION, not per data row — at an
+    extreme 100k-partition cluster sweep that is a ~100k-row local
+    relation broadcast per call (same order as the union-find node
+    bound in ``operators/dedup.py``); size ``num_partitions`` to the
+    data, not the cluster, if that ever matters.
     """
     range_keys = (
         [num_partitions, *order_cols] if num_partitions else order_cols
@@ -57,28 +76,31 @@ def global_prefix_sum(
     ranged = df.repartitionByRange(*range_keys).sortWithinPartitions(
         *order_cols
     )
-    part = ranged.withColumn("_pid", F.spark_partition_id())
+    part = ranged.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_cost_l", F.col(cost_col).cast("long")
+    )
     if materialize:
         part = part.localCheckpoint(eager=True)
+    else:
+        part = part.persist(StorageLevel.MEMORY_AND_DISK)
     w = Window.partitionBy("_pid").orderBy(*order_cols)
-    local = part.withColumn("_local_cum", F.sum(cost_col).over(w))
+    local = part.withColumn("_local_cum", F.sum("_cost_l").over(w))
     # bounded driver pass: one row per partition
     totals = part.groupBy("_pid").agg(
-        F.sum(F.col(cost_col).cast("long")).alias("_t")
+        F.sum("_cost_l").alias("_t")
     ).collect()
     offsets, acc = [], 0
     for r in sorted(totals, key=lambda r: r["_pid"]):
         offsets.append((r["_pid"], acc))
-        acc += r["_t"]
+        # an all-null-cost partition totals to NULL; it contributes 0
+        acc += r["_t"] or 0
     off = df.sparkSession.createDataFrame(
         offsets, "_pid int, _off long"
     )
     return (
         local.join(F.broadcast(off), "_pid")
-        .withColumn(
-            out_col, (F.col("_local_cum").cast("long") + F.col("_off"))
-        )
-        .drop("_pid", "_local_cum")
+        .withColumn(out_col, (F.col("_local_cum") + F.col("_off")))
+        .drop("_pid", "_local_cum", "_cost_l")
     )
 
 
@@ -136,6 +158,17 @@ def digest_sample(
     )
 
 
+def _digest_bound(fraction: float) -> str:
+    """Exclusive upper bound on a 6-hex-char digest prefix keeping the
+    given fraction of the uniform 16^6 space.  ``fraction >= 1.0`` maps
+    to ``"g"`` — one char, lexicographically above every hex string —
+    so the full-keep case is an always-true compare rather than a
+    7-char bound that a 6-char prefix can never exceed."""
+    if fraction >= 1.0:
+        return "g"
+    return format(max(0, int(fraction * 16**6)), "06x")
+
+
 def stratified_digest_sample(
     df: DataFrame,
     stratum_col: str,
@@ -152,13 +185,16 @@ def stratified_digest_sample(
 
     Strata absent from ``fractions`` are DROPPED (fraction 0) — the
     corpus-rebalancing contract where every kept stratum is listed.
-    Per-row in-row predicate: no shuffle, no state; the expected kept
-    fraction per stratum converges to its target by the uniformity of
-    the digest.
+    Fractions are clamped to [0, 1]: ``f >= 1.0`` keeps the WHOLE
+    stratum (bound ``"g"``, which sorts above every hex digest — the
+    naive ``int(f * 16**6)`` bound would be the 7-char ``"1000000"``,
+    and a lexicographic compare against a 6-char digest prefix would
+    silently keep only digests starting with ``'0'``); ``f <= 0``
+    keeps none.  Per-row in-row predicate: no shuffle, no state; the
+    expected kept fraction per stratum converges to its target by the
+    uniformity of the digest.
     """
-    bounds = {
-        s: format(int(f * 16**6), "06x") for s, f in fractions.items()
-    }
+    bounds = {s: _digest_bound(f) for s, f in fractions.items()}
     digest = F.md5(
         F.encode(
             F.concat(

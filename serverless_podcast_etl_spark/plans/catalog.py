@@ -2283,8 +2283,10 @@ def q78_stratified_digest_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _stratified_digest_sql(
     fractions: dict[str, float], seed: str = "seed0"
 ) -> str:
+    # bounds via selection._digest_bound so the oracle shares the
+    # operator's f >= 1.0 full-keep clamp ('g' sorts above all hex)
     case = " ".join(
-        f"WHEN lang = '{s}' THEN '{format(int(f * 16**6), '06x')}'"
+        f"WHEN lang = '{s}' THEN '{selection._digest_bound(f)}'"
         for s, f in sorted(fractions.items())
     )
     return f"""
@@ -2562,6 +2564,19 @@ CATALOG: dict[str, QueryDef] = {
 #: q74/q75 (token-budget selection, source quota cap — oracle-exact)
 #: start in overflow, replica-certified, as q69/q70 did in r4; they
 #: are the r6 rotation candidates.
+#:
+#: Round-6 rotation (r5 VERDICT "do this" #2): q74–q78 — the five
+#: round-5 selection/admission operators, all oracle-exact and
+#: replica-green but never driver-certified, led by q76 incremental
+#: admission — rotated INTO the window; q69–q73 rotated out (every
+#: one went driver-green in CORRECTNESS_r05 first, per the rotation
+#: rule, and each family keeps a green window sibling: q69 Bloom
+#: decontamination → q50 n-gram decontamination shares the identical
+#: oracle; q70 SemDeDup → q23 embedding near-dup keeps the
+#: embedding-dedup family; q71/q72 cross-doc spans → q67 applied
+#: span-stripping, whose oracle embeds the same span CTE pattern;
+#: q73 leakage-free split → q48 connected components, whose
+#: recursive-CTE closure q73's oracle builds on).
 DRIVER_OVERFLOW: frozenset[str] = frozenset(
     {
         "q03_filtered_mention_counts",
@@ -2576,13 +2591,13 @@ DRIVER_OVERFLOW: frozenset[str] = frozenset(
         "q20_minhash_signatures",
         "q65_fingerprint_decontamination",
         "q66_duplicated_spans",
-        # r5 additions start in overflow (replica-certified; r6
-        # rotation candidates, the q69/q70-in-r4 pattern)
-        "q74_token_budget_selection",
-        "q75_source_quota_cap",
-        "q76_incremental_neardup",
-        "q77_digest_sample",
-        "q78_stratified_digest_sample",
+        # r6 rotations-out for the q74–q78 rotation-in (driver-green
+        # in r5; families keep green siblings — see the round-6 note)
+        "q69_bloom_decontamination",
+        "q70_semantic_dedup",
+        "q71_cross_doc_spans",
+        "q72_strip_cross_doc_spans",
+        "q73_leakage_free_split",
         "q15_word_frequencies",
         "q16_text_quality",
         "q17_language_id",
