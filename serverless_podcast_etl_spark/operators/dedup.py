@@ -344,6 +344,7 @@ def incremental_neardup_admission(
     bands: int = 4,
     verify_threshold: float = 0.2,
     prune_verify: bool = False,
+    corpus_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Admission gate for incremental ingestion: for each NEW document,
     the count of verified near-duplicates already in the corpus —
@@ -359,6 +360,18 @@ def incremental_neardup_admission(
     re-sign.  Candidate verification re-derives shingles only through
     equi-joins that touch matched documents.
 
+    ``corpus_bands`` plugs that persisted index straight in: a
+    DataFrame with columns (``id_col``, band, bucket) — e.g.
+    ``spark.table(...)`` over a ``write_bucketed`` table — used for
+    the candidate join INSTEAD of re-signing ``corpus_df``.  The
+    parameters (n, num_hashes, bands) must match those the index was
+    built with; when the table is bucketed on (band, bucket) the
+    candidate join reads it with zero Exchange above the scan
+    (pinned by ``test_admission_against_bucketed_index_plan``).
+    ``corpus_df`` is still consulted for verification shingles —
+    combine with ``prune_verify`` so only candidate-matched corpus
+    docs are shuffled for the verify step.
+
     Semantics are exactly ``minhash_lsh_pairs`` over the union,
     restricted to (new × corpus) pairs — pinned by the catalog oracle
     (q76), which computes full-corpus pairs and filters to the split.
@@ -373,9 +386,14 @@ def incremental_neardup_admission(
     nb = minhash_bands(
         new_df, text_col, id_col, n=n, num_hashes=num_hashes, bands=bands
     ).select(F.col(id_col).alias("_id_new"), "band", "bucket")
-    cb = minhash_bands(
-        corpus_df, text_col, id_col, n=n, num_hashes=num_hashes, bands=bands
-    ).select(F.col(id_col).alias("_id_old"), "band", "bucket")
+    if corpus_bands is None:
+        corpus_bands = minhash_bands(
+            corpus_df, text_col, id_col, n=n, num_hashes=num_hashes,
+            bands=bands,
+        )
+    cb = corpus_bands.select(
+        F.col(id_col).alias("_id_old"), "band", "bucket"
+    )
     candidates = (
         nb.join(cb, ["band", "bucket"]).select("_id_new", "_id_old").distinct()
     )

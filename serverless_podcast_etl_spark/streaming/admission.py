@@ -56,10 +56,24 @@ def admission_batch_fn(
             verify_threshold=verify_threshold,
         )
         flagged = batch_df.join(gate, id_col)
-        sink(flagged.filter(F.col("admitted") == 1).drop("admitted"), epoch)
-        if rejected_sink is not None:
+        if rejected_sink is None:
+            sink(
+                flagged.filter(F.col("admitted") == 1).drop("admitted"), epoch
+            )
+            return
+        # two sink actions share ONE evaluation of the LSH gate
+        # pipeline — without the persist, the admitted and rejected
+        # filters would each recompute the full signature/band/verify
+        # join per micro-batch
+        flagged = flagged.persist()
+        try:
+            sink(
+                flagged.filter(F.col("admitted") == 1).drop("admitted"), epoch
+            )
             rejected_sink(
                 flagged.filter(F.col("admitted") == 0).drop("admitted"), epoch
             )
+        finally:
+            flagged.unpersist()
 
     return _process
