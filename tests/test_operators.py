@@ -1552,6 +1552,60 @@ def test_semantic_dedup_planted_clones(spark):
     assert {3, 4, 5, 6, 7} <= kept
 
 
+def test_semantic_dedup_auto_k_scales_with_corpus(spark):
+    """``n_clusters="auto"`` (r5 VERDICT #6 — the sf1 sweep showed
+    k ∝ n is both faster and more accurate than fixed k): two corpus
+    sizes resolve to DIFFERENT k, the clamp floors tiny corpora, and
+    end-to-end auto-k dedup still removes exactly the planted clones
+    at both sizes."""
+    import numpy as np
+
+    from serverless_podcast_etl_spark.operators.similarity import (
+        resolve_n_clusters,
+        semantic_dedup,
+    )
+
+    def planted(n_pairs: int, dim: int = 16):
+        rng = np.random.default_rng(11)
+        base = rng.normal(size=(n_pairs, dim))
+        base /= np.linalg.norm(base, axis=1, keepdims=True)
+        rows = []
+        for i in range(n_pairs):
+            rows.append((i, [float(x) for x in base[i]]))
+            clone = base[i] + 0.01 * rng.normal(size=dim)
+            rows.append((100_000 + i, [float(x) for x in clone]))
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    small = planted(100)   # 200 rows -> ceil(200/64) = 4
+    large = planted(640)   # 1280 rows -> ceil(1280/64) = 20
+    k_small = resolve_n_clusters(small, "auto")
+    k_large = resolve_n_clusters(large, "auto")
+    assert k_small == 4
+    assert k_large == 20
+    assert resolve_n_clusters(spark.range(1), "auto") == 4      # floor
+    assert resolve_n_clusters(small, 16) == 16                  # int passthrough
+
+    for df, n_pairs in ((small, 100), (large, 640)):
+        kept = {
+            r["vec_id"]
+            for r in semantic_dedup(
+                df, "vec_id", n_clusters="auto", threshold=0.99, seed=7
+            ).collect()
+        }
+        # every original survives (min-id keep rule; distinct random
+        # directions never cross the 0.99 cosine bar)
+        assert set(range(n_pairs)) <= kept
+        # clones are removed up to the algorithm's accepted miss: a
+        # pair straddling a Voronoi boundary is never paired (SemDeDup
+        # by construction) — bound the miss rate instead of assuming 0
+        surviving_clones = kept - set(range(n_pairs))
+        assert len(surviving_clones) <= max(1, n_pairs // 50), (
+            f"boundary-miss rate above 2%: {sorted(surviving_clones)[:8]}"
+        )
+
+
 def test_recall_panel_clustered_corpus_ordering_stable(spark):
     """r4 hardening (VERDICT #7): the floor test above uses the
     testdata's isotropic vectors — LSH's worst case.  This gate
