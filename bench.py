@@ -8,13 +8,15 @@ Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 Each query is forced with a ``noop``-format write — full computation,
 no driver-side collect, mirroring how a cluster job would sink.
 
-Measurement protocol (r4 — after the round-3 postmortem showed
-min-of-2 in one session cannot distinguish plan changes from session
-noise, and an A/B proved per-query ``System.gc()`` has no isolation
-effect): each query pays ONE untimed warm run (Janino codegen — a
+Measurement protocol (r4, interleaved since r6 — the round-3
+postmortem showed min-of-2 in one session cannot distinguish plan
+changes from session noise; the round-5 q56 flag showed consecutive
+per-query sampling lets one interference window own every sample of
+one query): each query pays ONE untimed warm run (Janino codegen — a
 one-shot cost a resident cluster amortizes), then
-``$SPARK_GRAFT_BENCH_RUNS`` (default 5) timed runs; the reported
-figure is the MEDIAN.  When ``BENCH_GOLDEN.json`` exists (frozen
+``$SPARK_GRAFT_BENCH_RUNS`` (default 5) timed ROUND-ROBIN passes over
+the whole headline list; the reported figure is each query's MEDIAN
+across passes.  When ``BENCH_GOLDEN.json`` exists (frozen
 per-query medians + observed cross-session variance bands; regenerate
 with ``tools/make_bench_golden.py``), the output embeds a
 ``vs_golden`` comparison, so every round's BENCH file grades itself
@@ -28,6 +30,7 @@ from __future__ import annotations
 import json
 import os
 import statistics
+import subprocess
 import sys
 import time
 
@@ -147,6 +150,7 @@ EXCLUDED = {
 
 
 def main() -> None:
+    started_at = time.strftime("%Y-%m-%dT%H:%M:%S%z")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark(
@@ -183,21 +187,37 @@ def main() -> None:
     # ±50%-per-session swings the round-3 postmortem measured on
     # heavy queries (min-of-2 was not).
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
-    timings: dict[str, float] = {}
-    spread: dict[str, list[float]] = {}
+    # INTERLEAVED rounds (r6 — the q56 postmortem): the r5 official
+    # run flagged q56 at 3.5 s vs a ~1.0 s golden with 3 of its 5
+    # consecutive samples inflated, while a same-session alternating
+    # A/B could not reproduce the spike (NOTES.md r6).  Consecutive
+    # per-query sampling lets one minutes-long interference window
+    # own EVERY sample of whichever query it lands on — the median
+    # doesn't help.  Round-robin passes spread that window across
+    # single samples of many queries, where each per-query median
+    # shrugs it off.  Steady-state latency is unchanged (no cross-run
+    # data caching exists: every run replans and sinks to noop), so
+    # medians stay comparable; the golden anchor was re-frozen under
+    # this protocol anyway.
     cold: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = CATALOG[name].fn
+    samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
+    for name in HEADLINE:  # untimed warm pass: Janino codegen per plan
         start = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        CATALOG[name].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
         cold[name] = round(time.perf_counter() - start, 3)
-        samples: list[float] = []
-        for _ in range(runs):
+    for _ in range(runs):
+        for name in HEADLINE:
             start = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            samples.append(round(time.perf_counter() - start, 3))
-        timings[name] = round(statistics.median(samples), 3)
-        spread[name] = [min(samples), max(samples)]
+            CATALOG[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            samples[name].append(round(time.perf_counter() - start, 3))
+    timings = {
+        n: round(statistics.median(s), 3) for n, s in samples.items()
+    }
+    spread = {n: [min(s), max(s)] for n, s in samples.items()}
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -221,8 +241,27 @@ def main() -> None:
         "queries": short,
         "sf": sf_val,
     }
+    # Session identity stamp (r5 VERDICT "what's missing" #2: the
+    # committed sidecar and the driver's official artifact disagreed
+    # with nothing adjudicating them).  Every BENCH_DETAIL now names
+    # the exact source tree and protocol that produced it, so two
+    # sidecars from the same commit are directly comparable and a
+    # flag can be re-measured against the same code.
+    try:
+        git_head = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            timeout=10,
+        ).stdout.strip() or None
+    except Exception:
+        git_head = None
     detail = {
         "sf": sf_val,
+        "protocol": "interleaved-r6",
+        "git_head": git_head,
+        "started_at": started_at,
         "runs_per_query": runs,
         "queries_full": timings,
         "cold_total": round(sum(cold.values()), 3),

@@ -39,6 +39,11 @@ QUERIES = [
     "q72_strip_cross_doc_spans",
     "q74_token_budget_selection",
     "q76_incremental_neardup",
+    # r6 additions (r5 VERDICT #5): the recursive-closure split and
+    # the per-source quota window at 10x (q77/q78 are in-scan/TakeOrdered
+    # — no distributed path to rehearse)
+    "q73_leakage_free_split",
+    "q75_source_quota_cap",
 ]
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
