@@ -135,6 +135,9 @@ HEADLINE = [
     "q76_incremental_neardup",
     "q77_digest_sample",
     "q78_stratified_digest_sample",
+    "q79_url_canonical_dedup",
+    "q80_unigram_lm_scores",
+    "q81_cross_source_neardup_matrix",
 ]
 
 #: Every exclusion, with its reason in the header comment above —

@@ -496,3 +496,93 @@ def rolling_fingerprints(
         F.size("_kept").cast("long").alias("n_fingerprints"),
         F.array_min("_kept").alias("min_fingerprint"),
     )
+
+
+def unigram_frequency_scores(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Corpus-trained unigram language-model scoring per document — the
+    KenLM-style quality signal of a pretraining pipeline (documents of
+    very rare tokens are boilerplate/garbled outliers; CCNet buckets on
+    exactly this).  The "model" is the corpus itself: token counts
+    ``c`` with add-one smoothing over ``N`` total tokens and ``V``
+    distinct tokens.
+
+    Emits per document:
+
+    - ``n_tokens``
+    - ``mean_inv_freq`` = avg((N + V) / (c + 1)) — the LOG-FREE
+      rarity score (1 / smoothed unigram probability, averaged).  Built
+      only from IEEE add/div, so Spark and the DuckDB oracle produce
+      bit-identical per-token doubles (same trade as
+      ``tfidf_top_terms``: ``ln`` differs in the last ulp across
+      runtimes and would flake a value-hash comparison).
+    - ``avg_logprob`` = avg(ln((c + 1) / (N + V))) — the conventional
+      LM score for human consumption; NOT oracle-compared (the
+      catalog's certified query selects the rational columns and
+      Catalyst prunes this one out of that plan).
+
+    Plan shape (the ``tfidf_top_terms`` shape): explode → hash
+    aggregate tf per (doc, token) — map-side combinable, shrinks the
+    corpus to per-doc vocab — → global counts per token (small) →
+    broadcast counts back onto tf.  The corpus-sized side is shuffled
+    once.  At a scale where the vocab outgrows the broadcast
+    threshold, drop the hint and let AQE pick a shuffle join.
+
+    The tf table feeds three consumers (the score join, the count
+    model, the totals) and Catalyst does NOT reuse the exchange
+    across them (measured: 3× scan+tokenize+shuffle), so it is
+    materialized ONCE via ``localCheckpoint`` — the same
+    single-materialization pattern as ``selection.global_prefix_sum``.
+    """
+    terms = df.select(
+        F.col(id_col),
+        F.explode(word_tokens(F.col(text_col))).alias("token"),
+    )
+    tf = (
+        terms.groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    counts = tf.groupBy("token").agg(F.sum("tf").alias("c"))
+    totals = counts.agg(
+        F.sum("c").cast("double").alias("_n"),
+        F.count(F.lit(1)).cast("double").alias("_v"),
+    )
+    scored = tf.join(F.broadcast(counts), "token").join(F.broadcast(totals))
+    inv = (F.col("_n") + F.col("_v")) / (F.col("c") + F.lit(1.0))
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("tf") * inv) / F.sum("tf"), 4
+            ).alias("mean_inv_freq"),
+            F.round(
+                F.sum(F.col("tf") * -F.log(inv)) / F.sum("tf"), 4
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+def unigram_frequency_sql() -> str:
+    """DuckDB twin of ``unigram_frequency_scores``'s rational columns
+    (same tokenization, same add-one smoothing, same weighted mean)."""
+    return """
+WITH terms AS (
+  SELECT doc_id, unnest(list_filter(
+           regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''))
+         AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM terms GROUP BY 1, 2),
+counts AS (SELECT token, sum(tf) AS c FROM tf GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v
+        FROM counts)
+SELECT doc_id,
+       CAST(sum(tf) AS BIGINT) AS n_tokens,
+       round(sum(tf * ((n + v) / (c + 1.0))) / sum(tf), 4)
+         AS mean_inv_freq
+FROM tf JOIN counts USING (token), tot
+GROUP BY doc_id
+"""

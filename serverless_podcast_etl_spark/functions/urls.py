@@ -56,3 +56,97 @@ def filter_blocked_domains(
         lambda d: d.isin(*blocklist),
     )
     return df.filter(~has_blocked)
+
+
+# Tracking parameters stripped during canonicalization (the
+# RefinedWeb/CCNet-style URL-dedup first stage drops these before
+# comparing URLs — they vary per click, not per page).
+TRACKING_PARAM_PATTERN = r"^(utm_[^=]*|fbclid|gclid|ref)="
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of a URL for identity comparison: lowercase
+    scheme and host, strip a leading ``www.``, drop the fragment,
+    remove tracking query parameters (``utm_*``/``fbclid``/``gclid``/
+    ``ref``), sort surviving parameters, and trim trailing slashes
+    from the path.
+
+    Pure in-row string expressions (codegen'd; zero shuffles) with an
+    exact DuckDB twin in the catalog oracle — regex syntax is
+    restricted to the Java-regex ∩ RE2 subset, like ``pii``.
+    """
+    # (?i) on the scheme prefix: 'HTTPS://HOST/Path' must still parse
+    # (scheme+host are case-insensitive per RFC 3986; path is NOT)
+    defrag = F.regexp_replace(url, r"#.*", "")
+    scheme = F.lower(F.regexp_extract(defrag, r"^(?i)(https?)://", 1))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(defrag, r"^(?i)https?://([^/?#]+)", 1)),
+        r"^www\.",
+        "",
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(defrag, r"^(?i)https?://[^/?#]*([^?#]*)", 1),
+        r"/+$",
+        "",
+    )
+    query = F.regexp_extract(defrag, r"\?([^#]*)", 1)
+    params = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(query, "&"),
+                lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_PATTERN),
+            )
+        ),
+        "&",
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(params != "", F.concat(F.lit("?"), params)).otherwise(
+            F.lit("")
+        ),
+    )
+
+
+def dedup_by_canonical_url(
+    df: DataFrame,
+    url_col: str,
+    id_col: str,
+    quality_col: str,
+) -> DataFrame:
+    """URL-level exact dedup, keep-best: canonicalize every URL in-row,
+    then keep ONE document per canonical URL — the highest
+    ``quality_col``, ties broken by lowest ``id_col`` (deterministic).
+
+    The first dedup stage of a web-crawl curation pipeline (same page
+    fetched via tracking links, mobile hosts, fragments).  Scale shape:
+    canonicalization is in-row; the only shuffle is the hash partition
+    on ``canonical_url`` for the per-key window, which runs parallel
+    across keys and never materializes pairs.  Output is one row per
+    distinct canonical URL with the kept id and the group size.
+    """
+    from pyspark.sql import Window
+
+    canon = df.select(
+        F.col(id_col),
+        F.col(quality_col),
+        canonical_url(F.col(url_col)).alias("canonical_url"),
+    )
+    w = Window.partitionBy("canonical_url").orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        canon.select(
+            "canonical_url",
+            F.col(id_col),
+            F.col(quality_col),
+            F.row_number().over(w).alias("_rn"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("canonical_url"))
+            .alias("n_dups"),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -1359,3 +1359,61 @@ def connected_components_star(
             F.coalesce(F.col("_c"), F.col("_id")).alias(out_comp),
         )
     )
+
+
+def cross_source_neardup_matrix(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    source_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    score_col: str | None = "jaccard",
+) -> DataFrame:
+    """Cross-source duplication matrix: for a verified near-dup pair
+    list (e.g. ``minhash_lsh_pairs``), count pairs per unordered
+    source pair — the artifact a curation run reviews to decide
+    dedup scope (within-source only vs global) and to spot snapshot
+    overlap/leakage between crawls.
+
+    Output: one row per unordered ``(source_a, source_b)`` with
+    ``source_a <= source_b``, the pair count, and (when ``score_col``
+    is set) the maximum verified similarity — max, not mean, because
+    it is order-independent and exact under value-hash comparison.
+
+    Scale shape: the pair list is orders of magnitude smaller than
+    the corpus (LSH-bounded), so it is BROADCAST into the corpus'
+    (id, source) projection twice — the corpus is never shuffled, and
+    the final aggregate runs on pair-list volume.
+    """
+    srcs = docs.select(
+        F.col(id_col).alias("_cid"), F.col(source_col).alias("_csrc")
+    )
+    annotated = (
+        srcs.join(
+            F.broadcast(pairs), srcs["_cid"] == pairs[id_a], "inner"
+        )
+        .drop("_cid")
+        .withColumnRenamed("_csrc", "_src_a")
+    )
+    annotated = (
+        srcs.join(
+            F.broadcast(annotated),
+            srcs["_cid"] == annotated[id_b],
+            "inner",
+        )
+        .drop("_cid")
+        .withColumnRenamed("_csrc", "_src_b")
+    )
+    aggs = [F.count(F.lit(1)).alias("n_pairs")]
+    if score_col is not None:
+        aggs.append(F.max(score_col).alias("max_" + score_col))
+    return (
+        annotated.select(
+            F.least("_src_a", "_src_b").alias("source_a"),
+            F.greatest("_src_a", "_src_b").alias("source_b"),
+            *([score_col] if score_col is not None else []),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(*aggs)
+    )

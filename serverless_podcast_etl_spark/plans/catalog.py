@@ -2297,6 +2297,145 @@ WHERE substr(md5('{seed}' || ':' || lang || ':' || CAST(doc_id AS VARCHAR)), 1, 
 """
 
 
+def q79_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + keep-best dedup — the RefinedWeb-style
+    first dedup stage: the same page reached via tracking links,
+    ``www.`` hosts, fragments and trailing slashes collapses to one
+    canonical URL; keep the longest fetch per URL.  The corpus carries
+    no URL column, so a deterministic messy URL is derived per doc
+    (three variant shapes by doc_id % 3; doc_id // 3 picks the page,
+    so up to 3 docs collide post-canonicalization) — same expression
+    in the oracle, as q58/q63 inject."""
+    docs = _t(spark, sf_dir, "documents")
+    g = (F.col("doc_id") / 3).cast("long")
+    base = F.concat(
+        F.lit("site"), (g % 7).cast("string"),
+        F.lit(".example.com/p/"), g.cast("string"),
+    )
+    messy = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("HTTPS://WWW."), F.upper(F.substring(base, 1, 1)),
+                F.substring(base, 2, 1000), F.lit("?utm_source=a&fbclid=x"),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("https://"), base, F.lit("/#frag"),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://"), base, F.lit("?gclid="),
+                F.col("doc_id").cast("string"), F.lit("&utm_campaign=c"),
+            )
+        )
+    )
+    injected = docs.select("doc_id", "n_chars", messy.alias("url"))
+    return urls.dedup_by_canonical_url(
+        injected, url_col="url", id_col="doc_id", quality_col="n_chars"
+    ).orderBy("canonical_url")
+
+
+def _url_canonical_dedup_sql() -> str:
+    return r"""
+WITH injected AS (
+  SELECT doc_id, n_chars,
+         CASE doc_id % 3
+           WHEN 0 THEN 'HTTPS://WWW.' || upper(substr(b, 1, 1)) || substr(b, 2)
+                       || '?utm_source=a&fbclid=x' || CAST(doc_id AS VARCHAR)
+           WHEN 1 THEN 'https://' || b || '/#frag' || CAST(doc_id AS VARCHAR)
+           ELSE 'https://' || b || '?gclid=' || CAST(doc_id AS VARCHAR)
+                || '&utm_campaign=c'
+         END AS url
+  FROM (SELECT doc_id, n_chars,
+               'site' || CAST((doc_id // 3) % 7 AS VARCHAR)
+               || '.example.com/p/' || CAST(doc_id // 3 AS VARCHAR) AS b
+        FROM documents)
+),
+canon AS (
+  SELECT doc_id, n_chars,
+         lower(regexp_extract(defrag, '^(?i)(https?)://', 1)) || '://'
+         || regexp_replace(lower(regexp_extract(defrag, '^(?i)https?://([^/?#]+)', 1)),
+                           '^www\.', '')
+         || regexp_replace(regexp_extract(defrag, '^(?i)https?://[^/?#]*([^?#]*)', 1),
+                           '/+$', '')
+         || CASE WHEN params <> '' THEN '?' || params ELSE '' END
+           AS canonical_url
+  FROM (SELECT doc_id, n_chars, defrag,
+               array_to_string(list_sort(list_filter(
+                 str_split(regexp_extract(defrag, '\?([^#]*)', 1), '&'),
+                 p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)=')
+               )), '&') AS params
+        FROM (SELECT doc_id, n_chars,
+                     regexp_replace(url, '#.*', '') AS defrag
+              FROM injected))
+)
+SELECT canonical_url, doc_id, n_chars, n_dups
+FROM (SELECT canonical_url, doc_id, n_chars,
+             row_number() OVER (PARTITION BY canonical_url
+                                ORDER BY n_chars DESC, doc_id ASC) AS rn,
+             count(*) OVER (PARTITION BY canonical_url) AS n_dups
+      FROM canon)
+WHERE rn = 1
+ORDER BY canonical_url
+"""
+
+
+def q80_unigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram LM rarity scoring per document (CCNet's
+    perplexity-bucket signal, log-free rational form for oracle
+    exactness — functions/textstats.unigram_frequency_scores; the
+    conventional avg_logprob column exists on the operator and is
+    pruned out of this certified plan)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        textstats.unigram_frequency_scores(
+            docs, text_col="text", id_col="doc_id"
+        )
+        .select("doc_id", "n_tokens", "mean_inv_freq")
+        .orderBy("doc_id")
+    )
+
+
+def q81_cross_source_neardup_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-source duplication matrix over verified MinHash-LSH
+    near-dup pairs (q30's exact pipeline) — the snapshot-overlap /
+    leakage report that decides whether dedup must run globally or
+    within-source (operators/dedup.cross_source_neardup_matrix)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, text_col="text", id_col="doc_id",
+        n=3, num_hashes=8, bands=4, verify_threshold=0.3,
+    )
+    return dedup.cross_source_neardup_matrix(
+        pairs, docs, id_col="doc_id", source_col="source"
+    ).orderBy("source_a", "source_b")
+
+
+def _cross_source_matrix_sql() -> str:
+    # q30's oracle body runs verbatim as the pair CTE; only the
+    # source annotation + unordered-pair aggregate are added.
+    return f"""
+WITH pairs AS ({_minhash_lsh_sql()})
+SELECT least(sa.source, sb.source) AS source_a,
+       greatest(sa.source, sb.source) AS source_b,
+       count(*) AS n_pairs,
+       max(jaccard) AS max_jaccard
+FROM pairs
+JOIN documents sa ON sa.doc_id = pairs.id_a
+JOIN documents sb ON sb.doc_id = pairs.id_b
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "q01_pricing_summary": QueryDef(q01_pricing_summary, _Q01_SQL, "filter+agg+sort (A1/A3)"),
     "q02_event_type_counts": QueryDef(q02_event_type_counts, _Q02_SQL, "groupBy count desc (A1/O1)"),
@@ -2511,6 +2650,21 @@ CATALOG: dict[str, QueryDef] = {
         _stratified_digest_sql(_Q78_FRACTIONS),
         "deterministic stratified rebalancing by digest threshold",
     ),
+    "q79_url_canonical_dedup": QueryDef(
+        q79_url_canonical_dedup,
+        _url_canonical_dedup_sql(),
+        "URL canonicalization + keep-best dedup",
+    ),
+    "q80_unigram_lm_scores": QueryDef(
+        q80_unigram_lm_scores,
+        textstats.unigram_frequency_sql(),
+        "corpus-trained unigram LM rarity scores",
+    ),
+    "q81_cross_source_neardup_matrix": QueryDef(
+        q81_cross_source_neardup_matrix,
+        _cross_source_matrix_sql(),
+        "cross-source near-dup leakage matrix",
+    ),
 }
 
 
@@ -2614,6 +2768,12 @@ DRIVER_OVERFLOW: frozenset[str] = frozenset(
         "q63_url_domains",
         "q64_language_id_eval",
         "q68_neardup_pair_recall",
+        # r6 additions (URL canonical dedup, unigram LM scores,
+        # cross-source matrix) start in overflow, replica-certified,
+        # as every new entry has since r4 — r7 rotation candidates.
+        "q79_url_canonical_dedup",
+        "q80_unigram_lm_scores",
+        "q81_cross_source_neardup_matrix",
     }
 )
 

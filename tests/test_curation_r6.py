@@ -1,0 +1,147 @@
+"""Round-6 curation operators: URL canonical dedup, unigram LM
+scoring, cross-source near-dup matrix (their catalog twins q79-q81
+are oracle-certified by test_catalog_oracle.py; these pin the
+operator semantics on hand-built frames where the answer is obvious).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from serverless_podcast_etl_spark.functions.urls import (
+    canonical_url,
+    dedup_by_canonical_url,
+)
+from serverless_podcast_etl_spark.functions.textstats import (
+    unigram_frequency_scores,
+)
+from serverless_podcast_etl_spark.operators.dedup import (
+    cross_source_neardup_matrix,
+)
+
+
+def _canon(spark, url: str) -> str:
+    return (
+        spark.createDataFrame([(url,)], "url string")
+        .select(canonical_url(F.col("url")).alias("c"))
+        .first()["c"]
+    )
+
+
+def test_canonical_url_normalizations(spark):
+    # case, www, fragment, tracking params, trailing slash all collapse
+    assert (
+        _canon(spark, "HTTPS://WWW.Ex.COM/A/b/?utm_source=x&fbclid=1#frag")
+        == "https://ex.com/A/b"
+    )
+    # non-tracking params survive, sorted; path case is PRESERVED
+    assert (
+        _canon(spark, "http://ex.com/p?z=1&a=2&utm_campaign=c")
+        == "http://ex.com/p?a=2&z=1"
+    )
+    # bare host, no path/query
+    assert _canon(spark, "https://Ex.Com") == "https://ex.com"
+    # tracking-only query leaves no '?'
+    assert _canon(spark, "https://ex.com/p/?gclid=9") == "https://ex.com/p"
+    # 'ref' is tracking; 'refresh' is NOT (anchored prefix match)
+    assert (
+        _canon(spark, "https://ex.com/p?ref=a&refresh=1")
+        == "https://ex.com/p?refresh=1"
+    )
+
+
+def test_dedup_by_canonical_url_keeps_best(spark):
+    df = spark.createDataFrame(
+        [
+            # three variants of one page: keep id=2 (longest fetch)
+            Row(id=1, q=100, url="https://www.ex.com/p/1?utm_source=a"),
+            Row(id=2, q=300, url="https://ex.com/p/1#frag"),
+            Row(id=3, q=200, url="HTTPS://ex.com/p/1/"),
+            # quality tie: keep the LOWEST id (4, not 5)
+            Row(id=4, q=50, url="https://ex.com/p/2"),
+            Row(id=5, q=50, url="https://ex.com/p/2/"),
+            # singleton survives untouched
+            Row(id=6, q=10, url="https://ex.com/p/3"),
+        ]
+    )
+    out = {
+        r["canonical_url"]: (r["id"], r["n_dups"])
+        for r in dedup_by_canonical_url(
+            df, url_col="url", id_col="id", quality_col="q"
+        ).collect()
+    }
+    assert out == {
+        "https://ex.com/p/1": (2, 3),
+        "https://ex.com/p/2": (4, 2),
+        "https://ex.com/p/3": (6, 1),
+    }
+
+
+def test_unigram_scores_rank_rare_docs_higher(spark):
+    # 'common' appears 8x, 'rare' once: the rare-token doc must carry
+    # a higher mean inverse frequency, and every n_tokens is exact
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="common common common common"),
+            Row(doc_id=2, text="common common common rare"),
+        ]
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in unigram_frequency_scores(
+            df, text_col="text", id_col="doc_id"
+        ).collect()
+    }
+    assert rows[1]["n_tokens"] == 4 and rows[2]["n_tokens"] == 4
+    assert rows[2]["mean_inv_freq"] > rows[1]["mean_inv_freq"]
+    # closed form: N=8, V=2; doc1 = (8+2)/(7+1) = 1.25
+    assert rows[1]["mean_inv_freq"] == 1.25
+    # logprob is the conventional (negative) LM score, rarer = lower
+    assert rows[2]["avg_logprob"] < rows[1]["avg_logprob"] < 0
+
+
+def test_cross_source_matrix_unordered_and_counted(spark):
+    pairs = spark.createDataFrame(
+        [
+            Row(id_a=1, id_b=2, jaccard=0.9),   # A-B
+            Row(id_a=3, id_b=4, jaccard=0.5),   # B-A -> same cell
+            Row(id_a=1, id_b=5, jaccard=0.4),   # A-A within-source
+        ]
+    )
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, source="A"),
+            Row(doc_id=2, source="B"),
+            Row(doc_id=3, source="B"),
+            Row(doc_id=4, source="A"),
+            Row(doc_id=5, source="A"),
+        ]
+    )
+    out = {
+        (r["source_a"], r["source_b"]): (r["n_pairs"], r["max_jaccard"])
+        for r in cross_source_neardup_matrix(
+            pairs, docs, id_col="doc_id", source_col="source"
+        ).collect()
+    }
+    # both orientations of A/B land in the same (A, B) cell
+    assert out == {("A", "B"): (2, 0.9), ("A", "A"): (1, 0.4)}
+
+
+def test_cross_source_matrix_broadcasts_pair_list(spark):
+    """Scale pin: the corpus side must never be shuffled — the pair
+    list is broadcast into it (both joins are BroadcastHashJoins)."""
+    pairs = spark.createDataFrame([Row(id_a=1, id_b=2, jaccard=0.9)])
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, source="A"), Row(doc_id=2, source="B")]
+    )
+    plan = (
+        cross_source_neardup_matrix(
+            pairs, docs, id_col="doc_id", source_col="source"
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
