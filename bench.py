@@ -138,6 +138,7 @@ HEADLINE = [
     "q79_url_canonical_dedup",
     "q80_unigram_lm_scores",
     "q81_cross_source_neardup_matrix",
+    "q82_ivf_indexed_ann",
 ]
 
 #: Every exclusion, with its reason in the header comment above —

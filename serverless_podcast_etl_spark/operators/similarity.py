@@ -930,3 +930,126 @@ def recall_at_k(
             F.coalesce(F.col("n_hits"), F.lit(0).cast("long")), F.col("k")
         ).alias("recall"),
     )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    id_col: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    spherical: bool = True,
+) -> DataFrame:
+    """The persistable inverted-file ANN index: one row per corpus
+    vector with its quantizer cell, double-cast vector, and hoisted
+    norm — build ONCE, write ``partitionBy("cluster")``, probe per
+    query batch forever after (the q76-admission production shape,
+    applied to the similarity family).
+
+    ``spherical=True`` assigns by max dot product against literal
+    centroids (``spherical_assign`` — JVM expression, oracle-exact);
+    ``False`` uses the trained-k-means BLAS path
+    (``assign_ivf_cluster``).  Either way the expensive part — one
+    assignment pass over the full corpus — happens here, never at
+    query time: a daily query batch against 100 TB re-reads only the
+    probed partitions of this index and re-assigns nothing.
+    """
+    assign = spherical_assign if spherical else assign_ivf_cluster
+    return assign(corpus, centroids, vec_col=vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("cluster").cast("int").alias("cluster"),
+        F.col(vec_col).alias("_cv"),
+        _norm(F.col(vec_col)).alias("_cn"),
+    )
+
+
+def probe_cells(
+    queries: DataFrame,
+    centroids: list[list[float]],
+    query_id: str,
+    vec_col: str = "embedding",
+    nprobe: int = 2,
+) -> DataFrame:
+    """Per query: its ``nprobe`` best quantizer cells by descending
+    dot product (ties toward the lower cell id — deterministic).
+
+    Pure in-row expressions: the dot-product array over literal
+    centroids is sorted as (−dot, cell) structs and sliced — no
+    shuffle, no UDF; the oracle twin ranks a centroid VALUES table
+    with ``row_number``.  Output: (query_id, _qv, _qn, cluster), one
+    row per probed cell.
+    """
+    d = _as_double(queries, vec_col)
+    dots = F.array(
+        *[
+            F.struct(
+                (-_dot(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(x)) for x in c]),
+                )).alias("negdot"),
+                F.lit(i + 1).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    probes = F.transform(
+        F.slice(F.array_sort(dots), 1, nprobe), lambda s: s["cell"]
+    )
+    return d.select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        _norm(F.col(vec_col)).alias("_qn"),
+        F.explode(probes).alias("cluster"),
+    )
+
+
+def ivf_probe_topk(
+    queries: DataFrame,
+    index: DataFrame,
+    centroids: list[list[float]],
+    query_id: str,
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    prune: bool = True,
+) -> DataFrame:
+    """ANN top-k against a PREBUILT ``build_ivf_index`` table — the
+    incremental/production form of ``ivf_topk``: the corpus is never
+    re-assigned, and with a ``partitionBy("cluster")`` index layout
+    the scan reads ONLY probed partitions.
+
+    ``prune=True`` collects the distinct probed cell ids — bounded by
+    ``len(centroids)``, NOT by data volume (same bounded-collect
+    contract as the prefix-sum offsets) — into a literal ``isin`` so
+    static partition pruning applies to the index scan
+    (``PartitionFilters`` in the plan; pinned by
+    ``test_ivf_index_partition_pruning``).  The equi-join on
+    ``cluster`` already restricts semantics; pruning only restricts
+    IO.  Query side is broadcast: queries ≪ corpus, the index is
+    never shuffled.
+    """
+    q = probe_cells(queries, centroids, query_id, vec_col, nprobe)
+    if prune:
+        cells = [r["cluster"] for r in q.select("cluster").distinct().collect()]
+        index = index.filter(F.col("cluster").isin(cells))
+    scored = (
+        index.join(F.broadcast(q), "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("_qv"), F.col("_cv"))
+                / (F.col("_qn") * F.col("_cn")),
+                4,
+            ),
+        )
+        .select("query_id", "neighbor_id", "cosine")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -2436,6 +2436,66 @@ ORDER BY 1, 2
 """
 
 
+def q82_ivf_indexed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via a PREBUILT inverted-file index — the production
+    form of q34: ``build_ivf_index`` assigns the corpus once (write it
+    ``partitionBy("cluster")`` and daily query batches scan only
+    probed partitions — tests/test_curation_r6.py pins the
+    PartitionFilters plan); ``ivf_probe_topk`` probes nprobe=2 cells
+    per query.  Certified with the FIXED _SEM_CENTROIDS spherical
+    quantizer (q70's pattern), so assignment, probe ranking and
+    scoring are all oracle-exact; the trained-k-means BLAS form stays
+    rows-only under q34."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    index = similarity.build_ivf_index(
+        emb, id_col="vec_id", centroids=_SEM_CENTROIDS
+    )
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivf_probe_topk(
+        queries_df, index, _SEM_CENTROIDS,
+        query_id="vec_id", k=10, nprobe=2,
+    ).orderBy("query_id", "rank")
+
+
+def _ivf_indexed_ann_sql(k: int = 10, nprobe: int = 2) -> str:
+    def lit_vec(c: list[float]) -> str:
+        return "[" + ", ".join(repr(x) for x in c) + "]"
+
+    ds_c = ", ".join(
+        f"list_dot_product(cv, {lit_vec(c)})" for c in _SEM_CENTROIDS
+    )
+    ds_q = ", ".join(
+        f"list_dot_product(qv, {lit_vec(c)})" for c in _SEM_CENTROIDS
+    )
+    return f"""
+WITH c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 5),
+assigned AS (SELECT neighbor_id, cv, list_position(ds, list_max(ds)) AS cluster
+             FROM (SELECT neighbor_id, cv, [{ds_c}] AS ds FROM c)),
+probed AS (SELECT query_id, qv, cell AS cluster
+           FROM (SELECT query_id, qv, cell, row_number() OVER (
+                   PARTITION BY query_id ORDER BY d DESC, cell ASC) AS rn
+                 FROM (SELECT query_id, qv,
+                              unnest([{ds_q}]) AS d,
+                              generate_subscripts([{ds_q}], 1) AS cell
+                       FROM q))
+           WHERE rn <= {nprobe}),
+scored AS (SELECT DISTINCT query_id, neighbor_id,
+                  round(list_dot_product(qv, cv) /
+                        (sqrt(list_dot_product(qv, qv)) *
+                         sqrt(list_dot_product(cv, cv))), 4) AS cosine
+           FROM probed JOIN assigned USING (cluster)
+           WHERE query_id <> neighbor_id)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
+WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "q01_pricing_summary": QueryDef(q01_pricing_summary, _Q01_SQL, "filter+agg+sort (A1/A3)"),
     "q02_event_type_counts": QueryDef(q02_event_type_counts, _Q02_SQL, "groupBy count desc (A1/O1)"),
@@ -2665,6 +2725,11 @@ CATALOG: dict[str, QueryDef] = {
         _cross_source_matrix_sql(),
         "cross-source near-dup leakage matrix",
     ),
+    "q82_ivf_indexed_ann": QueryDef(
+        q82_ivf_indexed_ann,
+        _ivf_indexed_ann_sql(),
+        "ANN via prebuilt partition-pruned IVF index",
+    ),
 }
 
 
@@ -2774,6 +2839,7 @@ DRIVER_OVERFLOW: frozenset[str] = frozenset(
         "q79_url_canonical_dedup",
         "q80_unigram_lm_scores",
         "q81_cross_source_neardup_matrix",
+        "q82_ivf_indexed_ann",
     }
 )
 

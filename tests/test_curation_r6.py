@@ -145,3 +145,42 @@ def test_cross_source_matrix_broadcasts_pair_list(spark):
     )
     assert plan.count("BroadcastHashJoin") == 2
     assert "SortMergeJoin" not in plan
+
+
+def test_ivf_index_partition_pruning(spark, sf_dir, tmp_path):
+    """The production ANN shape: index written partitionBy(cluster),
+    probe scans ONLY probed partitions (static PartitionFilters from
+    the bounded probed-cells collect), and results are identical to
+    probing the in-memory index."""
+    from serverless_podcast_etl_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_probe_topk,
+    )
+    from serverless_podcast_etl_spark.plans.catalog import _SEM_CENTROIDS
+    from serverless_podcast_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    index = build_ivf_index(emb, id_col="vec_id", centroids=_SEM_CENTROIDS)
+    path = str(tmp_path / "ivf_index")
+    index.write.partitionBy("cluster").parquet(path)
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    mem = ivf_probe_topk(
+        queries, index, _SEM_CENTROIDS, query_id="vec_id", k=10, nprobe=2
+    )
+    disk_index = spark.read.parquet(path)
+    disk = ivf_probe_topk(
+        queries, disk_index, _SEM_CENTROIDS, query_id="vec_id", k=10,
+        nprobe=2,
+    )
+    assert sorted(map(tuple, mem.collect())) == sorted(
+        map(tuple, disk.collect())
+    )
+    # the scan carries a non-empty partition filter on cluster —
+    # probed cells only, so a 100 TB index reads candidate-bounded IO
+    plan = disk._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]")[0]
+    assert "cluster" in pf and "IN" in pf.upper()

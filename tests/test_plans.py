@@ -62,6 +62,10 @@ def test_no_cartesian_products(spark, sf_dir, name):
         "q55_quantized_ann_topk",
         "q60_ann_recall",  # composes q22's exact scorer as its baseline
         "q62_ann_recall_panel",  # same: every method scored vs q22
+        # ONE-ROW broadcast attach (the N/V totals of the unigram LM)
+        # — a keyless join against a single aggregated row, not a
+        # pair-generating nested loop
+        "q80_unigram_lm_scores",
     }
     plan = physical_plan(CATALOG[name].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan, name
@@ -123,6 +127,7 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
     write_bucketed(orders, "b_orders", ["l_orderkey"], n_buckets=8,
                    sort_cols=["l_orderkey"])
     # disable auto-broadcast so the join would otherwise shuffle
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         joined = bucketed_join(spark, "b_lineitem", "b_orders", ["l_orderkey"])
@@ -131,7 +136,7 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         assert "hashpartitioning" not in plan  # zero exchanges: co-located
         assert joined.count() > 0
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
 
