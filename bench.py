@@ -139,6 +139,7 @@ HEADLINE = [
     "q80_unigram_lm_scores",
     "q81_cross_source_neardup_matrix",
     "q82_ivf_indexed_ann",
+    "q83_contamination_fractions",
 ]
 
 #: Every exclusion, with its reason in the header comment above —

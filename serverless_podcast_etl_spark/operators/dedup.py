@@ -1417,3 +1417,54 @@ def cross_source_neardup_matrix(
         .groupBy("source_a", "source_b")
         .agg(*aggs)
     )
+
+
+def cross_corpus_overlap_fractions(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    min_fraction: float = 0.0,
+) -> DataFrame:
+    """Thresholded decontamination report: per (corpus doc, eval doc)
+    pair, the fraction of the EVAL doc's n-grams present in the corpus
+    doc — the form production decontamination actually gates on
+    (an eval item counts as leaked only when a sizable share of it
+    appears, not on any single n-gram; ``cross_corpus_overlap`` is
+    the any-overlap flag form).
+
+    Output: (id, eval_id, n_shared_grams, n_eval_grams, overlap_frac)
+    for pairs with ``overlap_frac >= min_fraction``, fraction rounded
+    to 4 (value-hash stable).
+
+    Scale shape: same as ``cross_corpus_overlap`` — both the eval
+    shingle table and the per-eval-doc size table are broadcast (eval
+    sets ≪ corpus); the corpus is scanned once and shuffled only on
+    the (id, eval_id) pair aggregate, whose volume is bounded by
+    shared-shingle matches, not corpus size.
+    """
+    c_sh = shingles(corpus, text_col, id_col, n=n)
+    b_sh = shingles(benchmark, text_col, id_col, n=n).select(
+        F.col(id_col).alias("eval_id"), "shingle"
+    )
+    b_sizes = b_sh.groupBy("eval_id").agg(
+        F.count(F.lit(1)).alias("n_eval_grams")
+    )
+    pairs = (
+        c_sh.join(F.broadcast(b_sh), "shingle")
+        .groupBy(id_col, "eval_id")
+        .agg(F.countDistinct("shingle").alias("n_shared_grams"))
+    )
+    return (
+        pairs.join(F.broadcast(b_sizes), "eval_id")
+        .withColumn(
+            "overlap_frac",
+            F.round(F.col("n_shared_grams") / F.col("n_eval_grams"), 4),
+        )
+        .filter(F.col("overlap_frac") >= min_fraction)
+        .select(
+            id_col, "eval_id", "n_shared_grams", "n_eval_grams",
+            "overlap_frac",
+        )
+    )

@@ -2496,6 +2496,61 @@ ORDER BY query_id, rank
 """
 
 
+def q83_contamination_fractions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Thresholded decontamination report — per (corpus doc, eval doc)
+    pair the fraction of the eval doc's 8-grams found in the corpus
+    doc, gated at 2% (dedup.cross_corpus_overlap_fractions): q50's
+    any-overlap flag upgraded to the fraction form production
+    pipelines gate on.  Same deterministic contamination injection as
+    q50/q69 (constant 8-token tail on the 97/101 splits)."""
+    docs = _t(spark, sf_dir, "documents")
+    tail = (
+        " contam0 contam1 contam2 contam3 contam4 contam5 contam6 contam7"
+    )
+    injected = docs.select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 97 == 0) | (F.col("doc_id") % 101 == 0),
+            F.concat(F.col("text"), F.lit(tail)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    corpus = injected.filter(F.col("doc_id") % 97 != 0)
+    benchmark = injected.filter(F.col("doc_id") % 97 == 0)
+    return dedup.cross_corpus_overlap_fractions(
+        corpus, benchmark, text_col="text", id_col="doc_id",
+        n=8, min_fraction=0.02,
+    ).orderBy("doc_id", "eval_id")
+
+
+_Q83_SQL = """
+WITH injected AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 97 = 0 OR doc_id % 101 = 0
+              THEN text || ' contam0 contam1 contam2 contam3 contam4 contam5 contam6 contam7'
+              ELSE text END AS text
+  FROM documents
+),
+sh AS ({shingle_cte}),
+c AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+b AS (SELECT DISTINCT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 97 = 0),
+bs AS (SELECT eval_id, count(*) AS n_eval_grams FROM b GROUP BY 1),
+p AS (SELECT c.doc_id, b.eval_id,
+             count(DISTINCT c.shingle) AS n_shared_grams
+      FROM c JOIN b USING (shingle) GROUP BY 1, 2)
+SELECT p.doc_id, p.eval_id, p.n_shared_grams, bs.n_eval_grams,
+       round(p.n_shared_grams * 1.0 / bs.n_eval_grams, 4) AS overlap_frac
+FROM p JOIN bs USING (eval_id)
+WHERE round(p.n_shared_grams * 1.0 / bs.n_eval_grams, 4) >= 0.02
+ORDER BY p.doc_id, p.eval_id
+""".format(
+    shingle_cte=_shingle_cte(8).replace("FROM documents", "FROM injected")
+)
+
+
 CATALOG: dict[str, QueryDef] = {
     "q01_pricing_summary": QueryDef(q01_pricing_summary, _Q01_SQL, "filter+agg+sort (A1/A3)"),
     "q02_event_type_counts": QueryDef(q02_event_type_counts, _Q02_SQL, "groupBy count desc (A1/O1)"),
@@ -2730,6 +2785,11 @@ CATALOG: dict[str, QueryDef] = {
         _ivf_indexed_ann_sql(),
         "ANN via prebuilt partition-pruned IVF index",
     ),
+    "q83_contamination_fractions": QueryDef(
+        q83_contamination_fractions,
+        _Q83_SQL,
+        "thresholded decontamination overlap fractions",
+    ),
 }
 
 
@@ -2840,6 +2900,7 @@ DRIVER_OVERFLOW: frozenset[str] = frozenset(
         "q80_unigram_lm_scores",
         "q81_cross_source_neardup_matrix",
         "q82_ivf_indexed_ann",
+        "q83_contamination_fractions",
     }
 )
 

@@ -184,3 +184,44 @@ def test_ivf_index_partition_pruning(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [" in plan
     pf = plan.split("PartitionFilters: [", 1)[1].split("]")[0]
     assert "cluster" in pf and "IN" in pf.upper()
+
+
+def test_contamination_fractions_threshold(spark):
+    """Fraction = |shared n-grams| / |eval n-grams|; pairs below
+    min_fraction are dropped, full containment scores 1.0."""
+    from serverless_podcast_etl_spark.operators.dedup import (
+        cross_corpus_overlap_fractions,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            # contains ALL of eval 100's trigrams -> frac 1.0
+            Row(doc_id=1, text="a b c d"),
+            # shares 1 of eval 101's 3 trigrams -> frac 0.3333
+            Row(doc_id=2, text="p q r zz"),
+            # shares nothing
+            Row(doc_id=3, text="x y z w"),
+        ]
+    )
+    evals = spark.createDataFrame(
+        [
+            Row(doc_id=100, text="a b c d"),      # 2 trigrams
+            Row(doc_id=101, text="p q r s t"),    # 3 trigrams
+        ]
+    )
+    out = {
+        (r["doc_id"], r["eval_id"]): (
+            r["n_shared_grams"], r["n_eval_grams"], r["overlap_frac"]
+        )
+        for r in cross_corpus_overlap_fractions(
+            corpus, evals, text_col="text", id_col="doc_id",
+            n=3, min_fraction=0.0,
+        ).collect()
+    }
+    assert out == {(1, 100): (2, 2, 1.0), (2, 101): (1, 3, 0.3333)}
+    # threshold drops the partial match
+    gated = cross_corpus_overlap_fractions(
+        corpus, evals, text_col="text", id_col="doc_id",
+        n=3, min_fraction=0.5,
+    ).collect()
+    assert [(r["doc_id"], r["eval_id"]) for r in gated] == [(1, 100)]
