@@ -4,13 +4,14 @@ pipeline assembled from the engine's operators.
 Usage:  python examples/curation_pipeline_demo.py [sf_dir]
 
 Chains the curation stages the way a pretraining data pipeline does —
-quality gate → exact dedup → cross-doc boilerplate stripping →
-near-dup cluster dedup → eval-set decontamination → leakage-free
-train/eval split → per-source quota cap → token-budget selection —
-over the synthetic ``documents`` table,
+URL canonical dedup → quality gate → exact dedup → cross-doc
+boilerplate stripping → near-dup cluster dedup (+ cross-source
+leakage matrix report) → fraction-gated eval-set decontamination →
+leakage-free train/eval split → per-source quota cap → LM-scored
+token-budget selection — over the synthetic ``documents`` table,
 printing surviving row counts per stage.  Every stage is a certified
-catalog operator (q18/q43/q49/q50/q71-q76); this file only composes
-them.
+catalog operator (q18/q43/q49/q71-q76/q79-q81/q83); this file only
+composes them.
 """
 
 from __future__ import annotations
@@ -38,6 +39,31 @@ def main() -> None:
 
     docs = load_table(spark, sf_dir, "documents")
     print(f"corpus: {docs.count()} docs")
+
+    # 0. URL canonical dedup (q79) — the first dedup stage of a web
+    #    crawl: same page via tracking links/www/fragments collapses.
+    #    The synthetic corpus carries no URL column, so the q79
+    #    deterministic messy-URL injection stands in for crawl URLs.
+    from serverless_podcast_etl_spark.functions import urls  # noqa: E402
+
+    # every 25th doc is a re-crawl of its predecessor's page (same
+    # canonical URL, differing tracking params) — a realistic ~4%
+    g = F.when(
+        F.col("doc_id") % 25 == 0, F.col("doc_id") - 1
+    ).otherwise(F.col("doc_id"))
+    with_urls = docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://www.site"), (g % 7).cast("string"),
+            F.lit(".example.com/p/"), g.cast("string"),
+            F.lit("?utm_source=crawl&fbclid="), F.col("doc_id").cast("string"),
+        ),
+    )
+    kept_urls = urls.dedup_by_canonical_url(
+        with_urls, url_col="url", id_col="doc_id", quality_col="n_chars"
+    ).select("doc_id")
+    docs = docs.join(kept_urls, "doc_id", "left_semi")
+    print(f"after URL canonical dedup: {docs.count()}")
 
     # 1. cheap quality gate (q43)
     kept = textstats.quality_filter(
@@ -73,13 +99,28 @@ def main() -> None:
     docs = dedup.neardup_dedup_keep_first(docs, pairs, id_col="doc_id")
     print(f"after near-dup dedup: {docs.count()}")
 
-    # 5. decontamination against a stand-in eval slice (q50 semantics)
+    # 4b. cross-source leakage matrix (q81) — the report that decides
+    #     whether dedup must run globally or within-source
+    matrix = dedup.cross_source_neardup_matrix(
+        pairs, load_table(spark, sf_dir, "documents"),
+        id_col="doc_id", source_col="source",
+    )
+    top = matrix.orderBy(F.desc("n_pairs")).limit(3).collect()
+    print(
+        "top cross-source dup cells:",
+        [(r["source_a"], r["source_b"], r["n_pairs"]) for r in top],
+    )
+
+    # 5. decontamination against a stand-in eval slice — the q83
+    #    fraction-gated form (an eval item counts as leaked only when
+    #    a sizable share of its n-grams appears in a training doc)
     benchmark = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 97 == 0
     )
-    contaminated = dedup.cross_corpus_overlap(
-        docs, benchmark, text_col="text", id_col="doc_id", n=8
-    ).select("doc_id")
+    contaminated = dedup.cross_corpus_overlap_fractions(
+        docs, benchmark, text_col="text", id_col="doc_id",
+        n=8, min_fraction=0.02,
+    ).select("doc_id").distinct()
     docs = docs.join(contaminated, "doc_id", "left_anti")
     print(f"after decontamination: {docs.count()}")
 
@@ -92,25 +133,30 @@ def main() -> None:
         {r["split"]: r["count"] for r in docs.groupBy("split").count().collect()},
     )
 
-    # 7. per-source quota + token budget on the train split (q75/q74)
+    # 7. per-source quota + LM-scored token budget on the train split
+    #    (q75/q74, ordered by the q80 unigram LM rarity score — most
+    #    corpus-typical documents fill the budget first, rarity
+    #    outliers only if room remains)
     train = docs.filter(F.col("split") == "train")
-    stats = textstats.quality_stats(train, text_col="text", id_col="doc_id")
+    lm = textstats.unigram_frequency_scores(
+        train, text_col="text", id_col="doc_id"
+    )
     ranked = selection.cap_per_group(
         train.select("doc_id", "source").join(
-            stats.select("doc_id", "stopword_ratio", "n_tokens"), "doc_id"
+            lm.select("doc_id", "mean_inv_freq", "n_tokens"), "doc_id"
         ),
         group_col="source",
-        order_cols=[F.col("stopword_ratio").desc(), F.col("doc_id")],
+        order_cols=[F.col("mean_inv_freq").asc(), F.col("doc_id")],
         n=20,
     )
     print(f"after source cap: {ranked.count()}")
     budgeted = selection.select_under_budget(
         ranked.select(
-            "doc_id", "stopword_ratio",
+            "doc_id", "mean_inv_freq",
             F.col("n_tokens").cast("long").alias("n_tokens"),
         ),
         cost_col="n_tokens",
-        order_cols=[F.col("stopword_ratio").desc(), F.col("doc_id")],
+        order_cols=[F.col("mean_inv_freq").asc(), F.col("doc_id")],
         budget=5_000,
         cum_col="cum_tokens",
     )
