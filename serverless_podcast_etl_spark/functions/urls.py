@@ -74,6 +74,13 @@ def canonical_url(url: Column) -> Column:
     Pure in-row string expressions (codegen'd; zero shuffles) with an
     exact DuckDB twin in the catalog oracle — regex syntax is
     restricted to the Java-regex ∩ RE2 subset, like ``pii``.
+
+    Total over malformed input: anything that does not start with
+    ``http(s)://`` canonicalizes to NULL (queryable, never a garbage
+    partial string — the same total-function contract as the
+    multimodal decoder's ``bad:`` markers).  Idempotent on its own
+    output (canonical(canonical(u)) == canonical(u), pinned by
+    ``test_canonical_url_idempotent``).
     """
     # (?i) on the scheme prefix: 'HTTPS://HOST/Path' must still parse
     # (scheme+host are case-insensitive per RFC 3986; path is NOT)
@@ -99,13 +106,16 @@ def canonical_url(url: Column) -> Column:
         ),
         "&",
     )
-    return F.concat(
-        scheme,
-        F.lit("://"),
-        host,
-        path,
-        F.when(params != "", F.concat(F.lit("?"), params)).otherwise(
-            F.lit("")
+    return F.when(
+        url.rlike(r"^(?i)https?://"),
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            path,
+            F.when(params != "", F.concat(F.lit("?"), params)).otherwise(
+                F.lit("")
+            ),
         ),
     )
 
@@ -126,6 +136,11 @@ def dedup_by_canonical_url(
     on ``canonical_url`` for the per-key window, which runs parallel
     across keys and never materializes pairs.  Output is one row per
     distinct canonical URL with the kept id and the group size.
+
+    Rows whose URL does not canonicalize (``canonical_url`` NULL —
+    see ``canonical_url``'s totality contract) pass through as
+    singletons: a shared NULL key must never glue unrelated malformed
+    rows into one dedup group.
     """
     from pyspark.sql import Window
 
@@ -134,11 +149,12 @@ def dedup_by_canonical_url(
         F.col(quality_col),
         canonical_url(F.col(url_col)).alias("canonical_url"),
     )
+    valid = canon.filter(F.col("canonical_url").isNotNull())
     w = Window.partitionBy("canonical_url").orderBy(
         F.col(quality_col).desc(), F.col(id_col).asc()
     )
-    return (
-        canon.select(
+    deduped = (
+        valid.select(
             "canonical_url",
             F.col(id_col),
             F.col(quality_col),
@@ -150,3 +166,10 @@ def dedup_by_canonical_url(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+    passthrough = canon.filter(F.col("canonical_url").isNull()).select(
+        "canonical_url",
+        F.col(id_col),
+        F.col(quality_col),
+        F.lit(1).cast("long").alias("n_dups"),
+    )
+    return deduped.unionByName(passthrough)

@@ -225,3 +225,45 @@ def test_contamination_fractions_threshold(spark):
         n=3, min_fraction=0.5,
     ).collect()
     assert [(r["doc_id"], r["eval_id"]) for r in gated] == [(1, 100)]
+
+
+def test_canonical_url_idempotent_and_total(spark):
+    """canonical(canonical(u)) == canonical(u) for valid URLs; any
+    non-http(s) input canonicalizes to NULL (total, never garbage)."""
+    urls_ = [
+        "HTTPS://WWW.Ex.COM/A/b/?utm_source=x&z=1&a=2#frag",
+        "http://ex.com",
+        "https://ex.com/p/?gclid=9",
+        "https://sub.www-like.ex.com/Path/?b=2&a=1&ref=r",
+        "https://ex.com/p?a=1&a=1",  # duplicate param survives twice
+    ]
+    df = spark.createDataFrame([(u,) for u in urls_], "url string")
+    once = canonical_url(F.col("url"))
+    rows = df.select(
+        once.alias("c1"), canonical_url(once).alias("c2")
+    ).collect()
+    for r in rows:
+        assert r["c1"] == r["c2"], r
+    bad = spark.createDataFrame(
+        [("ftp://ex.com/x",), ("not a url",), ("",)], "url string"
+    )
+    assert [
+        r["c"] for r in bad.select(once.alias("c")).collect()
+    ] == [None, None, None]
+
+
+def test_dedup_by_canonical_url_null_singletons(spark):
+    """Malformed URLs must NOT collapse into one NULL-keyed group."""
+    df = spark.createDataFrame(
+        [
+            Row(id=1, q=10, url="oops"),
+            Row(id=2, q=20, url="ftp://ex.com/a"),
+            Row(id=3, q=30, url="https://ex.com/p"),
+        ]
+    )
+    out = dedup_by_canonical_url(
+        df, url_col="url", id_col="id", quality_col="q"
+    ).collect()
+    assert len(out) == 3  # two NULL singletons + one valid
+    assert sorted(r["id"] for r in out) == [1, 2, 3]
+    assert all(r["n_dups"] == 1 for r in out)
