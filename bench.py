@@ -140,6 +140,7 @@ HEADLINE = [
     "q81_cross_source_neardup_matrix",
     "q82_ivf_indexed_ann",
     "q83_contamination_fractions",
+    "q84_deterministic_shuffle",
 ]
 
 #: Every exclusion, with its reason in the header comment above —

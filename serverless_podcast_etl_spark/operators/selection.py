@@ -237,3 +237,52 @@ def cap_per_group(
         df.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= F.lit(n))
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str,
+    seed: str = "seed0",
+    n_shards: int = 8,
+    out_order: str = "global_idx",
+    out_shard: str = "shard",
+    out_pos: str = "pos_in_shard",
+) -> DataFrame:
+    """Deterministic global training order + shard assignment: every
+    row gets a 1-based ``global_idx`` in the total order of
+    ``md5(seed:id)`` (a seeded, reproducible corpus shuffle — change
+    the seed, get an independent permutation; same seed, same order on
+    any cluster), then round-robin sharding —
+    ``shard = (idx-1) % n_shards``, ``pos = (idx-1) // n_shards`` —
+    so shard sizes are balanced to within one row by construction.
+
+    This is the data-ordering step of a training pipeline: the corpus
+    is "shuffled" without any RNG state, epochs are reproducible, and
+    resharding is a pure recomputation.
+
+    The global row number is NOT a ``Window.orderBy`` (which collapses
+    to one partition) — it composes ``global_prefix_sum`` over a
+    constant cost of 1: range-partition on the digest, per-partition
+    cumsum, bounded one-row-per-partition offset pass.  Scale cost is
+    one range shuffle of (id, digest) pairs — the payload never moves
+    until the caller joins the assignment back.
+    """
+    keyed = df.select(
+        F.col(id_col),
+        F.md5(
+            F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))
+        ).alias("_sk"),
+        F.lit(1).alias("_one"),
+    )
+    ordered = global_prefix_sum(
+        keyed,
+        cost_col="_one",
+        order_cols=[F.col("_sk").asc(), F.col(id_col).asc()],
+        out_col=out_order,
+    )
+    return ordered.select(
+        F.col(id_col),
+        F.col(out_order).cast("long").alias(out_order),
+        ((F.col(out_order) - 1) % n_shards).cast("int").alias(out_shard),
+        ((F.col(out_order) - 1) / n_shards).cast("long").alias(out_pos),
+    )

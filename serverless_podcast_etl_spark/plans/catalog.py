@@ -2551,6 +2551,33 @@ ORDER BY p.doc_id, p.eval_id
 )
 
 
+def q84_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle + shard assignment
+    (selection.deterministic_shuffle): seeded md5 total order →
+    global_idx via the two-pass distributed prefix sum (NO
+    single-partition window) → round-robin shards balanced to within
+    one row.  The reproducible training-order step of a data
+    pipeline; epochs re-derive bit-identically from (seed, id)."""
+    docs = _t(spark, sf_dir, "documents")
+    return selection.deterministic_shuffle(
+        docs, id_col="doc_id", seed="seed0", n_shards=8
+    ).orderBy("global_idx")
+
+
+_Q84_SQL = """
+SELECT doc_id,
+       CAST(rn AS BIGINT) AS global_idx,
+       CAST((rn - 1) % 8 AS INT) AS shard,
+       CAST((rn - 1) // 8 AS BIGINT) AS pos_in_shard
+FROM (SELECT doc_id,
+             row_number() OVER (
+               ORDER BY md5('seed0' || ':' || CAST(doc_id AS VARCHAR)) ASC,
+                        doc_id ASC) AS rn
+      FROM documents)
+ORDER BY global_idx
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "q01_pricing_summary": QueryDef(q01_pricing_summary, _Q01_SQL, "filter+agg+sort (A1/A3)"),
     "q02_event_type_counts": QueryDef(q02_event_type_counts, _Q02_SQL, "groupBy count desc (A1/O1)"),
@@ -2790,6 +2817,11 @@ CATALOG: dict[str, QueryDef] = {
         _Q83_SQL,
         "thresholded decontamination overlap fractions",
     ),
+    "q84_deterministic_shuffle": QueryDef(
+        q84_deterministic_shuffle,
+        _Q84_SQL,
+        "deterministic corpus shuffle + shard assignment",
+    ),
 }
 
 
@@ -2901,6 +2933,7 @@ DRIVER_OVERFLOW: frozenset[str] = frozenset(
         "q81_cross_source_neardup_matrix",
         "q82_ivf_indexed_ann",
         "q83_contamination_fractions",
+        "q84_deterministic_shuffle",
     }
 )
 

@@ -267,3 +267,35 @@ def test_dedup_by_canonical_url_null_singletons(spark):
     assert len(out) == 3  # two NULL singletons + one valid
     assert sorted(r["id"] for r in out) == [1, 2, 3]
     assert all(r["n_dups"] == 1 for r in out)
+
+
+def test_deterministic_shuffle_shards_balanced(spark):
+    """Shard sizes balanced to within one row; positions contiguous
+    from 0 within each shard; same seed reproduces the identical
+    permutation, a different seed changes it."""
+    from serverless_podcast_etl_spark.operators.selection import (
+        deterministic_shuffle,
+    )
+
+    df = spark.range(103).withColumnRenamed("id", "doc_id")
+    out = deterministic_shuffle(
+        df, id_col="doc_id", seed="s1", n_shards=4
+    ).collect()
+    assert sorted(r["global_idx"] for r in out) == list(range(1, 104))
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos_in_shard"])
+    sizes = sorted(len(v) for v in by_shard.values())
+    assert max(sizes) - min(sizes) <= 1 and sum(sizes) == 103
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
+    again = deterministic_shuffle(
+        df, id_col="doc_id", seed="s1", n_shards=4
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    other = deterministic_shuffle(
+        df, id_col="doc_id", seed="s2", n_shards=4
+    ).collect()
+    assert {r["doc_id"]: r["global_idx"] for r in out} != {
+        r["doc_id"]: r["global_idx"] for r in other
+    }
