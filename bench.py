@@ -141,6 +141,7 @@ HEADLINE = [
     "q82_ivf_indexed_ann",
     "q83_contamination_fractions",
     "q84_deterministic_shuffle",
+    "q85_snapshot_diff",
 ]
 
 #: Every exclusion, with its reason in the header comment above —

@@ -1468,3 +1468,46 @@ def cross_corpus_overlap_fractions(
             "overlap_frac",
         )
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Incremental-crawl delta between two corpus snapshots: per
+    document id, ``added`` (id only in new), ``removed`` (only in
+    old), or ``changed`` (both, different content digest).  Unchanged
+    documents are NOT emitted — the output is bounded by the churn,
+    not the corpus, which is what makes daily snapshot processing
+    cheap: downstream stages (re-signing, admission, re-scoring) run
+    on this delta only.
+
+    Content identity is ``md5(text)`` computed in-row on each side;
+    the only shuffle is the full outer equi-join on ``id_col`` —
+    write both snapshots bucketed on the id (``sources.bucketed``)
+    and the join is shuffle-free bucket-to-bucket.
+    """
+    o = old.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("_d_old")
+    )
+    n = new.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("_d_new")
+    )
+    joined = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("_d_old").isNull(), F.lit("added"))
+        .when(F.col("_d_new").isNull(), F.lit("removed"))
+        .when(F.col("_d_old") != F.col("_d_new"), F.lit("changed"))
+    )
+    return (
+        joined.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select(
+            id_col,
+            "status",
+            F.col("_d_new").alias(digest_col),
+        )
+    )

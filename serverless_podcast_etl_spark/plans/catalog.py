@@ -2578,6 +2578,58 @@ ORDER BY global_idx
 """
 
 
+def q85_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl snapshot delta (dedup.snapshot_diff): the
+    "new" snapshot is derived deterministically in-query — docs with
+    doc_id % 17 == 0 dropped (removed), % 10 == 0 get a token
+    appended (changed), and % 13 == 0 re-enter under id + 1_000_000
+    (added) — same expressions in the oracle.  Output is bounded by
+    churn, never corpus size; at scale both snapshots live bucketed
+    on the id and the full-outer join is shuffle-free."""
+    docs = _t(spark, sf_dir, "documents")
+    changed = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(F.col("text"), F.lit(" updated")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    ).filter(F.col("doc_id") % 17 != 0)
+    added = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text"
+    )
+    new_snap = changed.unionByName(added)
+    return dedup.snapshot_diff(
+        docs, new_snap, id_col="doc_id", text_col="text"
+    ).orderBy("doc_id")
+
+
+_Q85_SQL = """
+WITH new_snap AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0 THEN text || ' updated' ELSE text END
+           AS text
+  FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text
+  FROM documents WHERE doc_id % 13 = 0
+),
+o AS (SELECT doc_id, md5(text) AS d_old FROM documents),
+n AS (SELECT doc_id, md5(text) AS d_new FROM new_snap),
+j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, d_old, d_new
+      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+SELECT doc_id,
+       CASE WHEN d_old IS NULL THEN 'added'
+            WHEN d_new IS NULL THEN 'removed'
+            ELSE 'changed' END AS status,
+       d_new AS digest
+FROM j
+WHERE d_old IS NULL OR d_new IS NULL OR d_old <> d_new
+ORDER BY doc_id
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "q01_pricing_summary": QueryDef(q01_pricing_summary, _Q01_SQL, "filter+agg+sort (A1/A3)"),
     "q02_event_type_counts": QueryDef(q02_event_type_counts, _Q02_SQL, "groupBy count desc (A1/O1)"),
@@ -2822,6 +2874,11 @@ CATALOG: dict[str, QueryDef] = {
         _Q84_SQL,
         "deterministic corpus shuffle + shard assignment",
     ),
+    "q85_snapshot_diff": QueryDef(
+        q85_snapshot_diff,
+        _Q85_SQL,
+        "incremental-crawl snapshot delta (churn-bounded)",
+    ),
 }
 
 
@@ -2934,6 +2991,7 @@ DRIVER_OVERFLOW: frozenset[str] = frozenset(
         "q82_ivf_indexed_ann",
         "q83_contamination_fractions",
         "q84_deterministic_shuffle",
+        "q85_snapshot_diff",
     }
 )
 

@@ -299,3 +299,51 @@ def test_deterministic_shuffle_shards_balanced(spark):
     assert {r["doc_id"]: r["global_idx"] for r in out} != {
         r["doc_id"]: r["global_idx"] for r in other
     }
+
+
+def test_snapshot_diff_semantics(spark):
+    from serverless_podcast_etl_spark.operators.dedup import snapshot_diff
+
+    old = spark.createDataFrame(
+        [Row(doc_id=1, text="a"), Row(doc_id=2, text="b"),
+         Row(doc_id=3, text="c")]
+    )
+    new = spark.createDataFrame(
+        [Row(doc_id=1, text="a"), Row(doc_id=2, text="B!"),
+         Row(doc_id=4, text="d")]
+    )
+    out = {
+        r["doc_id"]: r["status"]
+        for r in snapshot_diff(
+            old, new, id_col="doc_id", text_col="text"
+        ).collect()
+    }
+    # unchanged doc 1 is NOT emitted: output bounded by churn
+    assert out == {2: "changed", 3: "removed", 4: "added"}
+
+
+def test_snapshot_diff_bucketed_join_no_shuffle(spark, sf_dir):
+    """With both snapshots bucketed on the id, the full-outer join is
+    bucket-to-bucket: zero hashpartitioning exchanges in the plan."""
+    from serverless_podcast_etl_spark.operators.dedup import snapshot_diff
+    from serverless_podcast_etl_spark.sources.bucketed import write_bucketed
+    from serverless_podcast_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    write_bucketed(docs, "b_snap_old", ["doc_id"], n_buckets=8,
+                   sort_cols=["doc_id"])
+    write_bucketed(docs.withColumn("text", F.concat("text", F.lit("!"))),
+                   "b_snap_new", ["doc_id"], n_buckets=8,
+                   sort_cols=["doc_id"])
+    try:
+        diff = snapshot_diff(
+            spark.table("b_snap_old"), spark.table("b_snap_new"),
+            id_col="doc_id", text_col="text",
+        )
+        plan = diff._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin FullOuter" in plan or "SortMergeJoin" in plan
+        assert "hashpartitioning" not in plan
+        assert diff.count() == docs.count()  # every doc changed
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_snap_old")
+        spark.sql("DROP TABLE IF EXISTS b_snap_new")
