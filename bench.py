@@ -142,6 +142,7 @@ HEADLINE = [
     "q83_contamination_fractions",
     "q84_deterministic_shuffle",
     "q85_snapshot_diff",
+    "q86_corpus_report_card",
 ]
 
 #: Every exclusion, with its reason in the header comment above —

@@ -2630,6 +2630,103 @@ ORDER BY doc_id
 """
 
 
+def q86_corpus_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus report card — the one-page artifact a
+    curation run reviews before choosing filters: document and token
+    volume, within-source exact-duplicate docs, language spread, and
+    mean quality (stopword ratio).  Composes the certified building
+    blocks (q18 digests, q43 quality columns, q59 grouping) into one
+    reporting query; two hash aggregates + a broadcast join of
+    per-source partials, everything else in-scan.
+
+    The corpus has no exact duplicates, so docs with doc_id % 100 == 0
+    are re-injected verbatim under doc_id + 1_000_000 (same source) —
+    the n_dup_docs column is certified on non-vacuous counts, per the
+    q35/q50 anti-vacuity rule; same UNION in the oracle."""
+    raw = _t(spark, sf_dir, "documents")
+    docs = raw.unionByName(
+        raw.filter(F.col("doc_id") % 100 == 0).select(
+            (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+            *[c for c in raw.columns if c != "doc_id"],
+        ).select(raw.columns)
+    )
+    toks = text.word_tokens(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.md5(F.col("text")).alias("_digest"),
+        F.size(toks).cast("long").alias("_n_tokens"),
+        textstats.quality_columns("text")["stopword_ratio"].alias("_sw"),
+    )
+    dup_docs = (
+        base.groupBy("source", "_digest")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .groupBy("source")
+        .agg(F.sum("_n").cast("long").alias("n_dup_docs"))
+    )
+    per_source = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_n_tokens").alias("n_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.round(F.sum("_sw") / F.count(F.lit(1)), 4).alias(
+            "mean_stopword_ratio"
+        ),
+    )
+    return (
+        per_source.join(F.broadcast(dup_docs), "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_langs",
+            "mean_stopword_ratio",
+            F.coalesce(F.col("n_dup_docs"), F.lit(0).cast("long")).alias(
+                "n_dup_docs"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def _report_card_sql() -> str:
+    return f"""
+WITH docs_u AS (
+  SELECT * FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 100 = 0
+),
+base AS (
+  SELECT doc_id, source, lang, md5(text) AS digest,
+         len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+             x -> x <> '')) AS n_tokens,
+         round(len(list_filter(list_filter(
+                 regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''),
+               x -> x IN ({_sql_list(STOPWORDS)}))) * 1.0 /
+               len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                   x -> x <> '')), 4) AS sw
+  FROM docs_u
+),
+dups AS (
+  SELECT source, CAST(sum(n) AS BIGINT) AS n_dup_docs
+  FROM (SELECT source, digest, count(*) AS n FROM base
+        GROUP BY 1, 2 HAVING count(*) > 1)
+  GROUP BY 1
+)
+SELECT b.source,
+       count(*) AS n_docs,
+       CAST(sum(b.n_tokens) AS BIGINT) AS n_tokens,
+       count(DISTINCT b.lang) AS n_langs,
+       round(sum(b.sw) / count(*), 4) AS mean_stopword_ratio,
+       COALESCE(any_value(d.n_dup_docs), 0) AS n_dup_docs
+FROM base b LEFT JOIN dups d USING (source)
+GROUP BY b.source
+ORDER BY b.source
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "q01_pricing_summary": QueryDef(q01_pricing_summary, _Q01_SQL, "filter+agg+sort (A1/A3)"),
     "q02_event_type_counts": QueryDef(q02_event_type_counts, _Q02_SQL, "groupBy count desc (A1/O1)"),
@@ -2879,6 +2976,11 @@ CATALOG: dict[str, QueryDef] = {
         _Q85_SQL,
         "incremental-crawl snapshot delta (churn-bounded)",
     ),
+    "q86_corpus_report_card": QueryDef(
+        q86_corpus_report_card,
+        _report_card_sql(),
+        "per-source corpus report card",
+    ),
 }
 
 
@@ -2992,6 +3094,7 @@ DRIVER_OVERFLOW: frozenset[str] = frozenset(
         "q83_contamination_fractions",
         "q84_deterministic_shuffle",
         "q85_snapshot_diff",
+        "q86_corpus_report_card",
     }
 )
 
