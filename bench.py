@@ -143,6 +143,9 @@ HEADLINE = [
     "q84_deterministic_shuffle",
     "q85_snapshot_diff",
     "q86_corpus_report_card",
+    "q87_line_cleaning",
+    "q88_materialize_mixture",
+    "q89_suffix_blocklist",
 ]
 
 #: Every exclusion, with its reason in the header comment above —

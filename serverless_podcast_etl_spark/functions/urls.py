@@ -173,3 +173,69 @@ def dedup_by_canonical_url(
         F.lit(1).cast("long").alias("n_dups"),
     )
     return deduped.unionByName(passthrough)
+
+
+def domain_suffixes(domain: Column) -> Column:
+    """array<string> of a host's dot-suffix chain, most-specific
+    first: ``a.b.example.com`` → ``[a.b.example.com, b.example.com,
+    example.com, com]``.  In-row (split + transform over positions);
+    length is the label depth (~2-5), never data volume."""
+    parts = F.split(domain, r"\.")
+    n = F.size(parts)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(parts, i, n - i + 1), "."),
+    )
+
+
+def filter_blocked_domain_suffixes(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    blocklist: DataFrame,
+    blocklist_col: str = "domain",
+) -> DataFrame:
+    """Documents whose extracted URLs match NO blocklist entry under
+    SUFFIX semantics: an entry ``example.org`` blocks ``example.org``
+    and every subdomain (``m1.example.org``), the way UT1/adult-site
+    blocklists are specified.  The wildcard match is turned into a
+    plain equi-join — each document's hosts expand in-row to their
+    dot-suffix chains (bounded by label depth), and one broadcast
+    join against the blocklist finds the violators; no LIKE scan, no
+    cartesian.  The corpus shuffles at most once, in the final
+    anti-join on the id — planned sort-merge because the violator
+    count is data-dependent (a broad blocklist can flag most of a
+    crawl), with AQE converting it to broadcast at runtime whenever
+    the violator set turns out small.
+
+    ``blocklist`` is a DataFrame (``blocklist_col`` = bare domain) so
+    real multi-million-entry lists work: Spark broadcasts it (or, past
+    broadcast size, AQE falls back to a shuffle join on the exploded
+    suffix — still an equi-join).  For a handful of literal domains,
+    ``filter_blocked_domains`` (in-plan ``isin``) is the cheaper form.
+    """
+    suffixes = df.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.array_distinct(
+                F.flatten(
+                    F.transform(
+                        extracted_domains(F.col(text_col)),
+                        domain_suffixes,
+                    )
+                )
+            )
+        ).alias("_suffix"),
+    )
+    blocked_ids = (
+        suffixes.join(
+            F.broadcast(
+                blocklist.select(F.col(blocklist_col).alias("_suffix"))
+            ),
+            "_suffix",
+            "inner",
+        )
+        .select(id_col)
+        .distinct()
+    )
+    return df.join(blocked_ids, id_col, "left_anti")

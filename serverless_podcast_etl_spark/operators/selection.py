@@ -286,3 +286,73 @@ def deterministic_shuffle(
         ((F.col(out_order) - 1) % n_shards).cast("int").alias(out_shard),
         ((F.col(out_order) - 1) / n_shards).cast("long").alias(out_pos),
     )
+
+
+def materialize_mixture(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    factors: dict[str, float],
+    seed: str = "seed0",
+    copy_col: str = "copy_idx",
+) -> DataFrame:
+    """Materialize a source-weighted mixture: emit each document
+    ``factor`` times, where ``factors`` maps a source to its sampling
+    factor — >1 upsamples (epoch repetition of a high-value source), <1
+    downsamples, 0/absent drops.  This is the APPLY step of data
+    mixing: q59 computes target weights, this operator realizes them
+    as a concrete corpus with a ``copy_idx`` per repetition.
+
+    Fractional factors are resolved deterministically per document,
+    not by RNG: a doc gets ``floor(f)`` copies plus one more iff the
+    first 6 hex chars of ``md5(seed:source:id)`` fall below the
+    fractional part's share of the 16^6 digest space — the same
+    digest-threshold convention as ``stratified_digest_sample``, so
+    f = 2.25 repeats every doc twice and a reproducible quarter of
+    them a third time, identical across runs, engines and
+    partitionings (and therefore oracle-checkable).
+
+    Scale: the factor table is a handful of plan literals (or a
+    broadcast join if sources number millions); copy counts are an
+    in-row expression and the repetition is ``explode(sequence(...))``
+    — no shuffle anywhere, output size = Σ n_s · f_s by construction.
+    Rows with zero copies are filtered BEFORE the explode because
+    ``sequence(1, 0)`` descends rather than yielding empty.
+    """
+    n_copies = None
+    for s, f in sorted(factors.items()):
+        f = max(0.0, float(f))
+        whole, frac = int(f), f - int(f)
+        extra = (
+            F.lit(0)
+            if frac <= 0.0
+            else (
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.lit(seed),
+                            F.col(source_col).cast("string"),
+                            F.col(id_col).cast("string"),
+                        )
+                    ),
+                    1,
+                    6,
+                )
+                < F.lit(_digest_bound(frac))
+            ).cast("int")
+        )
+        branch = F.lit(whole) + extra
+        n_copies = (F.when if n_copies is None else n_copies.when)(
+            F.col(source_col) == s, branch
+        )
+    n_copies = (
+        n_copies.otherwise(F.lit(0)) if n_copies is not None else F.lit(0)
+    )
+    with_n = df.withColumn("_n_copies", n_copies).filter(
+        F.col("_n_copies") >= 1
+    )
+    return with_n.select(
+        "*",
+        F.explode(F.sequence(F.lit(1), F.col("_n_copies"))).alias(copy_col),
+    ).drop("_n_copies")

@@ -20,7 +20,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import dates, hashing, pii, text, textstats, urls
+from ..functions import cleaning, dates, hashing, pii, text, textstats, urls
 from ..functions.textstats import LANG_MARKERS, STOPWORDS
 from ..operators import (
     aggregates,
@@ -2727,6 +2727,186 @@ ORDER BY b.source
 """
 
 
+def q87_line_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level cleaning (functions/cleaning.clean_lines):
+    split each document into lines, keep lines with ≥4 words and no
+    banned substring, reassemble survivors in order, drop documents
+    left with <2 lines.  The corpus is single-line word soup, so line
+    structure is derived in-query — every ``" merge "`` becomes a
+    newline (same expression in the oracle), the q85/q63 injection
+    pattern.  One in-row expression per document: split → higher-order
+    ``filter`` → ``array_join`` — zero shuffles at any corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    structured = docs.select(
+        "doc_id",
+        F.replace(
+            F.col("text"), F.lit(" merge "), F.lit("\n")
+        ).alias("text"),
+    )
+    return (
+        cleaning.clean_lines(
+            structured,
+            "text",
+            min_words=4,
+            banned_substrings=("slow",),
+            min_lines_kept=2,
+        )
+        .select("doc_id", "text_clean", "n_lines_kept", "n_lines_dropped")
+        .orderBy("doc_id")
+    )
+
+
+_Q87_SQL = r"""
+WITH structured AS (
+  SELECT doc_id, replace(text, ' merge ', chr(10)) AS text
+  FROM documents
+),
+split_docs AS (
+  SELECT doc_id,
+         string_split(text, chr(10)) AS all_lines,
+         list_filter(string_split(text, chr(10)),
+             x -> trim(x) <> ''
+                  AND len(regexp_split_to_array(trim(x), '\s+')) >= 4
+                  AND NOT contains(lower(x), 'slow')) AS kept
+  FROM structured
+)
+SELECT doc_id,
+       array_to_string(kept, chr(10)) AS text_clean,
+       CAST(len(kept) AS INT) AS n_lines_kept,
+       CAST(len(all_lines) - len(kept) AS INT) AS n_lines_dropped
+FROM split_docs
+WHERE len(kept) >= 2
+ORDER BY doc_id
+"""
+
+
+#: q88 mixture: upsample src0 3×, src1 2.5× (deterministic half gets a
+#: third copy), keep src2 as-is, quarter-sample src3, drop the rest.
+_Q88_FACTORS = {"src0": 3.0, "src1": 2.5, "src2": 1.0, "src3": 0.25}
+
+
+def q88_materialize_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture materialization
+    (selection.materialize_mixture): realize per-source sampling
+    factors as a concrete corpus — each doc repeated ⌊f⌋ times plus
+    one more iff its ``md5(seed:source:id)`` 6-hex prefix falls below
+    the fractional part's digest share (the q78 convention), so
+    fractional epochs are reproducible across runs/engines and
+    oracle-checkable.  The APPLY step of data mixing: q59 computes the
+    weights, this materializes them.  In-row copy counts +
+    ``explode(sequence())`` — zero shuffles, output = Σ n_s·f_s."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        selection.materialize_mixture(
+            docs, "source", "doc_id", _Q88_FACTORS, seed="seed0"
+        )
+        .select("doc_id", "source", "copy_idx")
+        .orderBy("doc_id", "copy_idx")
+    )
+
+
+def _materialize_mixture_sql() -> str:
+    rows = ", ".join(
+        f"('{s}', {int(f)}, '{selection._digest_bound(f - int(f))}', "
+        f"{1 if f - int(f) > 0 else 0})"
+        for s, f in sorted(_Q88_FACTORS.items())
+    )
+    return f"""
+WITH f(source, whole, frac_bound, has_frac) AS (VALUES {rows}),
+c AS (
+  SELECT d.doc_id, d.source,
+         f.whole + CASE WHEN f.has_frac = 1 AND
+             substring(md5('seed0' || ':' || d.source || ':' ||
+                           CAST(d.doc_id AS VARCHAR)), 1, 6)
+               < f.frac_bound
+           THEN 1 ELSE 0 END AS n_copies
+  FROM documents d JOIN f ON d.source = f.source
+)
+SELECT doc_id, source,
+       CAST(unnest(generate_series(1, n_copies)) AS INT) AS copy_idx
+FROM c
+WHERE n_copies >= 1
+ORDER BY doc_id, copy_idx
+"""
+
+
+#: q89 blocklist: one deep-suffix entry (blocks cdn.site3.example.com
+#: via the chain) and one exact-host entry.
+_SUFFIX_BLOCKLIST = ["site3.example.com", "m2.example.org"]
+
+
+def q89_suffix_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-wildcard domain blocklist
+    (urls.filter_blocked_domain_suffixes): keep documents none of
+    whose URL hosts match a blocklist entry under suffix semantics
+    (``site3.example.com`` blocks ``cdn.site3.example.com``) — the
+    UT1-style gate.  The corpus has no URLs, so two doc_id-derived
+    URLs are injected per doc (q63 pattern, with a ``cdn.`` label so
+    the SUFFIX path, not just exact match, is exercised).  The
+    wildcard becomes a plain equi-join: hosts expand in-row to their
+    dot-suffix chains, one broadcast join finds violators, one
+    anti-join on the id keeps the rest — no LIKE scan; the corpus
+    shuffles only for that anti-join (AQE broadcasts the violator
+    set at runtime when it is small)."""
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://cdn.site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" and http://m"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(".example.org"),
+        ).alias("text"),
+    )
+    blocklist = docs.sparkSession.createDataFrame(
+        [(d,) for d in _SUFFIX_BLOCKLIST], "domain string"
+    )
+    return (
+        urls.filter_blocked_domain_suffixes(
+            injected, "text", "doc_id", blocklist
+        )
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+def _suffix_blocklist_sql() -> str:
+    bl = _sql_list(_SUFFIX_BLOCKLIST)
+    return rf"""
+WITH injected AS (
+  SELECT doc_id, source,
+         text || ' see https://cdn.site' || CAST(doc_id % 7 AS VARCHAR)
+              || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+              || ' and http://m' || CAST(doc_id % 5 AS VARCHAR)
+              || '.example.org' AS text
+  FROM documents
+),
+hosts AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text,
+                'https?://([A-Za-z0-9.-]+)(/[^\s]*)?', 1)) AS host
+  FROM injected
+),
+sfx AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             range(1, len(string_split(host, '.')) + 1),
+             i -> array_to_string(string_split(host, '.')[i:], '.')))
+           AS suffix
+  FROM hosts
+),
+blocked AS (SELECT DISTINCT doc_id FROM sfx WHERE suffix IN ({bl}))
+SELECT d.doc_id, d.source
+FROM documents d ANTI JOIN blocked b ON d.doc_id = b.doc_id
+ORDER BY d.doc_id
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "q01_pricing_summary": QueryDef(q01_pricing_summary, _Q01_SQL, "filter+agg+sort (A1/A3)"),
     "q02_event_type_counts": QueryDef(q02_event_type_counts, _Q02_SQL, "groupBy count desc (A1/O1)"),
@@ -2981,6 +3161,21 @@ CATALOG: dict[str, QueryDef] = {
         _report_card_sql(),
         "per-source corpus report card",
     ),
+    "q87_line_cleaning": QueryDef(
+        q87_line_cleaning,
+        _Q87_SQL,
+        "C4-style line-level cleaning (in-row HOF filter)",
+    ),
+    "q88_materialize_mixture": QueryDef(
+        q88_materialize_mixture,
+        _materialize_mixture_sql(),
+        "deterministic mixture materialization (epoch up/downsampling)",
+    ),
+    "q89_suffix_blocklist": QueryDef(
+        q89_suffix_blocklist,
+        _suffix_blocklist_sql(),
+        "suffix-wildcard domain blocklist via equi-join",
+    ),
 }
 
 
@@ -3095,6 +3290,9 @@ DRIVER_OVERFLOW: frozenset[str] = frozenset(
         "q84_deterministic_shuffle",
         "q85_snapshot_diff",
         "q86_corpus_report_card",
+        "q87_line_cleaning",
+        "q88_materialize_mixture",
+        "q89_suffix_blocklist",
     }
 )
 

@@ -347,3 +347,131 @@ def test_snapshot_diff_bucketed_join_no_shuffle(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_snap_old")
         spark.sql("DROP TABLE IF EXISTS b_snap_new")
+
+
+# ---- round-6 late additions: line cleaning, mixture, suffix blocklist
+
+
+def test_clean_lines_rules_and_order(spark):
+    from serverless_podcast_etl_spark.functions.cleaning import clean_lines
+
+    df = spark.createDataFrame(
+        [
+            (1, "first good line here\nSLOW shouty line drop\nok fine line too"),
+            (2, "too short\nalso no"),
+            (3, "only one survivor line\nx"),
+        ],
+        "doc_id long, text string",
+    )
+    out = clean_lines(
+        df, "text", min_words=4, banned_substrings=("slow",), min_lines_kept=1
+    ).orderBy("doc_id")
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # banned match is case-insensitive; survivor order preserved
+    assert rows[1]["text_clean"] == "first good line here\nok fine line too"
+    assert rows[1]["n_lines_kept"] == 2 and rows[1]["n_lines_dropped"] == 1
+    assert 2 not in rows  # no line reaches min_words
+    assert rows[3]["n_lines_kept"] == 1
+    # min_lines_kept gate drops whole documents
+    gated = clean_lines(
+        df, "text", min_words=4, banned_substrings=("slow",), min_lines_kept=2
+    )
+    assert [r["doc_id"] for r in gated.collect()] == [1]
+
+
+def test_clean_lines_literal_separator_escaped(spark):
+    from serverless_podcast_etl_spark.functions.cleaning import clean_lines
+
+    # "." is a regex metachar; a literal separator must not split on
+    # every character
+    df = spark.createDataFrame(
+        [(1, "one two three four.five six seven eight")],
+        "doc_id long, text string",
+    )
+    out = clean_lines(df, "text", min_words=4, line_sep=".").collect()
+    assert out[0]["n_lines_kept"] == 2
+    assert out[0]["text_clean"] == "one two three four.five six seven eight"
+
+
+def test_materialize_mixture_counts_and_determinism(spark):
+    from serverless_podcast_etl_spark.operators.selection import (
+        materialize_mixture,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "s_whole" if i < 10 else "s_half" if i < 30 else "s_drop", "t")
+         for i in range(40)],
+        "doc_id long, source string, text string",
+    )
+    out = materialize_mixture(
+        df, "source", "doc_id", {"s_whole": 2.0, "s_half": 0.5}
+    )
+    per = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # integer factor is exact: every s_whole doc exactly twice
+    assert per["s_whole"] == 20
+    # fractional factor keeps a digest-chosen subset, one copy each
+    assert 0 < per.get("s_half", 0) < 20
+    assert "s_drop" not in per
+    half = out.filter(F.col("source") == "s_half")
+    assert half.agg(F.max("copy_idx")).first()[0] == 1
+    # deterministic: a second run is bit-identical
+    again = materialize_mixture(
+        df, "source", "doc_id", {"s_whole": 2.0, "s_half": 0.5}
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, again.collect())
+    )
+    # fractional-upsample branch: f=1.5 gives every doc 1 or 2 copies
+    up = materialize_mixture(df, "source", "doc_id", {"s_half": 1.5})
+    c = {r["doc_id"]: r["n"] for r in
+         up.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    assert set(c.values()) <= {1, 2} and len(c) == 20
+
+
+def test_suffix_blocklist_semantics(spark):
+    from serverless_podcast_etl_spark.functions.urls import (
+        domain_suffixes,
+        filter_blocked_domain_suffixes,
+    )
+
+    chain = (
+        spark.createDataFrame([("a.b.example.com",)], "d string")
+        .select(domain_suffixes(F.col("d")).alias("s"))
+        .first()["s"]
+    )
+    assert chain == ["a.b.example.com", "b.example.com", "example.com", "com"]
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x https://cdn.bad.com/z y"),     # subdomain of entry
+            (2, "x http://bad.com y"),            # exact entry
+            (3, "x https://notbad.com y"),        # sibling, NOT a suffix
+            (4, "no urls here"),                  # passes through
+            (5, "x https://bad.com.evil.io y"),   # entry is not a suffix
+        ],
+        "doc_id long, text string",
+    )
+    bl = spark.createDataFrame([("bad.com",)], "domain string")
+    kept = filter_blocked_domain_suffixes(docs, "text", "doc_id", bl)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [3, 4, 5]
+
+
+def test_suffix_blocklist_broadcasts_blocklist(spark):
+    from serverless_podcast_etl_spark.functions.urls import (
+        filter_blocked_domain_suffixes,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"see https://h{i}.example.com/p") for i in range(50)],
+        "doc_id long, text string",
+    )
+    bl = spark.createDataFrame([("example.org",)], "domain string")
+    plan = filter_blocked_domain_suffixes(
+        docs, "text", "doc_id", bl
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
