@@ -4,14 +4,16 @@ pipeline assembled from the engine's operators.
 Usage:  python examples/curation_pipeline_demo.py [sf_dir]
 
 Chains the curation stages the way a pretraining data pipeline does —
-URL canonical dedup → quality gate → exact dedup → cross-doc
-boilerplate stripping → near-dup cluster dedup (+ cross-source
-leakage matrix report) → fraction-gated eval-set decontamination →
-leakage-free train/eval split → per-source quota cap → LM-scored
-token-budget selection — over the synthetic ``documents`` table,
-printing surviving row counts per stage.  Every stage is a certified
-catalog operator (q18/q43/q49/q71-q76/q79-q81/q83); this file only
-composes them.
+URL canonical dedup → domain blocklist → line-level cleaning →
+quality gate → exact dedup → cross-doc boilerplate stripping →
+near-dup cluster dedup (+ cross-source leakage matrix report) →
+fraction-gated eval-set decontamination → leakage-free train/eval
+split → per-source quota cap → LM-scored token-budget selection →
+source-weighted mixture materialization → deterministic shuffle into
+training shards — over the synthetic ``documents`` table, printing
+surviving row counts per stage.  Every stage is a certified catalog
+operator (q18/q43/q49/q71-q76/q79-q81/q83-q84/q87-q89); this file
+only composes them.
 """
 
 from __future__ import annotations
@@ -64,6 +66,41 @@ def main() -> None:
     ).select("doc_id")
     docs = docs.join(kept_urls, "doc_id", "left_semi")
     print(f"after URL canonical dedup: {docs.count()}")
+
+    # 0b. suffix-wildcard domain blocklist (q89) — UT1 semantics:
+    #     an entry blocks the domain and every subdomain, via the
+    #     in-row dot-suffix-chain equi-join
+    flagged = with_urls.join(kept_urls, "doc_id", "left_semi").withColumn(
+        "text", F.concat(F.col("text"), F.lit(" "), F.col("url"))
+    )
+    blocklist = spark.createDataFrame(
+        [("site3.example.com",)], "domain string"
+    )
+    allowed = urls.filter_blocked_domain_suffixes(
+        flagged, "text", "doc_id", blocklist
+    ).select("doc_id")
+    docs = docs.join(allowed, "doc_id", "left_semi")
+    print(f"after domain blocklist: {docs.count()}")
+
+    # 0c. line-level cleaning (q87) — fix documents from the inside
+    #     before any whole-document gate: derive line structure, drop
+    #     junk lines, keep docs with >= 2 surviving lines
+    from serverless_podcast_etl_spark.functions import cleaning  # noqa: E402
+
+    structured = docs.withColumn(
+        "text", F.replace(F.col("text"), F.lit(" merge "), F.lit("\n"))
+    )
+    cleaned = cleaning.clean_lines(
+        structured, "text", min_words=4,
+        banned_substrings=("slow",), min_lines_kept=2,
+    )
+    docs = (
+        cleaned.withColumn(
+            "text", F.replace(F.col("text_clean"), F.lit("\n"), F.lit(" merge "))
+        )
+        .drop("text_clean", "n_lines_kept", "n_lines_dropped")
+    )
+    print(f"after line cleaning: {docs.count()}")
 
     # 1. cheap quality gate (q43)
     kept = textstats.quality_filter(
@@ -161,6 +198,42 @@ def main() -> None:
         cum_col="cum_tokens",
     )
     print(f"final training set under 5k-token budget: {budgeted.count()}")
+
+    # 8. source-weighted mixture materialization (q88) — realize the
+    #    final epoch weights deterministically (upsample the two
+    #    rarest surviving sources, keep the rest at 1x)
+    per_src = budgeted.join(
+        train.select("doc_id", "source"), "doc_id"
+    )
+    rare = [
+        r["source"]
+        for r in per_src.groupBy("source").count().orderBy("count", "source")
+        .limit(2).collect()
+    ]
+    factors = {r["source"]: 1.0 for r in per_src.select("source").distinct().collect()}
+    for s in rare:
+        factors[s] = 2.0
+    mixed = selection.materialize_mixture(
+        per_src, "source", "doc_id", factors, seed="demo"
+    )
+    print(f"after mixture materialization: {mixed.count()} rows")
+
+    # 9. deterministic shuffle + shard assignment (q84) — the
+    #    reproducible training order; (doc_id, copy_idx) keys each
+    #    materialized repetition so copies land in different shards
+    keyed = mixed.withColumn(
+        "mix_id",
+        F.concat_ws("#", F.col("doc_id").cast("string"),
+                    F.col("copy_idx").cast("string")),
+    )
+    shards = selection.deterministic_shuffle(
+        keyed, id_col="mix_id", seed="demo", n_shards=4
+    )
+    sizes = {
+        r["shard"]: r["count"]
+        for r in shards.groupBy("shard").count().collect()
+    }
+    print(f"shard sizes (balanced to within one row): {sizes}")
     spark.stop()
 
 

@@ -44,6 +44,10 @@ QUERIES = [
     # — no distributed path to rehearse)
     "q73_leakage_free_split",
     "q75_source_quota_cap",
+    # r6 late additions (r6 NOTES): the persisted-IVF build+probe and
+    # the two-pass range-shuffle shard assignment at 10x
+    "q82_ivf_indexed_ann",
+    "q84_deterministic_shuffle",
 ]
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
