@@ -447,6 +447,98 @@ def incremental_neardup_admission(
     )
 
 
+#: Table property stamping a band index with the signature parameters
+#: it was built with — appends verify against it so an index never
+#: silently mixes incompatible signatures.
+_BAND_INDEX_PROP = "spe.minhash.params"
+
+
+def _band_index_params(n: int, num_hashes: int, bands: int) -> str:
+    return f"n={n},num_hashes={num_hashes},bands={bands}"
+
+
+def write_band_index(
+    df: DataFrame,
+    table: str,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    n_buckets: int = 32,
+) -> None:
+    """Create (overwrite) the persistent near-dup band index: sign
+    ``df`` once, write the (id, band, bucket) table bucketed + sorted
+    on (band, bucket), and stamp the signature parameters as a table
+    property.  The 100 TB corpus pays its sign + shuffle exactly here;
+    every later admission batch joins the bucketed scan shuffle-free
+    (``test_band_index_join_shuffles_batch_side_only``)."""
+    from ..sources.bucketed import write_bucketed
+
+    bands_df = minhash_bands(
+        df, text_col, id_col, n=n, num_hashes=num_hashes, bands=bands
+    )
+    write_bucketed(
+        bands_df, table, ["band", "bucket"], n_buckets=n_buckets,
+        sort_cols=["band", "bucket"],
+    )
+    df.sparkSession.sql(
+        f"ALTER TABLE {table} SET TBLPROPERTIES "
+        f"('{_BAND_INDEX_PROP}' = "
+        f"'{_band_index_params(n, num_hashes, bands)}')"
+    )
+
+
+def append_to_band_index(
+    admitted_df: DataFrame,
+    table: str,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    n_buckets: int = 32,
+) -> None:
+    """Index maintenance — the step after admission that keeps the
+    incremental pipeline incremental: sign ONLY the admitted batch and
+    append its band rows to the persisted index, so tomorrow's batch
+    sees today's documents without the corpus ever being re-signed or
+    rewritten.
+
+    The signature parameters are verified against the
+    ``spe.minhash.params`` property stamped at ``write_band_index``
+    time and the call raises before writing on any mismatch — an index
+    mixing signatures from different (n, num_hashes, bands) would
+    return silently wrong candidates forever after.  The bucketed
+    append itself is validated by Spark against the table's bucket
+    spec, so the post-append index keeps its shuffle-free join
+    property (pinned by ``test_band_index_append_roundtrip``)."""
+    spark = admitted_df.sparkSession
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    }
+    expected = _band_index_params(n, num_hashes, bands)
+    stamped = props.get(_BAND_INDEX_PROP)
+    if stamped != expected:
+        raise ValueError(
+            f"band index {table} was built with "
+            f"{stamped or 'no stamped parameters'}; append called with "
+            f"{expected} — refusing to mix incompatible signatures"
+        )
+    bands_df = minhash_bands(
+        admitted_df, text_col, id_col, n=n, num_hashes=num_hashes,
+        bands=bands,
+    )
+    (
+        bands_df.write.mode("append")
+        .format("parquet")
+        .bucketBy(n_buckets, "band", "bucket")
+        .sortBy("band", "bucket")
+        .saveAsTable(table)
+    )
+
+
 def cross_corpus_overlap(
     corpus: DataFrame,
     benchmark: DataFrame,

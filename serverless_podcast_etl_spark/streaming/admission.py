@@ -37,12 +37,21 @@ def admission_batch_fn(
     num_hashes: int = 8,
     bands: int = 4,
     verify_threshold: float = 0.2,
+    corpus_bands: DataFrame | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """A ``foreachBatch`` function gating each micro-batch against the
     corpus index: admitted documents (no verified near-dup in the
     corpus) flow to ``sink`` with their original columns plus
     ``n_matches``; rejected ones go to ``rejected_sink`` when given
-    (audit trail), else are dropped."""
+    (audit trail), else are dropped.
+
+    ``corpus_bands`` is the production posture: pass
+    ``spark.table(...)`` over a ``write_band_index`` table and each
+    micro-batch's candidate join reads the persisted bucketed index
+    instead of re-signing ``corpus_df`` per batch (the parameters
+    must match those the index was built with — same contract as the
+    batch operator).  A separate batch job maintains the index via
+    ``append_to_band_index``; the stream itself never writes it."""
 
     def _process(batch_df: DataFrame, epoch: int) -> None:
         gate = incremental_neardup_admission(
@@ -54,6 +63,7 @@ def admission_batch_fn(
             num_hashes=num_hashes,
             bands=bands,
             verify_threshold=verify_threshold,
+            corpus_bands=corpus_bands,
         )
         flagged = batch_df.join(gate, id_col)
         if rejected_sink is None:

@@ -290,6 +290,75 @@ def test_admission_against_bucketed_index_plan(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS b_admission_index")
 
 
+def test_band_index_append_roundtrip(spark, sf_dir):
+    """Index maintenance closes the incremental loop: admit batch1
+    against the persisted index, append batch1's band rows, and a
+    later batch2 of batch1 near-dups must be REJECTED via the
+    appended rows alone — with the post-append index still consumed
+    through its bucketed layout, and parameter-mismatched appends
+    refused before writing."""
+    import pytest
+
+    from serverless_podcast_etl_spark.operators.dedup import (
+        append_to_band_index,
+        incremental_neardup_admission,
+        write_band_index,
+    )
+    from serverless_podcast_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    batch1 = docs.filter(
+        (F.col("doc_id") >= 400) & (F.col("doc_id") < 450)
+    )
+    # batch2 = verbatim re-submissions of batch1 under fresh ids —
+    # near-dups only of batch1, never of the original corpus
+    batch2 = batch1.select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), "text"
+    )
+    try:
+        write_band_index(
+            corpus, "b_maint_index", "text", "doc_id", n_buckets=8
+        )
+        gate1 = incremental_neardup_admission(
+            batch1, corpus, text_col="text", id_col="doc_id",
+            verify_threshold=0.3,
+            corpus_bands=spark.table("b_maint_index"),
+        )
+        admitted1 = batch1.join(
+            gate1.filter(F.col("admitted") == 1).select("doc_id"),
+            "doc_id", "left_semi",
+        )
+        n_admitted = admitted1.count()
+        assert n_admitted > 0
+        append_to_band_index(
+            admitted1, "b_maint_index", "text", "doc_id", n_buckets=8
+        )
+        # corpus for verification now includes batch1; index was NOT
+        # rebuilt — batch1's rows arrived via the append alone
+        gate2 = incremental_neardup_admission(
+            batch2, corpus.unionByName(batch1), text_col="text",
+            id_col="doc_id", verify_threshold=0.3,
+            corpus_bands=spark.table("b_maint_index"),
+        )
+        rejected = gate2.filter(F.col("admitted") == 0)
+        rejected_ids = {r["doc_id"] for r in rejected.collect()}
+        assert {
+            r["doc_id"] + 10_000 for r in admitted1.select("doc_id").collect()
+        } <= rejected_ids
+        # the appended index still reads through the bucketed scan
+        plan = physical_plan(gate2)
+        assert "SelectedBucketsCount" in plan, plan[:2000]
+        # parameter mismatch refuses before writing
+        with pytest.raises(ValueError, match="refusing to mix"):
+            append_to_band_index(
+                batch2, "b_maint_index", "text", "doc_id",
+                num_hashes=16, n_buckets=8,
+            )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_maint_index")
+
+
 def test_global_prefix_sum_has_no_single_partition_exchange(spark, sf_dir):
     """The q74 scale contract: the global running sum must come from
     the two-pass range-partition pattern, never a plan that funnels

@@ -456,6 +456,61 @@ def test_streaming_admission_matches_batch_gate(spark, tmp_path):
     assert batch_admitted == sorted(r["doc_id"] for r in admitted)
 
 
+def test_streaming_admission_against_persisted_index(spark, tmp_path):
+    """The production posture: the stream's gate reads a persisted
+    ``write_band_index`` table (corpus_bands=) instead of re-signing
+    the corpus each micro-batch, and decides identically."""
+    import os
+
+    from serverless_podcast_etl_spark.operators.dedup import (
+        write_band_index,
+    )
+    from serverless_podcast_etl_spark.streaming.admission import (
+        admission_batch_fn,
+    )
+
+    base = " ".join(f"t{i}" for i in range(30))
+    corpus = spark.createDataFrame(
+        [(1, base), (2, " ".join(f"v{i}" for i in range(30)))],
+        "doc_id long, text string",
+    )
+    arrivals = [
+        (201, " ".join(f"w{i}" for i in range(30))),  # admitted
+        (202, base + " tail"),                        # rejected
+    ]
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "arrivals2")
+    os.makedirs(src)
+    spark.createDataFrame(arrivals, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    admitted: list = []
+    try:
+        write_band_index(
+            corpus, "b_stream_index", "text", "doc_id", n_buckets=4
+        )
+        fn = admission_batch_fn(
+            corpus,
+            text_col="text",
+            id_col="doc_id",
+            sink=lambda df, _e: admitted.extend(df.collect()),
+            verify_threshold=0.3,
+            corpus_bands=spark.table("b_stream_index"),
+        )
+        q = (
+            spark.readStream.schema(schema).parquet(src)
+            .writeStream.foreachBatch(fn)
+            .option("checkpointLocation", str(tmp_path / "ckpt2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert sorted(r["doc_id"] for r in admitted) == [201]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_stream_index")
+
+
 def test_streaming_admission_restart_processes_only_new_files(spark, tmp_path):
     """Exactly-once admission across restarts: a second AvailableNow
     drain with the same checkpoint sees only files staged after the
