@@ -146,6 +146,9 @@ HEADLINE = [
     "q87_line_cleaning",
     "q88_materialize_mixture",
     "q89_suffix_blocklist",
+    "q90_top_share_per_source",
+    "q91_event_debounce",
+    "q92_quantile_bins",
 ]
 
 #: Every exclusion, with its reason in the header comment above —

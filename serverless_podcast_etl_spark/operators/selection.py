@@ -356,3 +356,73 @@ def materialize_mixture(
         "*",
         F.explode(F.sequence(F.lit(1), F.col("_n_copies"))).alias(copy_col),
     ).drop("_n_copies")
+
+
+def top_share_per_group(
+    df: DataFrame,
+    group_col: str,
+    cost_col: str,
+    order_cols: list[Column],
+    share: float,
+    cum_col: str = "cum_cost",
+    total_col: str = "group_total",
+) -> DataFrame:
+    """Per-group cumulative-share selection: within each group, rank
+    rows by ``order_cols`` (best first; must include a unique
+    tiebreak) and keep rows while the running ``cost_col`` total stays
+    within ``share`` of the group's total — "the best documents
+    covering half of every source's tokens", the coverage-target
+    counterpart of ``cap_per_group`` (fixed N per group) and
+    ``select_under_budget`` (one global budget).
+
+    Keeps ``cum_col`` (running within-group cost) and ``total_col``
+    (the group's full cost) so callers can see how close each kept
+    row sits to the cut.  A group whose FIRST row already exceeds the
+    share keeps nothing from that group — the contract is a hard
+    ceiling, not at-least-one; pair with a ``cap_per_group`` floor if
+    every group must be represented.
+
+    Scale: both windows partition by ``group_col`` — one shuffle on
+    the group key, then parallel across groups; no global window, no
+    driver pass.  Skew lives in the largest group's partition, the
+    same bound as any per-group operator.
+    """
+    w_run = Window.partitionBy(group_col).orderBy(*order_cols)
+    w_all = Window.partitionBy(group_col)
+    costs = F.col(cost_col).cast("long")
+    return (
+        df.withColumn(cum_col, F.sum(costs).over(w_run))
+        .withColumn(total_col, F.sum(costs).over(w_all))
+        .filter(F.col(cum_col) <= F.lit(share) * F.col(total_col))
+    )
+
+
+def quantile_bins(
+    df: DataFrame,
+    score_col: str,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Bin rows by exact score quantiles: bucket 0 holds scores at or
+    below the ``probs[0]`` quantile, the last bucket everything above
+    ``probs[-1]`` — the curriculum-binning step (order a corpus
+    easy→hard by quality quartile, then ``deterministic_shuffle``
+    within each bin) and the exact counterpart of the
+    ``percentile_approx`` profile (q41).
+
+    Two passes: one ``percentile`` aggregate computes the boundaries
+    (a bounded driver collect of ``len(probs)`` doubles — same class
+    of bound as the prefix-sum offsets), then assignment is one
+    in-row CASE over broadcast literals — the corpus is never
+    shuffled.  Spark's ``percentile`` and DuckDB's ``quantile_cont``
+    share the type-7 linear interpolation bit-for-bit (verified in
+    the q92 oracle), so the bins are engine-portable.  Null scores
+    get a null bucket.
+    """
+    probs_arr = F.array(*[F.lit(float(p)) for p in sorted(probs)])
+    bounds = df.agg(F.percentile(F.col(score_col), probs_arr)).first()[0]
+    case = F.when(F.col(score_col).isNull(), F.lit(None))
+    for i, b in enumerate(bounds):
+        case = case.when(F.col(score_col) <= F.lit(b), F.lit(i))
+    case = case.otherwise(F.lit(len(bounds)))
+    return df.withColumn(out_col, case.cast("int"))

@@ -242,3 +242,52 @@ def ewma_partitioned(
         *key_cols, *order_by
     )
     return parts.mapInPandas(run, schema)
+
+
+def suppress_repeated_events(
+    df: DataFrame,
+    key_cols: list[str],
+    dedup_cols: list[str],
+    ts_col: str,
+    order_cols: list[Column],
+    max_gap_seconds: float,
+) -> DataFrame:
+    """Debounce a keyed event stream: drop an event when the PREVIOUS
+    event of the same key (in ``order_cols`` order, which must
+    totally order each key's events) has identical ``dedup_cols`` and
+    arrived within ``max_gap_seconds`` — the telemetry double-fire /
+    retry-duplicate suppression every event pipeline runs before
+    counting anything.
+
+    The comparison window is value-anchored (gap from the previous
+    ROW), so a burst chain longer than the gap collapses to its first
+    event only if each link is within the gap of the one before it —
+    lag semantics, not a fixed time bucket, and therefore exactly
+    expressible in SQL for the oracle.  Timestamps compare in integer
+    microseconds (``unix_micros``) on both engines — no float
+    rounding at the boundary.
+
+    Scale: one shuffle on the key, ``lag`` windows parallel across
+    keys — the same shape as the rolling mean (q07).  The streaming
+    counterpart with watermarked state is
+    ``streaming.dedup.streaming_dedup`` (value-keyed); this is the
+    batch, gap-bounded form.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    same_payload = F.lit(True)
+    for c in dedup_cols:
+        prev = F.lag(F.col(c)).over(w)
+        same_payload = same_payload & prev.isNotNull() & (
+            F.col(c) == prev
+        )
+    # NTZ-tolerant: unix_micros requires TIMESTAMP, so both sides cast
+    # through the session zone — the same offset applies to both ends
+    # of a gap-sized interval, so the DIFFERENCE is zone-independent
+    ts_micros = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap_us = ts_micros - F.lag(ts_micros).over(w)
+    dup = same_payload & (
+        gap_us <= F.lit(int(max_gap_seconds * 1_000_000))
+    )
+    return df.withColumn("_is_dup", dup).filter(
+        ~F.coalesce(F.col("_is_dup"), F.lit(False))
+    ).drop("_is_dup")

@@ -2907,6 +2907,135 @@ ORDER BY d.doc_id
 """
 
 
+def q90_top_share_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source cumulative-share selection
+    (selection.top_share_per_group): within every source, keep the
+    best-quality documents until half the source's tokens are covered
+    — the coverage-target form of domain capping (q75 caps a COUNT,
+    this caps a token SHARE, so verbose sources keep fewer docs).
+    Two windows partitioned on source — one shuffle, parallel across
+    groups, no global pass."""
+    docs = _t(spark, sf_dir, "documents")
+    stats = textstats.quality_stats(docs, text_col="text", id_col="doc_id")
+    kept = selection.top_share_per_group(
+        docs.select("doc_id", "source").join(
+            stats.select("doc_id", "stopword_ratio", "n_tokens"), "doc_id"
+        ),
+        group_col="source",
+        cost_col="n_tokens",
+        order_cols=[F.col("stopword_ratio").desc(), F.col("doc_id")],
+        share=0.5,
+        cum_col="cum_tokens",
+        total_col="source_tokens",
+    )
+    return kept.select(
+        "doc_id", "source", "stopword_ratio",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "cum_tokens", "source_tokens",
+    ).orderBy("doc_id")
+
+
+def _top_share_sql(share: float = 0.5) -> str:
+    return f"""
+WITH s AS ({_Q16_SQL}),
+r AS (SELECT d.doc_id, d.source, s.stopword_ratio,
+             CAST(s.n_tokens AS BIGINT) AS n_tokens,
+             CAST(sum(s.n_tokens) OVER (PARTITION BY d.source
+                  ORDER BY s.stopword_ratio DESC, d.doc_id) AS BIGINT)
+               AS cum_tokens,
+             CAST(sum(s.n_tokens) OVER (PARTITION BY d.source) AS BIGINT)
+               AS source_tokens
+      FROM documents d JOIN s ON d.doc_id = s.doc_id)
+SELECT doc_id, source, stopword_ratio, n_tokens, cum_tokens, source_tokens
+FROM r
+WHERE cum_tokens <= {share} * source_tokens
+ORDER BY doc_id
+"""
+
+
+def q91_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed event debounce (windows.suppress_repeated_events): drop
+    an event when the same user's PREVIOUS event has the same type
+    and arrived within 10 minutes — retry/double-fire suppression,
+    the cleanup every telemetry pipeline runs before counting.
+    Value-anchored lag comparison in integer microseconds; one
+    shuffle on user_id, parallel across users."""
+    ev = _t(spark, sf_dir, "events")
+    kept = windows.suppress_repeated_events(
+        ev.select("event_id", "user_id", "event_type", "ts"),
+        key_cols=["user_id"],
+        dedup_cols=["event_type"],
+        ts_col="ts",
+        order_cols=[F.col("ts"), F.col("event_id")],
+        max_gap_seconds=600,
+    )
+    return kept.orderBy("event_id")
+
+
+_Q91_SQL = """
+WITH w AS (
+  SELECT event_id, user_id, event_type, ts,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type,
+         lag(ts) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+SELECT event_id, user_id, event_type, ts
+FROM w
+WHERE prev_ts IS NULL
+   OR prev_type IS DISTINCT FROM event_type
+   OR date_diff('microsecond', prev_ts, ts) > 600000000
+ORDER BY event_id
+"""
+
+
+def q92_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum quantile binning (selection.quantile_bins): assign
+    every document its quality quartile from EXACT percentile
+    boundaries — bucket 0 = lowest quartile of stopword_ratio, 3 =
+    highest.  Boundaries come from one ``percentile`` aggregate
+    (bounded 3-double collect), assignment is an in-row CASE — the
+    corpus is never shuffled; Spark ``percentile`` and DuckDB
+    ``quantile_cont`` interpolate identically (type 7), making exact
+    binning oracle-checkable."""
+    docs = _t(spark, sf_dir, "documents")
+    stats = textstats.quality_stats(
+        docs, text_col="text", id_col="doc_id"
+    ).select("doc_id", "stopword_ratio")
+    return (
+        selection.quantile_bins(stats, "stopword_ratio")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.min("stopword_ratio"), 4).alias("min_score"),
+            F.round(F.max("stopword_ratio"), 4).alias("max_score"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_Q92_SQL = f"""
+WITH s AS ({_Q16_SQL}),
+b AS (SELECT quantile_cont(stopword_ratio, [0.25, 0.5, 0.75]) AS q FROM s),
+assigned AS (
+  SELECT doc_id, stopword_ratio,
+         CAST(CASE WHEN stopword_ratio IS NULL THEN NULL
+                   WHEN stopword_ratio <= q[1] THEN 0
+                   WHEN stopword_ratio <= q[2] THEN 1
+                   WHEN stopword_ratio <= q[3] THEN 2
+                   ELSE 3 END AS INT) AS bucket
+  FROM s, b
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       round(min(stopword_ratio), 4) AS min_score,
+       round(max(stopword_ratio), 4) AS max_score
+FROM assigned
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "q01_pricing_summary": QueryDef(q01_pricing_summary, _Q01_SQL, "filter+agg+sort (A1/A3)"),
     "q02_event_type_counts": QueryDef(q02_event_type_counts, _Q02_SQL, "groupBy count desc (A1/O1)"),
@@ -3176,6 +3305,21 @@ CATALOG: dict[str, QueryDef] = {
         _suffix_blocklist_sql(),
         "suffix-wildcard domain blocklist via equi-join",
     ),
+    "q90_top_share_per_source": QueryDef(
+        q90_top_share_per_source,
+        _top_share_sql(),
+        "per-source cumulative token-share selection",
+    ),
+    "q91_event_debounce": QueryDef(
+        q91_event_debounce,
+        _Q91_SQL,
+        "keyed event debounce (lag-window duplicate suppression)",
+    ),
+    "q92_quantile_bins": QueryDef(
+        q92_quantile_bins,
+        _Q92_SQL,
+        "curriculum quantile binning on exact percentile boundaries",
+    ),
 }
 
 
@@ -3293,6 +3437,9 @@ DRIVER_OVERFLOW: frozenset[str] = frozenset(
         "q87_line_cleaning",
         "q88_materialize_mixture",
         "q89_suffix_blocklist",
+        "q90_top_share_per_source",
+        "q91_event_debounce",
+        "q92_quantile_bins",
     }
 )
 

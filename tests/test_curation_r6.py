@@ -475,3 +475,80 @@ def test_suffix_blocklist_broadcasts_blocklist(spark):
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_top_share_per_group_boundary_and_empty_group(spark):
+    from serverless_podcast_etl_spark.operators.selection import (
+        top_share_per_group,
+    )
+
+    rows = [
+        # group a: costs 4,3,2,1 (total 10, share .5 -> cum 4,7 kept? no:
+        # 4 <= 5 kept, 7 > 5 dropped) — boundary below
+        ("a", 1, 4), ("a", 2, 3), ("a", 3, 2), ("a", 4, 1),
+        # group b: costs 5,5 (total 10) — cum 5 == share*total kept
+        # (inclusive), cum 10 dropped
+        ("b", 1, 5), ("b", 2, 5),
+        # group c: first row alone exceeds the share -> keeps nothing
+        ("c", 1, 9), ("c", 2, 1),
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, cost long")
+    kept = top_share_per_group(
+        df, group_col="g", cost_col="cost",
+        order_cols=[F.col("id")], share=0.5,
+    )
+    got = sorted((r["g"], r["id"]) for r in kept.collect())
+    assert got == [("a", 1), ("b", 1)]
+    row = kept.filter(F.col("g") == "b").first()
+    assert row["cum_cost"] == 5 and row["group_total"] == 10
+
+
+def test_suppress_repeated_events_semantics(spark):
+    from serverless_podcast_etl_spark.operators.windows import (
+        suppress_repeated_events,
+    )
+
+    rows = [
+        # u1: chain of same-type events each 5 min apart — every link
+        # within the 10-min gap of its PREVIOUS ROW collapses, first
+        # survives
+        (1, 1, "click", "2024-01-01 00:00:00"),
+        (2, 1, "click", "2024-01-01 00:05:00"),
+        (3, 1, "click", "2024-01-01 00:10:00"),
+        # type change breaks the chain
+        (4, 1, "view", "2024-01-01 00:12:00"),
+        # same type again but 11 min after the previous row -> kept
+        (5, 1, "view", "2024-01-01 00:23:00"),
+        # exact boundary: gap == max_gap counts as duplicate
+        (6, 1, "view", "2024-01-01 00:33:00"),
+        # other user unaffected
+        (7, 2, "click", "2024-01-01 00:06:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    kept = suppress_repeated_events(
+        df, key_cols=["user_id"], dedup_cols=["event_type"],
+        ts_col="ts", order_cols=[F.col("ts"), F.col("event_id")],
+        max_gap_seconds=600,
+    )
+    assert sorted(r["event_id"] for r in kept.collect()) == [1, 4, 5, 7]
+
+
+def test_quantile_bins_boundaries_and_nulls(spark):
+    from serverless_podcast_etl_spark.operators.selection import quantile_bins
+
+    # scores 1..8: quartile boundaries (type-7) at 2.75, 4.5, 6.25
+    rows = [(i, float(i)) for i in range(1, 9)] + [(99, None)]
+    df = spark.createDataFrame(rows, "id long, score double")
+    out = {r["id"]: r["bucket"] for r in
+           quantile_bins(df, "score").collect()}
+    assert out == {1: 0, 2: 0, 3: 1, 4: 1, 5: 2, 6: 2, 7: 3, 8: 3, 99: None}
+    # boundary tie is inclusive-below: a score exactly at q1 bins low
+    df2 = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([0, 0, 0, 10])],
+        "id long, score double",
+    )
+    out2 = {r["id"]: r["bucket"] for r in
+            quantile_bins(df2, "score").collect()}
+    assert out2[0] == 0 and out2[3] == 3
