@@ -552,3 +552,49 @@ def test_quantile_bins_boundaries_and_nulls(spark):
     out2 = {r["id"]: r["bucket"] for r in
             quantile_bins(df2, "score").collect()}
     assert out2[0] == 0 and out2[3] == 3
+
+
+def test_clean_lines_idempotent(spark):
+    """Cleaning a cleaned document is a no-op: every surviving line
+    already satisfies the rules, so a second pass keeps everything."""
+    from serverless_podcast_etl_spark.functions.cleaning import clean_lines
+    from serverless_podcast_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" merge "), F.lit("\n")).alias("text"),
+    )
+    once = clean_lines(
+        docs, "text", min_words=4, banned_substrings=("slow",),
+        min_lines_kept=2,
+    ).select("doc_id", F.col("text_clean").alias("text"))
+    twice = clean_lines(
+        once, "text", min_words=4, banned_substrings=("slow",),
+        min_lines_kept=2,
+    )
+    assert twice.filter(F.col("n_lines_dropped") > 0).count() == 0
+    assert twice.count() == once.count()
+
+
+def test_materialize_mixture_size_is_exact_sum(spark):
+    """Output size equals the per-doc copy-count sum exactly — the
+    explode realizes floor(f) + digest-extra per doc, nothing more."""
+    from serverless_podcast_etl_spark.operators.selection import (
+        _digest_bound,
+        materialize_mixture,
+    )
+    import hashlib
+
+    factors = {"sA": 2.25, "sB": 0.75}
+    rows = [(i, "sA" if i % 2 == 0 else "sB") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out_n = materialize_mixture(
+        df, "source", "doc_id", factors, seed="sz"
+    ).count()
+    expected = 0
+    for i, src in rows:
+        f = factors[src]
+        whole, frac = int(f), f - int(f)
+        digest = hashlib.md5(f"sz:{src}:{i}".encode()).hexdigest()[:6]
+        expected += whole + (1 if frac > 0 and digest < _digest_bound(frac) else 0)
+    assert out_n == expected
