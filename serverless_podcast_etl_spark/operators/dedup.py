@@ -514,6 +514,48 @@ def append_to_band_index(
     spec, so the post-append index keeps its shuffle-free join
     property (pinned by ``test_band_index_append_roundtrip``)."""
     spark = admitted_df.sparkSession
+    _verify_band_index_stamp(
+        spark, table, n, num_hashes, bands,
+        "append called with", "refusing to mix incompatible signatures",
+    )
+    from ..sources.bucketed import write_bucketed
+
+    bands_df = minhash_bands(
+        admitted_df, text_col, id_col, n=n, num_hashes=num_hashes,
+        bands=bands,
+    )
+    write_bucketed(
+        bands_df, table, ["band", "bucket"], n_buckets=n_buckets,
+        sort_cols=["band", "bucket"], mode="append",
+    )
+
+
+def load_band_index(
+    spark,
+    table: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Read-path counterpart of the append check: return
+    ``spark.table(table)`` after verifying the index's stamped
+    ``spe.minhash.params`` matches the caller's signature parameters —
+    the safe way to obtain the ``corpus_bands=`` argument for
+    ``incremental_neardup_admission`` / the streaming gate.  Raises
+    before any query runs on a mismatch; a raw ``spark.table`` call
+    skips the check and would consume an incompatible index
+    silently."""
+    _verify_band_index_stamp(
+        spark, table, n, num_hashes, bands,
+        "gate configured with", "refusing to consume an incompatible index",
+    )
+    return spark.table(table)
+
+
+def _verify_band_index_stamp(
+    spark, table: str, n: int, num_hashes: int, bands: int,
+    caller: str, refusal: str,
+) -> None:
     props = {
         r["key"]: r["value"]
         for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
@@ -523,20 +565,9 @@ def append_to_band_index(
     if stamped != expected:
         raise ValueError(
             f"band index {table} was built with "
-            f"{stamped or 'no stamped parameters'}; append called with "
-            f"{expected} — refusing to mix incompatible signatures"
+            f"{stamped or 'no stamped parameters'}; {caller} "
+            f"{expected} — {refusal}"
         )
-    bands_df = minhash_bands(
-        admitted_df, text_col, id_col, n=n, num_hashes=num_hashes,
-        bands=bands,
-    )
-    (
-        bands_df.write.mode("append")
-        .format("parquet")
-        .bucketBy(n_buckets, "band", "bucket")
-        .sortBy("band", "bucket")
-        .saveAsTable(table)
-    )
 
 
 def cross_corpus_overlap(

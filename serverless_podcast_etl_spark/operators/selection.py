@@ -421,6 +421,10 @@ def quantile_bins(
     """
     probs_arr = F.array(*[F.lit(float(p)) for p in sorted(probs)])
     bounds = df.agg(F.percentile(F.col(score_col), probs_arr)).first()[0]
+    if bounds is None:
+        # empty input or all-null scores: no boundaries exist — every
+        # row (necessarily null-scored) gets a null bucket
+        return df.withColumn(out_col, F.lit(None).cast("int"))
     case = F.when(F.col(score_col).isNull(), F.lit(None))
     for i, b in enumerate(bounds):
         case = case.when(F.col(score_col) <= F.lit(b), F.lit(i))

@@ -264,8 +264,13 @@ def suppress_repeated_events(
     event only if each link is within the gap of the one before it —
     lag semantics, not a fixed time bucket, and therefore exactly
     expressible in SQL for the oracle.  Timestamps compare in integer
-    microseconds (``unix_micros``) on both engines — no float
-    rounding at the boundary.
+    microseconds via ``timestamp_diff`` — WALL-CLOCK difference, no
+    session-zone conversion, so TIMESTAMP_NTZ inputs behave
+    identically to DuckDB's ``date_diff`` even across DST transitions
+    of the session zone.  NULL payload values compare null-safely
+    (two consecutive NULLs ARE duplicates, matching SQL ``IS DISTINCT
+    FROM``); only a genuinely first-in-key row is unconditionally
+    kept.
 
     Scale: one shuffle on the key, ``lag`` windows parallel across
     keys — the same shape as the rolling mean (q07).  The streaming
@@ -274,17 +279,17 @@ def suppress_repeated_events(
     batch, gap-bounded form.
     """
     w = Window.partitionBy(*key_cols).orderBy(*order_cols)
-    same_payload = F.lit(True)
+    # first-in-key detection that survives null payload/ts values:
+    # lag over a constant is null exactly on the first row of the key
+    has_prev = F.lag(F.lit(1)).over(w).isNotNull()
+    same_payload = has_prev
     for c in dedup_cols:
-        prev = F.lag(F.col(c)).over(w)
-        same_payload = same_payload & prev.isNotNull() & (
-            F.col(c) == prev
+        same_payload = same_payload & F.col(c).eqNullSafe(
+            F.lag(F.col(c)).over(w)
         )
-    # NTZ-tolerant: unix_micros requires TIMESTAMP, so both sides cast
-    # through the session zone — the same offset applies to both ends
-    # of a gap-sized interval, so the DIFFERENCE is zone-independent
-    ts_micros = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    gap_us = ts_micros - F.lag(ts_micros).over(w)
+    gap_us = F.timestamp_diff(
+        "MICROSECOND", F.lag(F.col(ts_col)).over(w), F.col(ts_col)
+    )
     dup = same_payload & (
         gap_us <= F.lit(int(max_gap_seconds * 1_000_000))
     )

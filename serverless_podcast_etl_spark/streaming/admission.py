@@ -46,7 +46,8 @@ def admission_batch_fn(
     (audit trail), else are dropped.
 
     ``corpus_bands`` is the production posture: pass
-    ``spark.table(...)`` over a ``write_band_index`` table and each
+    ``dedup.load_band_index(spark, table, ...)`` (which verifies the
+    index's stamped signature parameters against the gate's) and each
     micro-batch's candidate join reads the persisted bucketed index
     instead of re-signing ``corpus_df`` per batch (the parameters
     must match those the index was built with — same contract as the

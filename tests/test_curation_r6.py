@@ -554,13 +554,13 @@ def test_quantile_bins_boundaries_and_nulls(spark):
     assert out2[0] == 0 and out2[3] == 3
 
 
-def test_clean_lines_idempotent(spark):
+def test_clean_lines_idempotent(spark, sf_dir):
     """Cleaning a cleaned document is a no-op: every surviving line
     already satisfies the rules, so a second pass keeps everything."""
     from serverless_podcast_etl_spark.functions.cleaning import clean_lines
     from serverless_podcast_etl_spark.sources.tables import load_table
 
-    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+    docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         F.replace(F.col("text"), F.lit(" merge "), F.lit("\n")).alias("text"),
     )
@@ -598,3 +598,46 @@ def test_materialize_mixture_size_is_exact_sum(spark):
         digest = hashlib.md5(f"sz:{src}:{i}".encode()).hexdigest()[:6]
         expected += whole + (1 if frac > 0 and digest < _digest_bound(frac) else 0)
     assert out_n == expected
+
+
+def test_suppress_repeated_events_ntz_dst_and_null_payload(spark):
+    """Review-found edges pinned: (a) TIMESTAMP_NTZ gaps are
+    WALL-CLOCK (timestamp_diff), not session-zone converted — an
+    event pair spanning a DST spring-forward in the session zone is
+    61.5 real minutes apart and must be kept; (b) two consecutive
+    NULL payloads ARE duplicates (null-safe equality, matching the
+    oracle's IS DISTINCT FROM)."""
+    from serverless_podcast_etl_spark.operators.windows import (
+        suppress_repeated_events,
+    )
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        df = spark.createDataFrame(
+            [
+                (1, 1, "click", "2024-03-10 01:59:00"),
+                (2, 1, "click", "2024-03-10 03:00:30"),  # 61.5 wall min
+                (3, 2, None, "2024-01-01 00:00:00"),
+                (4, 2, None, "2024-01-01 00:05:00"),     # null==null dup
+            ],
+            "event_id long, user_id long, event_type string, ts string",
+        ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        kept = suppress_repeated_events(
+            df, key_cols=["user_id"], dedup_cols=["event_type"],
+            ts_col="ts", order_cols=[F.col("ts"), F.col("event_id")],
+            max_gap_seconds=600,
+        )
+        assert sorted(r["event_id"] for r in kept.collect()) == [1, 2, 3]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def test_quantile_bins_empty_and_all_null(spark):
+    from serverless_podcast_etl_spark.operators.selection import quantile_bins
+
+    empty = spark.createDataFrame([], "id long, score double")
+    assert quantile_bins(empty, "score").count() == 0
+    nulls = spark.createDataFrame([(1, None), (2, None)], "id long, score double")
+    out = quantile_bins(nulls, "score").collect()
+    assert [r["bucket"] for r in out] == [None, None]

@@ -463,6 +463,7 @@ def test_streaming_admission_against_persisted_index(spark, tmp_path):
     import os
 
     from serverless_podcast_etl_spark.operators.dedup import (
+        load_band_index,
         write_band_index,
     )
     from serverless_podcast_etl_spark.streaming.admission import (
@@ -496,7 +497,7 @@ def test_streaming_admission_against_persisted_index(spark, tmp_path):
             id_col="doc_id",
             sink=lambda df, _e: admitted.extend(df.collect()),
             verify_threshold=0.3,
-            corpus_bands=spark.table("b_stream_index"),
+            corpus_bands=load_band_index(spark, "b_stream_index"),
         )
         q = (
             spark.readStream.schema(schema).parquet(src)
