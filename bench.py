@@ -149,6 +149,8 @@ HEADLINE = [
     "q90_top_share_per_source",
     "q91_event_debounce",
     "q92_quantile_bins",
+    "q93_funnel_conversion",
+    "q94_retention_cohorts",
 ]
 
 #: Every exclusion, with its reason in the header comment above —

@@ -25,6 +25,7 @@ from ..functions.textstats import LANG_MARKERS, STOPWORDS
 from ..operators import (
     aggregates,
     dedup,
+    funnels,
     joins,
     multimodal,
     packing,
@@ -3036,6 +3037,75 @@ ORDER BY bucket
 """
 
 
+def q93_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step funnel (funnels.funnel_conversion): of users whose
+    first ``signup`` exists, how many ``purchase``d within 24 h after
+    it — one aggregate per step keyed on the user, one equi-join,
+    wall-clock microsecond gaps (q91's convention).  The dashboard
+    tier above the reference's group-by panels
+    (ec2_data/app.py)."""
+    ev = _t(spark, sf_dir, "events")
+    return funnels.funnel_conversion(
+        ev, user_col="user_id", type_col="event_type", ts_col="ts",
+        step_a="signup", step_b="purchase", within_seconds=86_400,
+    )
+
+
+_Q93_SQL = """
+WITH a AS (
+  SELECT user_id, min(ts) AS ts_a
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+conv AS (
+  SELECT DISTINCT a.user_id
+  FROM a JOIN events e
+    ON e.user_id = a.user_id AND e.event_type = 'purchase'
+   AND date_diff('microsecond', a.ts_a, e.ts) >= 0
+   AND date_diff('microsecond', a.ts_a, e.ts) <= 86400000000
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_step_a,
+       (SELECT CAST(count(*) AS BIGINT) FROM conv) AS n_converted,
+       round((SELECT count(*) FROM conv) * 1.0 /
+             (SELECT count(*) FROM a), 4) AS conversion_rate
+"""
+
+
+def q94_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention matrix (funnels.retention_cohorts): users
+    cohort by the week of their first event (integer day arithmetic
+    against a fixed epoch — no engine week-truncation), each row
+    counts the cohort's actives at a week offset.  One shuffle on the
+    user for the first-event aggregate, count-distinct per cell."""
+    ev = _t(spark, sf_dir, "events")
+    return funnels.retention_cohorts(
+        ev, user_col="user_id", ts_col="ts", epoch="2024-01-01"
+    ).orderBy("cohort_week", "week_offset")
+
+
+_Q94_SQL = """
+WITH f AS (
+  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+),
+j AS (
+  SELECT e.user_id,
+         CAST(floor(date_diff('day', DATE '2024-01-01',
+                              CAST(f.first_ts AS DATE)) / 7) AS INT)
+           AS cohort_week,
+         CAST(floor(date_diff('day', DATE '2024-01-01',
+                              CAST(e.ts AS DATE)) / 7) AS INT)
+         - CAST(floor(date_diff('day', DATE '2024-01-01',
+                                CAST(f.first_ts AS DATE)) / 7) AS INT)
+           AS week_offset
+  FROM events e JOIN f ON e.user_id = f.user_id
+)
+SELECT cohort_week, week_offset,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_active_users
+FROM j
+GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "q01_pricing_summary": QueryDef(q01_pricing_summary, _Q01_SQL, "filter+agg+sort (A1/A3)"),
     "q02_event_type_counts": QueryDef(q02_event_type_counts, _Q02_SQL, "groupBy count desc (A1/O1)"),
@@ -3320,6 +3390,16 @@ CATALOG: dict[str, QueryDef] = {
         _Q92_SQL,
         "curriculum quantile binning on exact percentile boundaries",
     ),
+    "q93_funnel_conversion": QueryDef(
+        q93_funnel_conversion,
+        _Q93_SQL,
+        "two-step funnel conversion within a window",
+    ),
+    "q94_retention_cohorts": QueryDef(
+        q94_retention_cohorts,
+        _Q94_SQL,
+        "weekly retention cohort matrix",
+    ),
 }
 
 
@@ -3440,6 +3520,8 @@ DRIVER_OVERFLOW: frozenset[str] = frozenset(
         "q90_top_share_per_source",
         "q91_event_debounce",
         "q92_quantile_bins",
+        "q93_funnel_conversion",
+        "q94_retention_cohorts",
     }
 )
 

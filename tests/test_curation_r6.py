@@ -641,3 +641,58 @@ def test_quantile_bins_empty_and_all_null(spark):
     nulls = spark.createDataFrame([(1, None), (2, None)], "id long, score double")
     out = quantile_bins(nulls, "score").collect()
     assert [r["bucket"] for r in out] == [None, None]
+
+
+def test_funnel_conversion_ordering_and_boundary(spark):
+    from serverless_podcast_etl_spark.operators.funnels import (
+        funnel_conversion,
+    )
+
+    rows = [
+        # u1: purchase exactly at the window edge -> converts
+        (1, "signup", "2024-01-01 00:00:00"),
+        (2, "purchase", "2024-01-01 01:00:00"),
+        # u2: purchase BEFORE the first signup only -> no conversion
+        (3, "purchase", "2024-01-02 00:00:00"),
+        (4, "signup", "2024-01-02 01:00:00"),
+        # u3: signs up, purchases too late
+        (5, "signup", "2024-01-03 00:00:00"),
+        (6, "purchase", "2024-01-03 02:00:01"),
+        # u4: purchase only (never entered the funnel)
+        (7, "purchase", "2024-01-04 00:00:00"),
+    ]
+    df = spark.createDataFrame(
+        [(eid, (eid + 1) // 2 if eid < 7 else 4, t, ts)
+         for eid, t, ts in rows],
+        "event_id long, user_id long, event_type string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = funnel_conversion(
+        df, user_col="user_id", type_col="event_type", ts_col="ts",
+        step_a="signup", step_b="purchase", within_seconds=3600,
+    ).first()
+    assert out["n_step_a"] == 3
+    assert out["n_converted"] == 1
+    assert out["conversion_rate"] == 0.3333
+
+
+def test_retention_cohorts_cells(spark):
+    from serverless_podcast_etl_spark.operators.funnels import (
+        retention_cohorts,
+    )
+
+    rows = [
+        # u1 first event week 0; active weeks 0 and 2
+        (1, "2024-01-02 10:00:00"),
+        (1, "2024-01-16 10:00:00"),
+        # u2 first event week 1; active week 1 only (two events)
+        (2, "2024-01-09 09:00:00"),
+        (2, "2024-01-10 09:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        (r["cohort_week"], r["week_offset"]): r["n_active_users"]
+        for r in retention_cohorts(df, "user_id", "ts").collect()
+    }
+    assert out == {(0, 0): 1, (0, 2): 1, (1, 0): 1}
