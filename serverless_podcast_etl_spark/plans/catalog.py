@@ -3503,9 +3503,13 @@ DRIVER_OVERFLOW: frozenset[str] = frozenset(
         "q63_url_domains",
         "q64_language_id_eval",
         "q68_neardup_pair_recall",
-        # r6 additions (URL canonical dedup, unigram LM scores,
-        # cross-source matrix) start in overflow, replica-certified,
-        # as every new entry has since r4 — r7 rotation candidates.
+        # r6 additions start in overflow, replica-certified, as every
+        # new entry has since r4 — r7 rotation candidates (q79-q94:
+        # URL canonical dedup, unigram LM, cross-source matrix,
+        # indexed IVF ANN, contamination fractions, deterministic
+        # shuffle, snapshot diff, report card, line cleaning, mixture
+        # materialization, suffix blocklist, token-share cap, event
+        # debounce, quantile bins, funnel, retention cohorts).
         "q79_url_canonical_dedup",
         "q80_unigram_lm_scores",
         "q81_cross_source_neardup_matrix",
