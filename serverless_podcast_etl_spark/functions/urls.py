@@ -60,8 +60,11 @@ def filter_blocked_domains(
 
 # Tracking parameters stripped during canonicalization (the
 # RefinedWeb/CCNet-style URL-dedup first stage drops these before
-# comparing URLs — they vary per click, not per page).
-TRACKING_PARAM_PATTERN = r"^(utm_[^=]*|fbclid|gclid|ref)="
+# comparing URLs — they vary per click, not per page).  (?i) because
+# query-param NAMES get upper-cased by the same emitters that
+# upper-case hosts — 'UTM_SOURCE=a' must not survive while scheme and
+# host canonicalize case-insensitively; values keep their case.
+TRACKING_PARAM_PATTERN = r"^(?i)(utm_[^=]*|fbclid|gclid|ref)="
 
 
 def canonical_url(url: Column) -> Column:

@@ -1612,18 +1612,30 @@ def snapshot_diff(
     the only shuffle is the full outer equi-join on ``id_col`` —
     write both snapshots bucketed on the id (``sources.bucketed``)
     and the join is shuffle-free bucket-to-bucket.
+
+    Presence is tracked with explicit join-side markers, NOT digest
+    nullity: ``md5(NULL)`` is NULL, so a digest-based test would call
+    a document with NULL old text "added", NULL new text "removed",
+    and (under three-valued ``!=``) silently drop a NULL↔text change
+    as unchanged.  Digests compare null-safely (``eqNullSafe``).
     """
     o = old.select(
-        F.col(id_col), F.md5(F.col(text_col)).alias("_d_old")
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("_d_old"),
+        F.lit(1).alias("_in_old"),
     )
     n = new.select(
-        F.col(id_col), F.md5(F.col(text_col)).alias("_d_new")
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("_d_new"),
+        F.lit(1).alias("_in_new"),
     )
     joined = o.join(n, id_col, "full_outer")
     status = (
-        F.when(F.col("_d_old").isNull(), F.lit("added"))
-        .when(F.col("_d_new").isNull(), F.lit("removed"))
-        .when(F.col("_d_old") != F.col("_d_new"), F.lit("changed"))
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(
+            ~F.col("_d_old").eqNullSafe(F.col("_d_new")), F.lit("changed")
+        )
     )
     return (
         joined.withColumn("status", status)

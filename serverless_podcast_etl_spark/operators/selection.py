@@ -18,6 +18,12 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+# One-slot tracker for global_prefix_sum(materialize=False)'s persisted
+# sort: the frame must outlive the call (the returned plan reads it),
+# so each call evicts its predecessor instead (bounded cache footprint
+# for per-epoch callers; see the docstring's cache-lifecycle note).
+_LAST_PERSISTED: list[DataFrame] = []
+
 
 def global_prefix_sum(
     df: DataFrame,
@@ -69,6 +75,15 @@ def global_prefix_sum(
     relation broadcast per call (same order as the union-find node
     bound in ``operators/dedup.py``); size ``num_partitions`` to the
     data, not the cluster, if that ever matters.
+
+    Cache lifecycle: ``materialize=False``'s persisted frame must
+    outlive this call (the returned plan still reads it), so it cannot
+    be unpersisted here.  Each call therefore evicts the PREVIOUS
+    call's persisted frame (module-level one-slot tracking) — a
+    long-lived session running per-epoch ``deterministic_shuffle``
+    reshards holds at most one stale cached sort, not one per epoch.
+    Callers needing tighter control should ``unpersist()`` the
+    returned frame's ancestry themselves after materializing output.
     """
     range_keys = (
         [num_partitions, *order_cols] if num_partitions else order_cols
@@ -82,7 +97,10 @@ def global_prefix_sum(
     if materialize:
         part = part.localCheckpoint(eager=True)
     else:
+        while _LAST_PERSISTED:
+            _LAST_PERSISTED.pop().unpersist()
         part = part.persist(StorageLevel.MEMORY_AND_DISK)
+        _LAST_PERSISTED.append(part)
     w = Window.partitionBy("_pid").orderBy(*order_cols)
     local = part.withColumn("_local_cum", F.sum("_cost_l").over(w))
     # bounded driver pass: one row per partition
@@ -402,15 +420,17 @@ def quantile_bins(
     score_col: str,
     probs: tuple[float, ...] = (0.25, 0.5, 0.75),
     out_col: str = "bucket",
+    exact: bool = True,
+    approx_accuracy: int = 10000,
 ) -> DataFrame:
-    """Bin rows by exact score quantiles: bucket 0 holds scores at or
+    """Bin rows by score quantiles: bucket 0 holds scores at or
     below the ``probs[0]`` quantile, the last bucket everything above
     ``probs[-1]`` — the curriculum-binning step (order a corpus
     easy→hard by quality quartile, then ``deterministic_shuffle``
     within each bin) and the exact counterpart of the
     ``percentile_approx`` profile (q41).
 
-    Two passes: one ``percentile`` aggregate computes the boundaries
+    Two passes: one percentile aggregate computes the boundaries
     (a bounded driver collect of ``len(probs)`` doubles — same class
     of bound as the prefix-sum offsets), then assignment is one
     in-row CASE over broadcast literals — the corpus is never
@@ -418,9 +438,30 @@ def quantile_bins(
     share the type-7 linear interpolation bit-for-bit (verified in
     the q92 oracle), so the bins are engine-portable.  Null scores
     get a null bucket.
+
+    SCALE FENCE (``exact``): Spark's exact ``percentile`` buffers a
+    per-partition map of DISTINCT values — on a continuous double
+    score over a 100 TB corpus that map is ~one entry per row, an
+    executor-memory cliff (the same hazard class the
+    ``embedding_neardup_pairs`` ``exact_max_rows`` guard fences).
+    ``exact=False`` switches the boundary pass to
+    ``percentile_approx`` (Greenwald–Khanna sketch, memory bounded by
+    ``approx_accuracy`` regardless of cardinality, the q41
+    primitive); bucket ASSIGNMENT is unchanged, only the boundary
+    estimate moves within sketch error.  Keep ``exact=True`` (the
+    certified q92 oracle form) when the score has bounded distinct
+    cardinality (grades, integer scores, rounded ratios) or the
+    corpus is sample-scale.
     """
     probs_arr = F.array(*[F.lit(float(p)) for p in sorted(probs)])
-    bounds = df.agg(F.percentile(F.col(score_col), probs_arr)).first()[0]
+    boundary_agg = (
+        F.percentile(F.col(score_col), probs_arr)
+        if exact
+        else F.percentile_approx(
+            F.col(score_col), probs_arr, F.lit(approx_accuracy)
+        )
+    )
+    bounds = df.agg(boundary_agg).first()[0]
     if bounds is None:
         # empty input or all-null scores: no boundaries exist — every
         # row (necessarily null-scored) gets a null bucket

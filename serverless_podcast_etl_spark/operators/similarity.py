@@ -952,11 +952,22 @@ def build_ivf_index(
     assignment pass over the full corpus — happens here, never at
     query time: a daily query batch against 100 TB re-reads only the
     probed partitions of this index and re-assigns nothing.
+
+    Both paths emit 1-BASED cluster ids — ``probe_cells``' convention
+    (``F.lit(i + 1)`` / ``array_position``).  ``assign_ivf_cluster``'s
+    raw numpy argsort is 0-based, so the BLAS path is offset here;
+    without the offset a probe of cell i would silently join centroid
+    i+1's corpus rows (and the top cell would match nothing).
     """
-    assign = spherical_assign if spherical else assign_ivf_cluster
-    return assign(corpus, centroids, vec_col=vec_col).select(
+    if spherical:
+        assigned = spherical_assign(corpus, centroids, vec_col=vec_col)
+        cluster = F.col("cluster")
+    else:
+        assigned = assign_ivf_cluster(corpus, centroids, vec_col=vec_col)
+        cluster = F.col("cluster") + F.lit(1)
+    return assigned.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col("cluster").cast("int").alias("cluster"),
+        cluster.cast("int").alias("cluster"),
         F.col(vec_col).alias("_cv"),
         _norm(F.col(vec_col)).alias("_cn"),
     )

@@ -2370,7 +2370,7 @@ canon AS (
   FROM (SELECT doc_id, n_chars, defrag,
                array_to_string(list_sort(list_filter(
                  str_split(regexp_extract(defrag, '\?([^#]*)', 1), '&'),
-                 p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)=')
+                 p -> p <> '' AND NOT regexp_matches(p, '^(?i)(utm_[^=]*|fbclid|gclid|ref)=')
                )), '&') AS params
         FROM (SELECT doc_id, n_chars,
                      regexp_replace(url, '#.*', '') AS defrag
@@ -2616,17 +2616,18 @@ WITH new_snap AS (
   SELECT doc_id + 1000000 AS doc_id, text
   FROM documents WHERE doc_id % 13 = 0
 ),
-o AS (SELECT doc_id, md5(text) AS d_old FROM documents),
-n AS (SELECT doc_id, md5(text) AS d_new FROM new_snap),
-j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, d_old, d_new
+o AS (SELECT doc_id, md5(text) AS d_old, 1 AS in_old FROM documents),
+n AS (SELECT doc_id, md5(text) AS d_new, 1 AS in_new FROM new_snap),
+j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+             d_old, d_new, in_old, in_new
       FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
 SELECT doc_id,
-       CASE WHEN d_old IS NULL THEN 'added'
-            WHEN d_new IS NULL THEN 'removed'
+       CASE WHEN in_old IS NULL THEN 'added'
+            WHEN in_new IS NULL THEN 'removed'
             ELSE 'changed' END AS status,
        d_new AS digest
 FROM j
-WHERE d_old IS NULL OR d_new IS NULL OR d_old <> d_new
+WHERE in_old IS NULL OR in_new IS NULL OR d_old IS DISTINCT FROM d_new
 ORDER BY doc_id
 """
 
