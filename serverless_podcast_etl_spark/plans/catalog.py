@@ -3467,6 +3467,18 @@ CATALOG: dict[str, QueryDef] = {
 #: span-stripping, whose oracle embeds the same span CTE pattern;
 #: q73 leakage-free split → q48 connected components, whose
 #: recursive-CTE closure q73's oracle builds on).
+#:
+#: Round-7 rotation (r6 VERDICT "do this" #1): the five
+#: highest-value round-6 operators — q87 line cleaning (the C4 pass),
+#: q88 mixture materialization (the apply step of q59), q82 indexed
+#: ANN (the production retrieval shape), q89 suffix blocklist (the
+#: UT1 gate), q84 deterministic shuffle (the training-order
+#: contract) — rotated INTO the window; q74–q78 rotated out (all
+#: driver-green in CORRECTNESS_r06 first, per the rotation rule;
+#: families keep green window siblings: q74/q75/q77/q78 selection →
+#: q13/q18 window-certified digest/anti-join patterns; q76
+#: incremental admission → q30 banded MinHash-LSH consumes the same
+#: signature+banding pipeline).
 DRIVER_OVERFLOW: frozenset[str] = frozenset(
     {
         "q03_filtered_mention_counts",
@@ -3504,24 +3516,25 @@ DRIVER_OVERFLOW: frozenset[str] = frozenset(
         "q63_url_domains",
         "q64_language_id_eval",
         "q68_neardup_pair_recall",
-        # r6 additions start in overflow, replica-certified, as every
-        # new entry has since r4 — r7 rotation candidates (q79-q94:
-        # URL canonical dedup, unigram LM, cross-source matrix,
-        # indexed IVF ANN, contamination fractions, deterministic
-        # shuffle, snapshot diff, report card, line cleaning, mixture
-        # materialization, suffix blocklist, token-share cap, event
-        # debounce, quantile bins, funnel, retention cohorts).
+        # r7 rotations-out for the q87/q88/q82/q89/q84 rotation-in
+        # (driver-green in r6; families keep green siblings — see the
+        # round-7 note above)
+        "q74_token_budget_selection",
+        "q75_source_quota_cap",
+        "q76_incremental_neardup",
+        "q77_digest_sample",
+        "q78_stratified_digest_sample",
+        # remaining r6 additions, replica-certified — r8 rotation
+        # candidates (q79-q81, q83, q85/q86, q90-q94: URL canonical
+        # dedup, unigram LM, cross-source matrix, contamination
+        # fractions, snapshot diff, report card, token-share cap,
+        # event debounce, quantile bins, funnel, retention cohorts).
         "q79_url_canonical_dedup",
         "q80_unigram_lm_scores",
         "q81_cross_source_neardup_matrix",
-        "q82_ivf_indexed_ann",
         "q83_contamination_fractions",
-        "q84_deterministic_shuffle",
         "q85_snapshot_diff",
         "q86_corpus_report_card",
-        "q87_line_cleaning",
-        "q88_materialize_mixture",
-        "q89_suffix_blocklist",
         "q90_top_share_per_source",
         "q91_event_debounce",
         "q92_quantile_bins",
