@@ -702,9 +702,70 @@ WHERE strlen(text) > 0
 
 def q26_sentence_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sentence tokenization via the Arrow-batched pandas UDF (F13;
-    src/lambda_5.py:84-87).  Python UDF ⇒ rows-only driver check."""
+    src/lambda_5.py:84-87).
+
+    Oracle-certified since r7: the lookbehind split
+    ``(?<=[.!?])\\s+`` is not RE2-expressible directly, but
+    sentinel-replace ``([.!?])\\s+`` → ``\\1<SEP>`` + split is — the
+    q26 oracle proves the pandas UDF against that DuckDB twin.  The
+    synthetic corpus carries NO punctuation (a raw run is one
+    vacuous sentence per doc), so boundaries are injected in-query —
+    exact-string ``replace`` of three common tokens with ./!/?
+    terminators, same expressions in the oracle, per the q85/q86
+    derived-input convention."""
     docs = _t(spark, sf_dir, "documents")
-    return text.tokenize_sentences(docs, text_col="text", id_cols=["doc_id"])
+    injected = docs.select(
+        "doc_id",
+        F.replace(
+            F.replace(
+                F.replace(
+                    F.col("text"), F.lit(" table "), F.lit(". ")
+                ),
+                F.lit(" agg "),
+                F.lit("! "),
+            ),
+            F.lit(" window "),
+            F.lit("? "),
+        ).alias("text"),
+    )
+    return text.tokenize_sentences(
+        injected, text_col="text", id_cols=["doc_id"]
+    ).orderBy("doc_id", "sentence_index")
+
+
+# The lookbehind-free twin of functions/text.py's _SENT_BOUNDARY:
+# sentinel-replace each punctuation+whitespace boundary, split on the
+# sentinel, trim Python-strip's whitespace set, drop empties, number
+# the SURVIVING sentences 0-based (generate_subscripts over the
+# filtered list — matching posexplode over the UDF's filtered output).
+_Q26_SQL = r"""
+WITH injected AS (
+  SELECT doc_id,
+         replace(replace(replace(text, ' table ', '. '),
+                         ' agg ', '! '),
+                 ' window ', '? ') AS text
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(
+             str_split(
+               regexp_replace(text, '([.!?])\s+', '\1' || chr(1), 'g'),
+               chr(1)),
+             x -> trim(x, ' ' || chr(9) || chr(10) || chr(13)
+                          || chr(11) || chr(12))),
+           x -> x <> '') AS sents
+  FROM injected
+)
+SELECT doc_id,
+       CAST(u.i - 1 AS INT) AS sentence_index,
+       u.s AS sentence_text
+FROM s,
+     LATERAL (SELECT unnest(sents) AS s,
+                     generate_subscripts(sents, 1) AS i) u
+ORDER BY doc_id, sentence_index
+"""
 
 
 # Fixed random hyperplanes (seed recorded; deterministic constants).
@@ -3133,7 +3194,11 @@ CATALOG: dict[str, QueryDef] = {
     "q23_embedding_neardup": QueryDef(q23_embedding_neardup, _Q23_SQL, "embedding near-dup"),
     "q24_fingerprints": QueryDef(q24_fingerprints, _fingerprint_sql(), "winnowing fingerprints"),
     "q25_multimodal_chunks": QueryDef(q25_multimodal_chunks, _Q25_SQL, "binary chunking (S9)"),
-    "q26_sentence_tokenize": QueryDef(q26_sentence_tokenize, None, "sentence tokenizer UDF (F13)"),
+    "q26_sentence_tokenize": QueryDef(
+        q26_sentence_tokenize,
+        _Q26_SQL,
+        "sentence tokenizer UDF (F13), sentinel-split oracle",
+    ),
     "q27_lsh_ann_topk": QueryDef(q27_lsh_ann_topk, None, "LSH approximate ANN"),
     "q28_simhash_neardup": QueryDef(q28_simhash_neardup, None, "SimHash near-dup pairs"),
     "q29_image_decode": QueryDef(q29_image_decode, None, "multimodal decode seam"),

@@ -25,7 +25,6 @@ from serverless_podcast_etl_spark.plans.catalog import (
 #: rows-only-by-contract entries allowed inside the 50 driver slots
 #: (approximate / seeded / Python-UDF — non-SQL-expressible).
 EXPECTED_PRIORITY_ROWS_ONLY = {
-    "q26_sentence_tokenize",
     "q29_image_decode",
     "q41_corpus_profile_sketches",
     "q52_stratified_sample",
@@ -70,8 +69,9 @@ def test_oracle_keys_match_queries_and_rows_only_set():
     priority = [n for n in q if not n.startswith("x")]
     rows_only_priority = {n for n in priority if n not in sql}
     assert rows_only_priority == EXPECTED_PRIORITY_ROWS_ONLY
-    # 44 of the 50 certified slots carry a full DuckDB oracle
-    assert len([n for n in priority if n in sql]) == 44
+    # 45 of the 50 certified slots carry a full DuckDB oracle (q26
+    # graduated from rows-only in r7 via the sentinel-split oracle)
+    assert len([n for n in priority if n in sql]) == 45
     # overflow entries keep their oracles (pytest replica certifies them)
     for n in DRIVER_OVERFLOW:
         d = CATALOG[n]

@@ -20,6 +20,13 @@ Construction choices, on purpose:
   replicas near their original (cosine ~ 1) without being degenerate
   exact duplicates — SemDeDup (q70) and the recall panel (q62) see a
   realistic clustered-with-near-dups distribution at 10x volume.
+* ``events`` (100,000 -> 1,000,000; r7, VERDICT r6 #2): replicas get
+  offset user_ids — 1,500 -> 15,000 users over the SAME one-month
+  range, which is the realistic scale dimension for the event-time
+  family (q37/q40/q91/q93/q94 all partition by user or type; more
+  users widens the keyed shuffle, a longer range would not).  Each
+  replica's stream shifts by ``rep`` seconds so no two replicas
+  carry bit-identical timestamps.
 
 Re-running overwrites; output is a function of sf0.1 only.
 """
@@ -36,11 +43,14 @@ sys.path.insert(
 from pyspark.sql import functions as F  # noqa: E402
 
 from serverless_podcast_etl_spark.session import get_spark  # noqa: E402
+from serverless_podcast_etl_spark.sources.tables import load_table  # noqa: E402
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(REPO, ".scale", "sf1")
 REPLICAS = 10
-ID_STRIDE = 10_000  # > max source id on both tables at sf0.1
+ID_STRIDE = 10_000  # > max source id on docs/embeddings at sf0.1
+EVENT_ID_STRIDE = 1_000_000  # > max event_id (100k) at sf0.1
+USER_ID_STRIDE = 10_000  # > max user_id (1,500) at sf0.1
 
 
 def main() -> None:
@@ -86,6 +96,23 @@ def main() -> None:
         "label",
     )
 
+    # events: 10x the USERS over the same month (load_table — the
+    # source parquet is TIMESTAMP(NANOS)); per-replica ids offset,
+    # stream shifted rep seconds so no replica is bit-identical
+    events = load_table(spark, src, "events")
+    events_out = events.crossJoin(F.broadcast(rep)).select(
+        (F.col("event_id") + F.col("_rep") * EVENT_ID_STRIDE).alias(
+            "event_id"
+        ),
+        (F.col("ts") + F.make_dt_interval(secs=F.col("_rep"))).alias("ts"),
+        (F.col("user_id") + F.col("_rep") * USER_ID_STRIDE).alias(
+            "user_id"
+        ),
+        "event_type",
+        "value",
+        "props",
+    )
+
     os.makedirs(OUT, exist_ok=True)
     docs_out.repartition(32).write.mode("overwrite").parquet(
         os.path.join(OUT, "documents.parquet")
@@ -93,11 +120,16 @@ def main() -> None:
     emb_out.repartition(32).write.mode("overwrite").parquet(
         os.path.join(OUT, "embeddings.parquet")
     )
+    events_out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(OUT, "events.parquet")
+    )
     print(
         f"wrote {OUT}: documents="
         f"{spark.read.parquet(os.path.join(OUT, 'documents.parquet')).count()}"
         f" embeddings="
         f"{spark.read.parquet(os.path.join(OUT, 'embeddings.parquet')).count()}"
+        f" events="
+        f"{spark.read.parquet(os.path.join(OUT, 'events.parquet')).count()}"
     )
     spark.stop()
 

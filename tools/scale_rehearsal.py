@@ -48,6 +48,14 @@ QUERIES = [
     # the two-pass range-shuffle shard assignment at 10x
     "q82_ivf_indexed_ann",
     "q84_deterministic_shuffle",
+    # r7 additions (r6 VERDICT #2): the event-time family at 10x
+    # users — windowed counts, sessionization, debounce, funnel,
+    # retention — now that .scale/sf1 carries an events table
+    "q37_windowed_event_counts",
+    "q40_sessionization",
+    "q91_event_debounce",
+    "q93_funnel_conversion",
+    "q94_retention_cohorts",
 ]
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
