@@ -162,6 +162,9 @@ EXCLUDED = {
     "q29_image_decode",         # timing measures Pillow availability, not a plan
     "q34_ivf_ann_topk",         # q62's panel re-runs the same IVF retrieval
     "q60_ann_recall",           # q62's panel re-runs the same LSH retrieval
+    "q95_image_neardup",        # pixel-seam timing is codec-dependent (q29
+                                # rationale); its banded join is benched via
+                                # q21/q28's identical machinery
 }
 
 

@@ -1029,30 +1029,46 @@ def simhash_fingerprints(
     return hashed.select(F.col(id_col), fingerprint.cast("long").alias("simhash"))
 
 
-def simhash_neardup_pairs(
-    df: DataFrame,
-    text_col: str,
+def hamming_banded_pairs(
+    fp: DataFrame,
     id_col: str,
+    hash_col: str,
     bits: int = 32,
     band_bits: int = 8,
     max_hamming: int = 3,
 ) -> DataFrame:
-    """SimHash near-dup pairs: band the fingerprint (pigeonhole — any
-    pair within ``max_hamming`` shares at least one exact band when
-    bands > max_hamming), equi-join per band, verify Hamming distance
-    via bit_count(xor).
+    """Near-dup pairs over ANY integer fingerprint column by banded
+    Hamming search: band the fingerprint (pigeonhole — any pair within
+    ``max_hamming`` shares at least one exact band when bands >
+    max_hamming), equi-join per band, verify Hamming distance via
+    bit_count(xor).  The shared engine behind text SimHash (q21/q28)
+    and image dHash (r7): in-row banding, one (band, bucket) hash
+    shuffle, candidate-bounded verification — corpus-linear at any
+    scale for bounded bucket skew.
+
+    Recall contract: TOTAL (every qualifying pair emitted) only when
+    bands > max_hamming; with fewer bands the pigeonhole argument
+    lapses and this is approximate candidate generation — q28
+    deliberately runs there (max_hamming=6 over 4 bands, rows-only by
+    contract), so the looser setting is allowed, not raised on.
+
+    Output: (id_a, id_b, hamming), id_a < id_b, one row per verified
+    pair.
     """
     n_bands = bits // band_bits
-    fp = simhash_fingerprints(df, text_col, id_col, bits=bits)
+    if bits % band_bits != 0:
+        raise ValueError(
+            f"band_bits={band_bits} must divide bits={bits} evenly"
+        )
     banded = fp.select(
         F.col(id_col),
-        "simhash",
+        hash_col,
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(bi).alias("band"),
-                        F.shiftrightunsigned(F.col("simhash"), bi * band_bits)
+                        F.shiftrightunsigned(F.col(hash_col), bi * band_bits)
                         .bitwiseAND(F.lit((1 << band_bits) - 1))
                         .alias("bucket"),
                     )
@@ -1060,13 +1076,15 @@ def simhash_neardup_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select(F.col(id_col), "simhash", F.col("bk.band"), F.col("bk.bucket"))
+    ).select(F.col(id_col), hash_col, F.col("bk.band"), F.col("bk.bucket"))
 
     a = banded.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band", "bucket"
+        F.col(id_col).alias("id_a"), F.col(hash_col).alias("sh_a"),
+        "band", "bucket",
     )
     b = banded.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band", "bucket"
+        F.col(id_col).alias("id_b"), F.col(hash_col).alias("sh_b"),
+        "band", "bucket",
     )
     return (
         a.join(b, ["band", "bucket"])
@@ -1078,6 +1096,28 @@ def simhash_neardup_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 32,
+    band_bits: int = 8,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: ``simhash_fingerprints`` +
+    ``hamming_banded_pairs`` (see there for the banding/verify
+    contract)."""
+    fp = simhash_fingerprints(df, text_col, id_col, bits=bits)
+    return hamming_banded_pairs(
+        fp,
+        id_col,
+        "simhash",
+        bits=bits,
+        band_bits=band_bits,
+        max_hamming=max_hamming,
     )
 
 

@@ -3132,6 +3132,36 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_step_a,
 """
 
 
+def q95_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup (multimodal.image_neardup_pairs):
+    dHash fingerprints over the pluggable pixel-grid seam, then
+    Hamming-banded pairs via the shared dedup.hamming_banded_pairs
+    engine (q21/q28's pigeonhole + bit_count verify, 64 bits in 4
+    bands of 16).
+
+    Payloads are synthetic (q29's convention — utf-8 document bytes
+    as opaque image assets); docs with doc_id % 50 == 0 re-enter
+    under id + 1_000_000 with ONE byte-local edit, so the planted
+    near-dup pairs are non-vacuous and exact duplicates are not the
+    only matches.  Python pixel seam ⇒ rows-only driver check, like
+    q29."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    edited = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.encode(
+            F.concat(F.lit("Z"), F.substring(F.col("text"), 2, 1 << 20)),
+            "utf-8",
+        ).alias("payload"),
+    )
+    assets = base.unionByName(edited)
+    return multimodal.image_neardup_pairs(
+        assets, id_col="doc_id", binary_col="payload"
+    ).orderBy("id_a", "id_b")
+
+
 def q94_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly retention matrix (funnels.retention_cohorts): users
     cohort by the week of their first event (integer day arithmetic
@@ -3466,6 +3496,11 @@ CATALOG: dict[str, QueryDef] = {
         _Q94_SQL,
         "weekly retention cohort matrix",
     ),
+    "q95_image_neardup": QueryDef(
+        q95_image_neardup,
+        None,
+        "perceptual-hash (dHash) image near-dup pairs",
+    ),
 }
 
 
@@ -3605,6 +3640,9 @@ DRIVER_OVERFLOW: frozenset[str] = frozenset(
         "q92_quantile_bins",
         "q93_funnel_conversion",
         "q94_retention_cohorts",
+        # r7 additions start in overflow, replica-certified, per the
+        # standing convention (q95 rows-only: Python pixel seam)
+        "q95_image_neardup",
     }
 )
 
