@@ -3579,6 +3579,19 @@ CATALOG: dict[str, QueryDef] = {
 #: q13/q18 window-certified digest/anti-join patterns; q76
 #: incremental admission → q30 banded MinHash-LSH consumes the same
 #: signature+banding pipeline).
+#:
+#: Round-8 rotation (r7 VERDICT "do this" #1): the five
+#: highest-user-impact round-6 operators still uncertified — q79 URL
+#: canonical dedup (the first stage of every crawl pipeline), q80
+#: unigram LM scoring (the quality-filter workhorse), q93 funnel /
+#: q94 retention cohorts (the dashboard tier above the reference's
+#: group-by panels, `ec2_data/app.py:180-187`), q91 event debounce —
+#: rotated INTO the window; q82/q84/q87/q88/q89 rotated out (all
+#: driver-green in CORRECTNESS_r07 first, per the rotation rule;
+#: families keep green window siblings: q89→q79 is the URL-family
+#: swap, q87's cleaning family keeps q43 quality-filter, q88→q59
+#: mixture weights, q84's selection family keeps the q13/q18
+#: digest patterns, q82's ANN family keeps q22/q55).
 DRIVER_OVERFLOW: frozenset[str] = frozenset(
     {
         "q03_filtered_mention_counts",
@@ -3624,22 +3637,24 @@ DRIVER_OVERFLOW: frozenset[str] = frozenset(
         "q76_incremental_neardup",
         "q77_digest_sample",
         "q78_stratified_digest_sample",
-        # remaining r6 additions, replica-certified — r8 rotation
-        # candidates (q79-q81, q83, q85/q86, q90-q94: URL canonical
-        # dedup, unigram LM, cross-source matrix, contamination
-        # fractions, snapshot diff, report card, token-share cap,
-        # event debounce, quantile bins, funnel, retention cohorts).
-        "q79_url_canonical_dedup",
-        "q80_unigram_lm_scores",
+        # remaining r6 additions, replica-certified — r9 rotation
+        # candidates (q81, q83, q85/q86, q90, q92: cross-source
+        # matrix, contamination fractions, snapshot diff, report
+        # card, token-share cap, quantile bins).
         "q81_cross_source_neardup_matrix",
         "q83_contamination_fractions",
         "q85_snapshot_diff",
         "q86_corpus_report_card",
         "q90_top_share_per_source",
-        "q91_event_debounce",
         "q92_quantile_bins",
-        "q93_funnel_conversion",
-        "q94_retention_cohorts",
+        # r8 rotations-out for the q79/q80/q91/q93/q94 rotation-in
+        # (driver-green in r7; families keep green siblings — see the
+        # round-8 note above)
+        "q82_ivf_indexed_ann",
+        "q84_deterministic_shuffle",
+        "q87_line_cleaning",
+        "q88_materialize_mixture",
+        "q89_suffix_blocklist",
         # r7 additions start in overflow, replica-certified, per the
         # standing convention (q95 rows-only: Python pixel seam)
         "q95_image_neardup",
