@@ -64,7 +64,7 @@ def filter_blocked_domains(
 # query-param NAMES get upper-cased by the same emitters that
 # upper-case hosts — 'UTM_SOURCE=a' must not survive while scheme and
 # host canonicalize case-insensitively; values keep their case.
-TRACKING_PARAM_PATTERN = r"^(?i)(utm_[^=]*|fbclid|gclid|ref)="
+TRACKING_PARAM_PATTERN = r"(?i)^(utm_[^=]*|fbclid|gclid|ref)="
 
 
 def canonical_url(url: Column) -> Column:
@@ -88,14 +88,14 @@ def canonical_url(url: Column) -> Column:
     # (?i) on the scheme prefix: 'HTTPS://HOST/Path' must still parse
     # (scheme+host are case-insensitive per RFC 3986; path is NOT)
     defrag = F.regexp_replace(url, r"#.*", "")
-    scheme = F.lower(F.regexp_extract(defrag, r"^(?i)(https?)://", 1))
+    scheme = F.lower(F.regexp_extract(defrag, r"(?i)^(https?)://", 1))
     host = F.regexp_replace(
-        F.lower(F.regexp_extract(defrag, r"^(?i)https?://([^/?#]+)", 1)),
+        F.lower(F.regexp_extract(defrag, r"(?i)^https?://([^/?#]+)", 1)),
         r"^www\.",
         "",
     )
     path = F.regexp_replace(
-        F.regexp_extract(defrag, r"^(?i)https?://[^/?#]*([^?#]*)", 1),
+        F.regexp_extract(defrag, r"(?i)^https?://[^/?#]*([^?#]*)", 1),
         r"/+$",
         "",
     )
@@ -110,7 +110,7 @@ def canonical_url(url: Column) -> Column:
         "&",
     )
     return F.when(
-        url.rlike(r"^(?i)https?://"),
+        url.rlike(r"(?i)^https?://"),
         F.concat(
             scheme,
             F.lit("://"),

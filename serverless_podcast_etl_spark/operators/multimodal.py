@@ -507,6 +507,17 @@ def _stub_pixel_grid(payload: bytes) -> list[list[int]]:
     perturb few cells, so near-identical payloads land at small
     Hamming distance, while unrelated payloads decorrelate.  Same
     labeled-stub contract as ``_stub_decode_image``.
+
+    Degenerate-payload skew (advisor r7): any FLAT payload (all bytes
+    equal — and for the real-pixel path, any blank/monotone image)
+    grids to a monotone-tie surface, which ``dhash_from_grid`` maps to
+    dhash 0, so all such assets collide into the SAME (band, bucket)
+    cells and ``hamming_banded_pairs``' bounded-bucket-skew assumption
+    breaks into one hot quadratic bucket.  Acceptable for this labeled
+    stub; a production real-pixel deployment where blank images are
+    frequent should pre-filter them (the grid is already in hand:
+    drop zero-variance grids) or apply the standard LSH frequency cap
+    on bucket size before the pair join.
     """
     if not payload:
         raise ValueError("empty image payload")

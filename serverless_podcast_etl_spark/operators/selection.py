@@ -14,6 +14,8 @@ from one bounded (rows = #partitions) driver-side pass.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -84,6 +86,21 @@ def global_prefix_sum(
     reshards holds at most one stale cached sort, not one per epoch.
     Callers needing tighter control should ``unpersist()`` the
     returned frame's ancestry themselves after materializing output.
+
+    .. warning:: Eviction is a CORRECTNESS boundary, not just a cache
+       footprint one: a ``materialize=False`` result whose persisted
+       sort has been evicted is unsafe to execute — recomputation
+       re-runs ``repartitionByRange`` with freshly SAMPLED range
+       boundaries, which can assign rows to different partition ids
+       than the ones the already-collected ``_pid`` offsets describe,
+       yielding silently wrong prefix sums (no error).  Materialize
+       (collect/checkpoint/sink) every ``materialize=False`` result
+       BEFORE the next ``global_prefix_sum`` call on the same
+       session; each eviction emits a ``RuntimeWarning`` naming this
+       hazard.  ``materialize=True`` (the default, and the only mode
+       production call sites use) is immune — ``localCheckpoint``
+       stores the realized partitions and truncates lineage, so
+       re-sampling is impossible.
     """
     range_keys = (
         [num_partitions, *order_cols] if num_partitions else order_cols
@@ -98,6 +115,18 @@ def global_prefix_sum(
         part = part.localCheckpoint(eager=True)
     else:
         while _LAST_PERSISTED:
+            # unsafe-to-reuse, not merely slow: see the docstring's
+            # eviction warning (recompute re-samples range boundaries
+            # out from under the collected _pid offsets)
+            warnings.warn(
+                "global_prefix_sum(materialize=False): evicting the "
+                "previous call's persisted sort — any result of that "
+                "call not yet materialized must not be executed now "
+                "(recomputation would re-sample range boundaries and "
+                "silently misalign its prefix-sum offsets)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
             _LAST_PERSISTED.pop().unpersist()
         part = part.persist(StorageLevel.MEMORY_AND_DISK)
         _LAST_PERSISTED.append(part)

@@ -712,7 +712,14 @@ def q26_sentence_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     vacuous sentence per doc), so boundaries are injected in-query —
     exact-string ``replace`` of three common tokens with ./!/?
     terminators, same expressions in the oracle, per the q85/q86
-    derived-input convention."""
+    derived-input convention.
+
+    ASCII-whitespace assumption (advisor r7): the oracle twin trims
+    only the 6 ASCII whitespace chars and RE2's ``\\s`` is
+    ASCII-only, while the UDF's ``str.strip()``/Python-``re`` ``\\s``
+    cover full Unicode whitespace — hash-exact on the injected ASCII
+    corpus, but the certification would diverge if the synthetic text
+    ever gained non-ASCII whitespace (e.g. ``\\xa0``)."""
     docs = _t(spark, sf_dir, "documents")
     injected = docs.select(
         "doc_id",
@@ -2421,17 +2428,17 @@ WITH injected AS (
 ),
 canon AS (
   SELECT doc_id, n_chars,
-         lower(regexp_extract(defrag, '^(?i)(https?)://', 1)) || '://'
-         || regexp_replace(lower(regexp_extract(defrag, '^(?i)https?://([^/?#]+)', 1)),
+         lower(regexp_extract(defrag, '(?i)^(https?)://', 1)) || '://'
+         || regexp_replace(lower(regexp_extract(defrag, '(?i)^https?://([^/?#]+)', 1)),
                            '^www\.', '')
-         || regexp_replace(regexp_extract(defrag, '^(?i)https?://[^/?#]*([^?#]*)', 1),
+         || regexp_replace(regexp_extract(defrag, '(?i)^https?://[^/?#]*([^?#]*)', 1),
                            '/+$', '')
          || CASE WHEN params <> '' THEN '?' || params ELSE '' END
            AS canonical_url
   FROM (SELECT doc_id, n_chars, defrag,
                array_to_string(list_sort(list_filter(
                  str_split(regexp_extract(defrag, '\?([^#]*)', 1), '&'),
-                 p -> p <> '' AND NOT regexp_matches(p, '^(?i)(utm_[^=]*|fbclid|gclid|ref)=')
+                 p -> p <> '' AND NOT regexp_matches(p, '(?i)^(utm_[^=]*|fbclid|gclid|ref)=')
                )), '&') AS params
         FROM (SELECT doc_id, n_chars,
                      regexp_replace(url, '#.*', '') AS defrag
