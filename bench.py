@@ -168,8 +168,22 @@ EXCLUDED = {
 }
 
 
+def _loadavg() -> list[float] | None:
+    """1/5/15-minute system load — stamped at session start AND end so
+    a uniformly-inflated record (r7: every query ~1.25× golden, zero
+    plan changes) is machine-attributable to background load at a
+    glance instead of needing a cross-round ratio forensic.  A golden
+    re-freeze must only use sessions whose stamps are quiet (≲ a few
+    runnable tasks beyond the benchmark's own 32 threads)."""
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        return None
+
+
 def main() -> None:
     started_at = time.strftime("%Y-%m-%dT%H:%M:%S%z")
+    load_start = _loadavg()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark(
@@ -281,6 +295,8 @@ def main() -> None:
         "protocol": "interleaved-r6",
         "git_head": git_head,
         "started_at": started_at,
+        "loadavg_start": load_start,
+        "loadavg_end": _loadavg(),
         "runs_per_query": runs,
         "queries_full": timings,
         "cold_total": round(sum(cold.values()), 3),
@@ -296,7 +312,16 @@ def main() -> None:
     with open(sidecar, "w") as f:
         json.dump(detail, f, indent=1)
     if "vs_golden" in detail:
-        print(json.dumps({"vs_golden": detail["vs_golden"]}), file=sys.stderr)
+        print(
+            json.dumps(
+                {
+                    "vs_golden": detail["vs_golden"],
+                    "loadavg_start": detail["loadavg_start"],
+                    "loadavg_end": detail["loadavg_end"],
+                }
+            ),
+            file=sys.stderr,
+        )
     print(json.dumps(out, separators=(",", ":")))
     spark.stop()
 
