@@ -151,6 +151,7 @@ HEADLINE = [
     "q92_quantile_bins",
     "q93_funnel_conversion",
     "q94_retention_cohorts",
+    "q96_funnel_steps",
 ]
 
 #: Every exclusion, with its reason in the header comment above —

@@ -81,6 +81,113 @@ def funnel_conversion(
     )
 
 
+def funnel_steps(
+    events: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    steps: list[str],
+    within_seconds: int | None = None,
+) -> DataFrame:
+    """k-step ordered funnel — the general form of
+    ``funnel_conversion`` (signup→activate→purchase and longer): a
+    user reaches step k when their EARLIEST qualifying step-k event
+    sits at-or-after their step-(k-1) anchor; anchors chain greedily
+    (each step's anchor is that earliest qualifying event, the
+    standard product-analytics definition — greedy chaining is optimal
+    here: an earlier anchor can only admit a superset of later
+    events).  ``within_seconds`` bounds the WHOLE funnel: every
+    subsequent anchor must fall within that window after the step-1
+    anchor (wall-clock ``timestamp_diff`` microseconds, q91's
+    convention); ``None`` means unbounded.
+
+    Returns one row per step: ``step_index`` (1-based), ``step``
+    (the event type), ``n_users`` reaching it, and
+    ``conversion_rate`` vs step 1 (4 dp).
+
+    Out-of-order events never convert (a purchase BEFORE the click
+    anchor is filtered by the at-or-after gap); repeated events are
+    absorbed by the per-user ``min``.  Consecutive duplicate step
+    types are rejected — with at-or-after gaps a repeated type would
+    vacuously convert at its own anchor; model "did it twice" with a
+    distinct event type instead.
+
+    Scale: per step, the events table is filtered to ONE type and
+    shuffled on the user key for its min-aggregate, then equi-joined
+    user-to-user with the (user-level, strictly shrinking) anchor
+    frame — k-1 keyed joins total, never a row-to-row self-join over
+    the raw events.  All k anchor columns ride ONE user-level frame,
+    so the final per-step counts are a single aggregate pass, not k
+    jobs re-running the chain.  The k-row output assembles via an
+    in-row ``explode`` of struct literals — no union of k single-row
+    frames.
+    """
+    if not steps:
+        raise ValueError("funnel_steps requires at least one step")
+    for a, b in zip(steps, steps[1:]):
+        if a == b:
+            raise ValueError(
+                "consecutive duplicate step types vacuously convert "
+                f"under at-or-after gaps (step {a!r} repeated); use "
+                "distinct event types"
+            )
+    first = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_ts_1"))
+    )
+    cur = first
+    for k, step in enumerate(steps[1:], start=2):
+        ev_k = events.filter(F.col(type_col) == step).select(
+            F.col(user_col), F.col(ts_col).alias("_e")
+        )
+        gap_prev = F.timestamp_diff(
+            "MICROSECOND", F.col(f"_ts_{k - 1}"), F.col("_e")
+        )
+        qual = cur.join(ev_k, user_col).filter(gap_prev >= 0)
+        if within_seconds is not None:
+            gap_first = F.timestamp_diff(
+                "MICROSECOND", F.col("_ts_1"), F.col("_e")
+            )
+            qual = qual.filter(
+                gap_first <= F.lit(within_seconds * 1_000_000)
+            )
+        anchors_k = qual.groupBy(user_col).agg(
+            F.min("_e").alias(f"_ts_{k}")
+        )
+        cur = cur.join(anchors_k, user_col, "left")
+    counts = cur.agg(
+        *[
+            F.count(f"_ts_{k}").alias(f"_n_{k}")
+            for k in range(1, len(steps) + 1)
+        ]
+    )
+    per_step = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(k).cast("int").alias("step_index"),
+                    F.lit(step).alias("step"),
+                    F.col(f"_n_{k}").alias("n_users"),
+                )
+                for k, step in enumerate(steps, start=1)
+            ]
+        )
+    )
+    return (
+        counts.select(per_step.alias("_s"), F.col("_n_1"))
+        .select(
+            F.col("_s.step_index").alias("step_index"),
+            F.col("_s.step").alias("step"),
+            F.col("_s.n_users").alias("n_users"),
+            F.round(F.col("_s.n_users") / F.col("_n_1"), 4).alias(
+                "conversion_rate"
+            ),
+        )
+        .orderBy("step_index")
+    )
+
+
 def retention_cohorts(
     events: DataFrame,
     user_col: str,

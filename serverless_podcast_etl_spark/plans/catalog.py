@@ -3205,6 +3205,63 @@ ORDER BY cohort_week, week_offset
 """
 
 
+def q96_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-step ordered funnel (funnels.funnel_steps — the r7 VERDICT's
+    generalization of q93's two-step form): view → click → purchase
+    within 7 days of the view anchor.  Anchors chain greedily — step
+    k's anchor is the earliest step-k event at-or-after step k-1's —
+    so each step is one type-filtered min-aggregate plus one
+    user-keyed equi-join, never a row-to-row self-join; all anchors
+    ride one user-level frame and the per-step counts are a single
+    aggregate pass.  Oracle: chained CTEs, one per step, with the
+    whole-funnel window carried via the step-1 anchor."""
+    ev = _t(spark, sf_dir, "events")
+    return funnels.funnel_steps(
+        ev,
+        user_col="user_id",
+        type_col="event_type",
+        ts_col="ts",
+        steps=["view", "click", "purchase"],
+        within_seconds=7 * 86_400,
+    )
+
+
+_Q96_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS ts1
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, s1.ts1, min(e.ts) AS ts2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click'
+    AND date_diff('microsecond', s1.ts1, e.ts) >= 0
+    AND date_diff('microsecond', s1.ts1, e.ts) <= 604800000000
+  GROUP BY e.user_id, s1.ts1
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS ts3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase'
+    AND date_diff('microsecond', s2.ts2, e.ts) >= 0
+    AND date_diff('microsecond', s2.ts1, e.ts) <= 604800000000
+  GROUP BY e.user_id
+),
+counts AS (
+          SELECT 1 AS step_index, 'view' AS step,
+                 (SELECT count(*) FROM s1) AS n_users
+UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+)
+SELECT CAST(step_index AS INT) AS step_index,
+       step,
+       CAST(n_users AS BIGINT) AS n_users,
+       round(n_users * 1.0 / (SELECT count(*) FROM s1), 4)
+         AS conversion_rate
+FROM counts ORDER BY step_index
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "q01_pricing_summary": QueryDef(q01_pricing_summary, _Q01_SQL, "filter+agg+sort (A1/A3)"),
     "q02_event_type_counts": QueryDef(q02_event_type_counts, _Q02_SQL, "groupBy count desc (A1/O1)"),
@@ -3508,6 +3565,11 @@ CATALOG: dict[str, QueryDef] = {
         None,
         "perceptual-hash (dHash) image near-dup pairs",
     ),
+    "q96_funnel_steps": QueryDef(
+        q96_funnel_steps,
+        _Q96_SQL,
+        "k-step ordered funnel within a window",
+    ),
 }
 
 
@@ -3665,6 +3727,9 @@ DRIVER_OVERFLOW: frozenset[str] = frozenset(
         # r7 additions start in overflow, replica-certified, per the
         # standing convention (q95 rows-only: Python pixel seam)
         "q95_image_neardup",
+        # r8 additions start in overflow, replica-certified (q96
+        # k-step funnel, oracle via chained CTEs)
+        "q96_funnel_steps",
     }
 )
 
