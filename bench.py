@@ -152,6 +152,7 @@ HEADLINE = [
     "q93_funnel_conversion",
     "q94_retention_cohorts",
     "q96_funnel_steps",
+    "q97_neardup_ensemble",
 ]
 
 #: Every exclusion, with its reason in the header comment above —

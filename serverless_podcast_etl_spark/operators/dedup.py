@@ -1686,3 +1686,61 @@ def snapshot_diff(
             F.col("_d_new").alias(digest_col),
         )
     )
+
+
+def neardup_ensemble(
+    pair_sources: dict[str, DataFrame],
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    **cc_kwargs,
+) -> DataFrame:
+    """One adjudicated near-dup decision from MANY candidate methods —
+    the composition users actually run (r7 VERDICT "do this" #7):
+    MinHash-LSH catches shared shingles, SimHash catches bit-level
+    drift, SemDeDup/embedding catches paraphrase; each alone has
+    blind spots, so production dedup unions their VERIFIED pairs and
+    resolves once.
+
+    ``pair_sources`` maps a method name to its verified pair frame
+    (any columns; only ``id_a``/``id_b`` are read — pass the direct
+    output of ``minhash_lsh_pairs``/``simhash_neardup_pairs``/
+    ``embedding_neardup_pairs``/...).  Pairs are normalized to
+    ``least < greatest`` so reversed emissions collapse, then grouped:
+    one output row per distinct pair with ``methods`` (sorted
+    comma-joined provenance — which detectors agree), ``n_methods``,
+    and ``component`` — the connected-components label over the WHOLE
+    union (``connected_components``; extra kwargs pass through), so
+    transitive clusters merge even when each edge came from a
+    different method and a downstream keep-one-per-component dedup
+    has a single table to act on.
+
+    Scale: the union is a few pair lists (post-verification survivors
+    — orders of magnitude smaller than the corpus), one (id_a, id_b)
+    hash shuffle groups them, and CC runs on exactly that bounded
+    edge set; the corpus itself is never touched here.
+    """
+    if not pair_sources:
+        raise ValueError("neardup_ensemble requires at least one method")
+    tagged = []
+    for method, pairs in sorted(pair_sources.items()):
+        lo, hi = F.least(F.col(id_a), F.col(id_b)), F.greatest(
+            F.col(id_a), F.col(id_b)
+        )
+        tagged.append(
+            pairs.select(
+                lo.alias("id_a"), hi.alias("id_b"), F.lit(method).alias("_m")
+            )
+        )
+    allp = tagged[0]
+    for t in tagged[1:]:
+        allp = allp.unionByName(t)
+    adjudicated = allp.groupBy("id_a", "id_b").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("_m"))).alias("methods"),
+        F.count_distinct("_m").cast("int").alias("n_methods"),
+    )
+    comp = connected_components(
+        adjudicated.select("id_a", "id_b"), **cc_kwargs
+    )
+    return adjudicated.join(
+        comp.withColumnRenamed("id", "id_a"), "id_a"
+    ).select("id_a", "id_b", "methods", "n_methods", "component")

@@ -3262,6 +3262,91 @@ FROM counts ORDER BY step_index
 """
 
 
+def q97_neardup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level near-dup ENSEMBLE report (dedup.neardup_ensemble —
+    r7 VERDICT "do this" #7): union of verified pairs from three
+    certified detectors with method provenance, plus one connected-
+    components label over the whole union — the single adjudicated
+    table a keep-one-per-component dedup acts on.
+
+    Methods (all building blocks individually certified):
+    ``minhash`` = q30's banded MinHash-LSH (Jaccard ≥ 0.3);
+    ``simhash`` = banded SimHash at max_hamming=3 — 4 bands > 3, so
+    the pigeonhole recall is TOTAL and the oracle can state it as the
+    exact Hamming-threshold pair set; ``embedding`` = q35's
+    LSH-BUCKETED cosine pairs over the embeddings table (vec_id
+    shares doc_id's id space) — the scale path, which carries q23's
+    EXACT oracle on this corpus (scale-invariant hyperplane buckets
+    find every true ≥0.8 pair; see q35) — incl. q23/q35's three
+    scaled clones, whose 1_00000x ids appear to the other methods as
+    unseen docs, guaranteeing method-exclusive pairs in the output.
+    An ensemble consumes each member's SCALE form: nothing here is
+    quadratic, so the composition benches at any SF."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    clones = emb.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(2.0)).cast("float")
+        ).alias("embedding"),
+    )
+    sources = {
+        "minhash": dedup.minhash_lsh_pairs(
+            docs, text_col="text", id_col="doc_id",
+            n=3, num_hashes=8, bands=4, verify_threshold=0.3,
+        ),
+        "simhash": dedup.simhash_neardup_pairs(
+            docs, text_col="text", id_col="doc_id",
+            bits=32, band_bits=8, max_hamming=3,
+        ),
+        "embedding": similarity.embedding_neardup_pairs(
+            emb.unionByName(clones),
+            id_col="vec_id",
+            planes=_PLANES_8[:4],
+            threshold=0.8,
+        ),
+    }
+    return dedup.neardup_ensemble(sources).orderBy("id_a", "id_b")
+
+
+def _neardup_ensemble_sql() -> str:
+    mh = _minhash_lsh_sql(n=3, num_hashes=8, bands=4, threshold=0.3)
+    sim_fp = _simhash_sql()
+    return f"""
+WITH RECURSIVE
+mh_pairs AS ({mh}),
+sim_fp AS ({sim_fp}),
+sim_pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sim_fp a JOIN sim_fp b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+),
+emb_pairs AS ({_Q23_SQL}),
+allp AS (
+            SELECT id_a, id_b, 'minhash' AS method FROM mh_pairs
+  UNION ALL SELECT id_a, id_b, 'simhash' FROM sim_pairs
+  UNION ALL SELECT id_a, id_b, 'embedding' FROM emb_pairs
+),
+adjudicated AS (
+  SELECT id_a, id_b,
+         string_agg(DISTINCT method, ',' ORDER BY method) AS methods,
+         CAST(count(DISTINCT method) AS INT) AS n_methods
+  FROM allp GROUP BY 1, 2
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM adjudicated
+          UNION SELECT id_b, id_a FROM adjudicated),
+reach(id, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+SELECT p.id_a, p.id_b, p.methods, p.n_methods, c.component
+FROM adjudicated p JOIN comp c ON c.id = p.id_a
+ORDER BY p.id_a, p.id_b
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "q01_pricing_summary": QueryDef(q01_pricing_summary, _Q01_SQL, "filter+agg+sort (A1/A3)"),
     "q02_event_type_counts": QueryDef(q02_event_type_counts, _Q02_SQL, "groupBy count desc (A1/O1)"),
@@ -3570,6 +3655,11 @@ CATALOG: dict[str, QueryDef] = {
         _Q96_SQL,
         "k-step ordered funnel within a window",
     ),
+    "q97_neardup_ensemble": QueryDef(
+        q97_neardup_ensemble,
+        _neardup_ensemble_sql(),
+        "multi-method near-dup ensemble with provenance + CC",
+    ),
 }
 
 
@@ -3728,8 +3818,10 @@ DRIVER_OVERFLOW: frozenset[str] = frozenset(
         # standing convention (q95 rows-only: Python pixel seam)
         "q95_image_neardup",
         # r8 additions start in overflow, replica-certified (q96
-        # k-step funnel, oracle via chained CTEs)
+        # k-step funnel, oracle via chained CTEs; q97 near-dup
+        # ensemble, oracle composed from the q30/q21/q23 CTEs)
         "q96_funnel_steps",
+        "q97_neardup_ensemble",
     }
 )
 

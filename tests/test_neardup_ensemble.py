@@ -1,0 +1,72 @@
+"""neardup_ensemble (r7 VERDICT "do this" #7): union of verified
+pairs from several methods with provenance, one adjudicated row per
+pair, and ONE component label across the whole union — including a
+pair found by exactly one method each, and a transitive cluster whose
+edges each came from a different method."""
+
+from __future__ import annotations
+
+import pytest
+
+from serverless_podcast_etl_spark.operators.dedup import neardup_ensemble
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, "id_a long, id_b long")
+
+
+def test_method_exclusive_pairs_and_provenance(spark):
+    # (1,2) found by minhash only; (3,4) by simhash only; (5,6) by
+    # embedding only; (7,8) by ALL three (simhash emits it reversed)
+    out = neardup_ensemble(
+        {
+            "minhash": _pairs(spark, [(1, 2), (7, 8)]),
+            "simhash": _pairs(spark, [(3, 4), (8, 7)]),
+            "embedding": _pairs(spark, [(5, 6), (7, 8)]),
+        }
+    ).collect()
+    by_pair = {(r["id_a"], r["id_b"]): r for r in out}
+    assert set(by_pair) == {(1, 2), (3, 4), (5, 6), (7, 8)}
+    assert by_pair[(1, 2)]["methods"] == "minhash"
+    assert by_pair[(3, 4)]["methods"] == "simhash"
+    assert by_pair[(5, 6)]["methods"] == "embedding"
+    assert by_pair[(7, 8)]["methods"] == "embedding,minhash,simhash"
+    assert by_pair[(7, 8)]["n_methods"] == 3
+    assert all(
+        r["n_methods"] == 1 for p, r in by_pair.items() if p != (7, 8)
+    )
+    # singleton pairs are their own components (min-id label)
+    assert by_pair[(1, 2)]["component"] == 1
+    assert by_pair[(5, 6)]["component"] == 5
+
+
+def test_transitive_cluster_across_methods(spark):
+    # 10-11 (minhash), 11-12 (simhash), 12-13 (embedding): one chain,
+    # every edge from a DIFFERENT method — must land in ONE component
+    out = neardup_ensemble(
+        {
+            "minhash": _pairs(spark, [(10, 11)]),
+            "simhash": _pairs(spark, [(11, 12)]),
+            "embedding": _pairs(spark, [(12, 13)]),
+        }
+    ).collect()
+    assert len(out) == 3
+    assert {r["component"] for r in out} == {10}
+    assert {r["methods"] for r in out} == {"minhash", "simhash", "embedding"}
+
+
+def test_duplicate_and_reversed_emissions_collapse(spark):
+    # the same method emitting a pair twice (and once reversed) still
+    # yields one row with n_methods == 1
+    out = neardup_ensemble(
+        {"minhash": _pairs(spark, [(1, 2), (2, 1), (1, 2)])}
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["methods"] == "minhash"
+    assert out[0]["n_methods"] == 1
+    assert out[0]["component"] == 1
+
+
+def test_empty_sources_rejected(spark):
+    with pytest.raises(ValueError, match="at least one method"):
+        neardup_ensemble({})
