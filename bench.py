@@ -153,6 +153,7 @@ HEADLINE = [
     "q94_retention_cohorts",
     "q96_funnel_steps",
     "q97_neardup_ensemble",
+    "q98_ensemble_dedup",
 ]
 
 #: Every exclusion, with its reason in the header comment above —

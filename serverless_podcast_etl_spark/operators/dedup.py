@@ -1744,3 +1744,43 @@ def neardup_ensemble(
     return adjudicated.join(
         comp.withColumnRenamed("id", "id_a"), "id_a"
     ).select("id_a", "id_b", "methods", "n_methods", "component")
+
+
+def ensemble_dedup_keep_first(
+    df: DataFrame,
+    pair_sources: dict[str, DataFrame],
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """The APPLIED form of ``neardup_ensemble``: remove from ``df``
+    every document that is a non-representative member of an ensemble
+    component — one dedup decision over the union of ALL methods'
+    verified pairs (keep each component's minimum id, q49's
+    convention; docs in no pair survive untouched).
+
+    Pair endpoints outside ``df``'s id space (e.g. embedding-side
+    synthetic ids) still participate in component formation but
+    cannot remove anything they don't name: the final step is one
+    anti-join of ``df`` against the non-representative id set.
+
+    Scale: identical to ``neardup_dedup_keep_first`` — the union of
+    post-verification pair lists is corpus-small, CC runs on that
+    edge set only, and the corpus is scanned exactly once for the
+    anti-join.
+    """
+    if not pair_sources:
+        raise ValueError(
+            "ensemble_dedup_keep_first requires at least one method"
+        )
+    frames = [
+        p.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("id_a"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("id_b"),
+        )
+        for p in pair_sources.values()
+    ]
+    allp = frames[0]
+    for f in frames[1:]:
+        allp = allp.unionByName(f)
+    return neardup_dedup_keep_first(df, allp.distinct(), id_col)

@@ -3309,11 +3309,14 @@ def q97_neardup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.neardup_ensemble(sources).orderBy("id_a", "id_b")
 
 
-def _neardup_ensemble_sql() -> str:
+def _ensemble_cte_sql() -> str:
+    """Shared CTE body for the ensemble family (q97 report / q98
+    applied dedup): the three method pair sets, the adjudicated
+    provenance table, and the recursive-closure components over the
+    union."""
     mh = _minhash_lsh_sql(n=3, num_hashes=8, bands=4, threshold=0.3)
     sim_fp = _simhash_sql()
     return f"""
-WITH RECURSIVE
 mh_pairs AS ({mh}),
 sim_fp AS ({sim_fp}),
 sim_pairs AS (
@@ -3340,10 +3343,65 @@ reach(id, r) AS (
   UNION
   SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
 ),
-comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)"""
+
+
+def _neardup_ensemble_sql() -> str:
+    return f"""
+WITH RECURSIVE
+{_ensemble_cte_sql()}
 SELECT p.id_a, p.id_b, p.methods, p.n_methods, c.component
 FROM adjudicated p JOIN comp c ON c.id = p.id_a
 ORDER BY p.id_a, p.id_b
+"""
+
+
+def q98_ensemble_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Applied ensemble dedup (dedup.ensemble_dedup_keep_first): the
+    corpus with every non-representative member of an ensemble
+    component removed — q97's adjudication carried through to the
+    single dedup decision (keep each component's min id, q49's
+    convention).  Same three method sources as q97; embedding-side
+    synthetic ids participate in components but name no corpus doc,
+    so they cannot remove one.  One anti-join against the (tiny)
+    non-representative set — the corpus is scanned once."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    clones = emb.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(2.0)).cast("float")
+        ).alias("embedding"),
+    )
+    sources = {
+        "minhash": dedup.minhash_lsh_pairs(
+            docs, text_col="text", id_col="doc_id",
+            n=3, num_hashes=8, bands=4, verify_threshold=0.3,
+        ),
+        "simhash": dedup.simhash_neardup_pairs(
+            docs, text_col="text", id_col="doc_id",
+            bits=32, band_bits=8, max_hamming=3,
+        ),
+        "embedding": similarity.embedding_neardup_pairs(
+            emb.unionByName(clones),
+            id_col="vec_id",
+            planes=_PLANES_8[:4],
+            threshold=0.8,
+        ),
+    }
+    return dedup.ensemble_dedup_keep_first(
+        docs, sources, id_col="doc_id"
+    ).orderBy("doc_id")
+
+
+def _ensemble_dedup_sql() -> str:
+    return f"""
+WITH RECURSIVE
+{_ensemble_cte_sql()}
+SELECT d.* FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM comp c
+                  WHERE c.id = d.doc_id AND c.component <> d.doc_id)
+ORDER BY d.doc_id
 """
 
 
@@ -3660,6 +3718,11 @@ CATALOG: dict[str, QueryDef] = {
         _neardup_ensemble_sql(),
         "multi-method near-dup ensemble with provenance + CC",
     ),
+    "q98_ensemble_dedup": QueryDef(
+        q98_ensemble_dedup,
+        _ensemble_dedup_sql(),
+        "applied ensemble dedup (keep-one-per-component)",
+    ),
 }
 
 
@@ -3822,6 +3885,7 @@ DRIVER_OVERFLOW: frozenset[str] = frozenset(
         # ensemble, oracle composed from the q30/q21/q23 CTEs)
         "q96_funnel_steps",
         "q97_neardup_ensemble",
+        "q98_ensemble_dedup",
     }
 )
 

@@ -8,7 +8,10 @@ from __future__ import annotations
 
 import pytest
 
-from serverless_podcast_etl_spark.operators.dedup import neardup_ensemble
+from serverless_podcast_etl_spark.operators.dedup import (
+    ensemble_dedup_keep_first,
+    neardup_ensemble,
+)
 
 
 def _pairs(spark, rows):
@@ -70,3 +73,44 @@ def test_duplicate_and_reversed_emissions_collapse(spark):
 def test_empty_sources_rejected(spark):
     with pytest.raises(ValueError, match="at least one method"):
         neardup_ensemble({})
+    with pytest.raises(ValueError, match="at least one method"):
+        ensemble_dedup_keep_first(
+            _pairs(spark, [(1, 2)]).withColumnRenamed("id_a", "doc_id"),
+            {},
+            id_col="doc_id",
+        )
+
+
+def test_applied_ensemble_dedup(spark):
+    corpus = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], "doc_id long, text string"
+    )
+    # chain 0-1 (minhash) and 1-2 (embedding) merges into component 0:
+    # keep 0, drop 1 and 2.  Pair (4, 1000000) has an OUT-OF-CORPUS
+    # endpoint with the smaller-id corpus doc as representative — 4
+    # must survive.  Pair (1000001, 5): the synthetic id is the
+    # component min... it is NOT (5 < 1000001), so 5 survives too.
+    out = ensemble_dedup_keep_first(
+        corpus,
+        {
+            "minhash": _pairs(spark, [(0, 1)]),
+            "embedding": _pairs(spark, [(1, 2), (4, 1_000_000), (1_000_001, 5)]),
+        },
+        id_col="doc_id",
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [0, 3, 4, 5]
+
+
+def test_applied_ensemble_dedup_nonrep_removed_by_foreign_min(spark):
+    # when the out-of-corpus endpoint IS the component minimum, the
+    # corpus doc is a non-representative and must be removed — the
+    # ensemble's decision is over the whole id space, not just df's
+    corpus = spark.createDataFrame(
+        [(10, "a"), (11, "b")], "doc_id long, text string"
+    )
+    out = ensemble_dedup_keep_first(
+        corpus,
+        {"embedding": _pairs(spark, [(1, 10)])},
+        id_col="doc_id",
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [11]

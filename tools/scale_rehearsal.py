@@ -56,6 +56,11 @@ QUERIES = [
     "q91_event_debounce",
     "q93_funnel_conversion",
     "q94_retention_cohorts",
+    # r8 additions (r7 VERDICT #2/#7): the k-step funnel's chained
+    # user-keyed joins at 10x users, and the multi-method ensemble —
+    # three full candidate pipelines + CC over the union at 10x docs
+    "q96_funnel_steps",
+    "q97_neardup_ensemble",
 ]
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
