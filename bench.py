@@ -154,6 +154,7 @@ HEADLINE = [
     "q96_funnel_steps",
     "q97_neardup_ensemble",
     "q98_ensemble_dedup",
+    "q99_incremental_refresh",
 ]
 
 #: Every exclusion, with its reason in the header comment above —

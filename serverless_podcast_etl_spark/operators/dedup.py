@@ -1784,3 +1784,62 @@ def ensemble_dedup_keep_first(
     for f in frames[1:]:
         allp = allp.unionByName(f)
     return neardup_dedup_keep_first(df, allp.distinct(), id_col)
+
+
+def incremental_refresh(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    verify_threshold: float = 0.3,
+    prune_verify: bool = False,
+    corpus_bands: DataFrame | None = None,
+) -> DataFrame:
+    """Continuous-crawl corpus refresh — ``snapshot_diff`` composed
+    with ``incremental_neardup_admission``, the end-to-end shape of a
+    production re-crawl: diff the snapshots, take the added/changed
+    documents as the ingest batch, and gate that batch against the
+    UNCHANGED retained corpus for near-duplicates.  Returns one row
+    per delta document: (``id_col``, status 'added'|'changed',
+    n_matches, admitted) — removed ids produce no ingest row.
+
+    A changed document is re-admitted on its NEW text (its old
+    content no longer exists to collide with); the corpus side is
+    the new snapshot minus the delta, i.e. exactly the documents
+    whose content survived the re-crawl unmodified — so admission
+    never compares a doc against its own stale copy, and delta docs
+    are not compared to each other (each is judged against the
+    settled corpus, q76's batch semantics).
+
+    Scale: the diff is one id-keyed full-outer join over in-row
+    digests (churn-bounded output); admission is batch-vs-index
+    (``corpus_bands`` plugs a persisted band index of the retained
+    corpus straight in, and ``prune_verify`` bounds the verify
+    shuffle to candidates — see ``incremental_neardup_admission``).
+    The corpus is never self-paired and never re-signed when an
+    index is supplied.
+    """
+    delta = snapshot_diff(old, new, id_col=id_col, text_col=text_col)
+    ingest_ids = delta.filter(F.col("status") != "removed").select(
+        F.col(id_col), "status"
+    )
+    batch = new.join(ingest_ids.select(id_col), id_col)
+    retained = new.join(ingest_ids.select(id_col), id_col, "left_anti")
+    adm = incremental_neardup_admission(
+        batch,
+        retained,
+        text_col=text_col,
+        id_col=id_col,
+        n=n,
+        num_hashes=num_hashes,
+        bands=bands,
+        verify_threshold=verify_threshold,
+        prune_verify=prune_verify,
+        corpus_bands=corpus_bands,
+    )
+    return adm.join(ingest_ids, id_col).select(
+        id_col, "status", "n_matches", "admitted"
+    )

@@ -59,10 +59,16 @@ _TOKS_CTE = (
 )
 
 
-def _shingle_cte(n: int) -> str:
+def _shingle_cte(n: int, table: str = "documents") -> str:
     """Distinct word n-gram shingle hashes per doc (twin of
-    dedup.shingles — token md5 hashes folded polynomially)."""
-    th_cte = f"SELECT doc_id, {hashing.token_hashes_sql('t')} AS th FROM ({_TOKS_CTE})"
+    dedup.shingles — token md5 hashes folded polynomially).
+    ``table`` lets the q99 refresh oracle shingle a derived snapshot
+    CTE instead of the base table."""
+    toks = (
+        "SELECT doc_id, list_filter(regexp_split_to_array(lower(text), "
+        f"'\\s+'), x -> x <> '') AS t FROM {table}"
+    )
+    th_cte = f"SELECT doc_id, {hashing.token_hashes_sql('t')} AS th FROM ({toks})"
     return (
         f"SELECT DISTINCT doc_id, unnest(list_transform("
         f"range(1, greatest(len(th) - {n} + 2, 1)), "
@@ -1208,7 +1214,11 @@ def q30_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_lsh_sql(
-    n: int = 3, num_hashes: int = 8, bands: int = 4, threshold: float = 0.3
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.3,
+    table: str = "documents",
 ) -> str:
     rpb = num_hashes // bands
     mins = ", ".join(
@@ -1225,7 +1235,7 @@ def _minhash_lsh_sql(
     )
     jac = "round(n_shared / (sa.n + sb.n - n_shared), 4)"
     return f"""
-WITH sh AS ({_shingle_cte(n)}),
+WITH sh AS ({_shingle_cte(n, table)}),
 sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
 bands AS ({band_selects}),
 cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -3405,6 +3415,82 @@ ORDER BY d.doc_id
 """
 
 
+def q99_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-crawl refresh (dedup.incremental_refresh): q85's
+    derived snapshot delta fed straight into q76's admission gate —
+    added/changed docs judged for near-duplication against the
+    UNCHANGED retained corpus, one row per delta doc with status +
+    n_matches + admit flag.  The new snapshot derives exactly as in
+    q85 (%17 removed, %10 text-appended, %13 re-added under
+    id + 1_000_000); the oracle computes MinHash-LSH pairs over the
+    NEW snapshot (batch ∪ retained — q76's union convention) and
+    restricts to delta × retained pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    changed = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(F.col("text"), F.lit(" updated")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    ).filter(F.col("doc_id") % 17 != 0)
+    added = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text"
+    )
+    new_snap = changed.unionByName(added)
+    return dedup.incremental_refresh(
+        docs.select("doc_id", "text"),
+        new_snap,
+        text_col="text",
+        id_col="doc_id",
+        n=3,
+        num_hashes=8,
+        bands=4,
+        verify_threshold=0.3,
+    ).orderBy("doc_id")
+
+
+def _incremental_refresh_sql() -> str:
+    pairs = _minhash_lsh_sql(
+        n=3, num_hashes=8, bands=4, threshold=0.3, table="new_snap"
+    )
+    return f"""
+WITH new_snap AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0 THEN text || ' updated' ELSE text END
+           AS text
+  FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text
+  FROM documents WHERE doc_id % 13 = 0
+),
+delta AS (
+  SELECT n.doc_id,
+         CASE WHEN o.doc_id IS NULL THEN 'added' ELSE 'changed' END
+           AS status
+  FROM new_snap n LEFT JOIN documents o ON o.doc_id = n.doc_id
+  WHERE o.doc_id IS NULL OR md5(n.text) IS DISTINCT FROM md5(o.text)
+),
+pairs AS ({pairs}),
+cross_pairs AS (
+  SELECT p.id_a AS id_new, p.id_b AS id_old FROM pairs p
+  WHERE p.id_a IN (SELECT doc_id FROM delta)
+    AND p.id_b NOT IN (SELECT doc_id FROM delta)
+  UNION ALL
+  SELECT p.id_b, p.id_a FROM pairs p
+  WHERE p.id_b IN (SELECT doc_id FROM delta)
+    AND p.id_a NOT IN (SELECT doc_id FROM delta)
+),
+m AS (SELECT id_new, count(*) AS n_matches FROM cross_pairs GROUP BY 1)
+SELECT d.doc_id, d.status,
+       CAST(coalesce(m.n_matches, 0) AS BIGINT) AS n_matches,
+       CAST(coalesce(m.n_matches, 0) = 0 AS INTEGER) AS admitted
+FROM delta d LEFT JOIN m ON m.id_new = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "q01_pricing_summary": QueryDef(q01_pricing_summary, _Q01_SQL, "filter+agg+sort (A1/A3)"),
     "q02_event_type_counts": QueryDef(q02_event_type_counts, _Q02_SQL, "groupBy count desc (A1/O1)"),
@@ -3723,6 +3809,11 @@ CATALOG: dict[str, QueryDef] = {
         _ensemble_dedup_sql(),
         "applied ensemble dedup (keep-one-per-component)",
     ),
+    "q99_incremental_refresh": QueryDef(
+        q99_incremental_refresh,
+        _incremental_refresh_sql(),
+        "snapshot delta -> admission gate (continuous-crawl refresh)",
+    ),
 }
 
 
@@ -3886,6 +3977,7 @@ DRIVER_OVERFLOW: frozenset[str] = frozenset(
         "q96_funnel_steps",
         "q97_neardup_ensemble",
         "q98_ensemble_dedup",
+        "q99_incremental_refresh",
     }
 )
 
