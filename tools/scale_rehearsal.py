@@ -57,10 +57,12 @@ QUERIES = [
     "q93_funnel_conversion",
     "q94_retention_cohorts",
     # r8 additions (r7 VERDICT #2/#7): the k-step funnel's chained
-    # user-keyed joins at 10x users, and the multi-method ensemble —
-    # three full candidate pipelines + CC over the union at 10x docs
+    # user-keyed joins at 10x users, the multi-method ensemble (three
+    # full candidate pipelines + CC over the union at 10x docs), and
+    # the snapshot-diff -> admission refresh at 10x churn
     "q96_funnel_steps",
     "q97_neardup_ensemble",
+    "q99_incremental_refresh",
 ]
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
