@@ -1717,7 +1717,14 @@ def neardup_ensemble(
     Scale: the union is a few pair lists (post-verification survivors
     — orders of magnitude smaller than the corpus), one (id_a, id_b)
     hash shuffle groups them, and CC runs on exactly that bounded
-    edge set; the corpus itself is never touched here.
+    edge set; the corpus itself is never touched here.  The
+    adjudicated table is MATERIALIZED once (``_materialize``, the CC
+    loop's own lineage-truncation contract — pass
+    ``checkpoint_dir=...`` through ``cc_kwargs`` for the reliable
+    mode) because two consumers read it: the component computation
+    and the output join.  Without that, every member's full candidate
+    pipeline re-executes per consumer — measured 119 s → 64 s on the
+    sf1 rehearsal's clone-heavy 8.3M-pair union (NOTES r8).
     """
     if not pair_sources:
         raise ValueError("neardup_ensemble requires at least one method")
@@ -1737,6 +1744,14 @@ def neardup_ensemble(
     adjudicated = allp.groupBy("id_a", "id_b").agg(
         F.concat_ws(",", F.array_sort(F.collect_set("_m"))).alias("methods"),
         F.count_distinct("_m").cast("int").alias("n_methods"),
+    )
+    # two consumers (CC + output join) — materialize the member
+    # pipelines once; see the docstring's scale note
+    adjudicated = _materialize(
+        adjudicated,
+        _resolve_checkpoint_dir(
+            adjudicated, cc_kwargs.get("checkpoint_dir")
+        ),
     )
     comp = connected_components(
         adjudicated.select("id_a", "id_b"), **cc_kwargs
