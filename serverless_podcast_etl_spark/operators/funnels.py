@@ -74,9 +74,12 @@ def funnel_conversion(
         .select(
             "n_step_a",
             "n_converted",
-            F.round(F.col("n_converted") / F.col("n_step_a"), 4).alias(
-                "conversion_rate"
-            ),
+            # try_divide: ANSI `/` raises DIVIDE_BY_ZERO when NOBODY
+            # entered the funnel; NULL is both the sensible rate and
+            # exactly what DuckDB's `/` yields, so the oracle agrees
+            F.round(
+                F.try_divide(F.col("n_converted"), F.col("n_step_a")), 4
+            ).alias("conversion_rate"),
         )
     )
 
@@ -180,9 +183,13 @@ def funnel_steps(
             F.col("_s.step_index").alias("step_index"),
             F.col("_s.step").alias("step"),
             F.col("_s.n_users").alias("n_users"),
-            F.round(F.col("_s.n_users") / F.col("_n_1"), 4).alias(
-                "conversion_rate"
-            ),
+            # try_divide, not `/`: an empty funnel (no step-1 users)
+            # must yield NULL rates, not an ANSI DIVIDE_BY_ZERO crash
+            # — found by the r8 hypothesis differential test; DuckDB's
+            # `/` is NULL-on-zero so the oracle agrees
+            F.round(
+                F.try_divide(F.col("_s.n_users"), F.col("_n_1")), 4
+            ).alias("conversion_rate"),
         )
         .orderBy("step_index")
     )

@@ -145,6 +145,29 @@ def test_duplicate_consecutive_steps_rejected(spark):
         )
 
 
+def test_empty_funnel_yields_zero_counts_null_rates(spark):
+    """No user has a step-1 event: counts are 0 and rates NULL —
+    ANSI `/` raised DIVIDE_BY_ZERO here before the r8 try_divide fix
+    (found by the hypothesis differential test); DuckDB's `/` is
+    NULL-on-zero, so the oracle semantics agree."""
+    rows = [(1, "b", "2024-01-01 00:00:00"), (2, "c", "2024-01-01 01:00:00")]
+    out = funnel_steps(
+        _events(spark, rows), "user_id", "event_type", "ts", ["a", "b", "c"]
+    ).collect()
+    assert [(r["n_users"], r["conversion_rate"]) for r in out] == [
+        (0, None),
+        (0, None),
+        (0, None),
+    ]
+    two = funnel_conversion(
+        _events(spark, rows), "user_id", "event_type", "ts",
+        "a", "b", 3600,
+    ).first()
+    assert (two["n_step_a"], two["n_converted"], two["conversion_rate"]) == (
+        0, 0, None,
+    )
+
+
 def test_nonconsecutive_repeat_type_allowed(spark):
     # a -> b -> a again: legal (non-consecutive); the second 'a'
     # anchor must be a DIFFERENT, later event than the first

@@ -1,0 +1,169 @@
+"""Round-8 property tests.
+
+1. ``funnel_steps`` vs an independent in-Python greedy-chaining
+   reference over hypothesis-generated event streams — the same
+   differential style as the CC union-find property test.
+2. ``canonical_url`` vs the DuckDB twin expression the q79 oracle
+   uses, over hypothesis-generated messy URLs — cross-engine
+   certification beyond the synthetic corpus' three fixed shapes
+   (case, www, params, param sorting, trailing slashes, fragments,
+   and the non-URL NULL gate all fuzzed).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import duckdb
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from serverless_podcast_etl_spark.functions.urls import canonical_url
+from serverless_podcast_etl_spark.operators.funnels import funnel_steps
+
+# ---------------------------------------------------------------------------
+# funnel_steps vs greedy-chaining reference
+# ---------------------------------------------------------------------------
+
+_EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),      # user
+        st.sampled_from(["a", "b", "c"]),           # type
+        st.integers(min_value=0, max_value=30),     # minute offset
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _ref_counts(events, steps, within_seconds):
+    """Independent greedy-chaining reference (pure Python)."""
+    by_user: dict[int, dict[str, list[int]]] = defaultdict(
+        lambda: defaultdict(list)
+    )
+    for u, ty, t in events:
+        by_user[u][ty].append(t * 60)
+    counts = [0] * len(steps)
+    for d in by_user.values():
+        if steps[0] not in d:
+            continue
+        a1 = min(d[steps[0]])
+        counts[0] += 1
+        prev = a1
+        for k, s in enumerate(steps[1:], start=1):
+            cand = [
+                t
+                for t in d.get(s, [])
+                if t >= prev
+                and (within_seconds is None or t - a1 <= within_seconds)
+            ]
+            if not cand:
+                break
+            prev = min(cand)
+            counts[k] += 1
+    return counts
+
+
+@settings(max_examples=12, deadline=None)
+@given(_EVENTS, st.sampled_from([None, 0, 300, 600]))
+def test_funnel_steps_matches_python_reference(spark, events, within):
+    steps = ["a", "b", "c"]
+    df = spark.createDataFrame(
+        [
+            (i, u, ty, f"2024-01-01 00:{t:02d}:00")
+            for i, (u, ty, t) in enumerate(events)
+        ],
+        "event_id long, user_id long, event_type string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = funnel_steps(
+        df,
+        user_col="user_id",
+        type_col="event_type",
+        ts_col="ts",
+        steps=steps,
+        within_seconds=within,
+    ).collect()
+    got = [r["n_users"] for r in sorted(out, key=lambda r: r["step_index"])]
+    assert got == _ref_counts(events, steps, within)
+    # counts are non-increasing along the funnel by construction
+    assert all(a >= b for a, b in zip(got, got[1:]))
+
+
+# ---------------------------------------------------------------------------
+# canonical_url vs the DuckDB twin
+# ---------------------------------------------------------------------------
+
+_SEG = st.text(
+    alphabet="abXY19", min_size=1, max_size=4
+)  # regex-safe component alphabet
+
+_PARAM = st.one_of(
+    st.sampled_from(
+        ["utm_source=a", "UTM_X=1", "fbclid=z", "gclid=2", "REF=hn", "ref=x"]
+    ),
+    st.tuples(_SEG, _SEG).map(lambda kv: f"{kv[0]}={kv[1]}"),
+)
+
+_URL = st.builds(
+    lambda scheme, www, host, segs, slashes, params, frag: (
+        scheme
+        + www
+        + ".".join(host)
+        + ("/" + "/".join(segs) if segs else "")
+        + "/" * slashes
+        + ("?" + "&".join(params) if params else "")
+        + (("#" + frag) if frag is not None else "")
+    ),
+    scheme=st.sampled_from(
+        ["https://", "http://", "HTTPS://", "HtTp://", "ftp://", ""]
+    ),
+    www=st.sampled_from(["", "www.", "WWW."]),
+    host=st.lists(_SEG, min_size=1, max_size=3),
+    segs=st.lists(_SEG, min_size=0, max_size=3),
+    slashes=st.integers(min_value=0, max_value=2),
+    params=st.lists(_PARAM, min_size=0, max_size=4),
+    frag=st.one_of(st.none(), _SEG),
+)
+
+# The q79 oracle's canonicalization, with the same NULL gate the
+# Spark expression applies to non-http(s) input.
+_DUCK_CANON = r"""
+SELECT i, url,
+  CASE WHEN regexp_matches(url, '(?i)^https?://') THEN
+    lower(regexp_extract(defrag, '(?i)^(https?)://', 1)) || '://'
+    || regexp_replace(lower(regexp_extract(defrag, '(?i)^https?://([^/?#]+)', 1)),
+                      '^www\.', '')
+    || regexp_replace(regexp_extract(defrag, '(?i)^https?://[^/?#]*([^?#]*)', 1),
+                      '/+$', '')
+    || CASE WHEN params <> '' THEN '?' || params ELSE '' END
+  END AS canon
+FROM (SELECT i, url, defrag,
+             array_to_string(list_sort(list_filter(
+               str_split(regexp_extract(defrag, '\?([^#]*)', 1), '&'),
+               p -> p <> '' AND NOT regexp_matches(p, '(?i)^(utm_[^=]*|fbclid|gclid|ref)=')
+             )), '&') AS params
+      FROM (SELECT i, url, regexp_replace(url, '#.*', '') AS defrag
+            FROM urls_in))
+ORDER BY i
+"""
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(_URL, min_size=1, max_size=20))
+def test_canonical_url_matches_duckdb_twin(spark, urls):
+    sdf = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [
+        r["canon"]
+        for r in sdf.select(
+            canonical_url(F.col("url")).alias("canon")
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.register(
+        "urls_in", pd.DataFrame({"i": range(len(urls)), "url": urls})
+    )
+    want = [r[2] for r in con.execute(_DUCK_CANON).fetchall()]
+    con.close()
+    assert got == want
