@@ -198,12 +198,21 @@ def minhash_signatures(
     dedup pass is needed either).  The md5 base hashes are computed
     once per shingle via the ``_once`` barrier; the per-function mins
     are cheap arithmetic re-scans of that array.
+
+    Documents with fewer than ``n`` tokens have NO shingles and emit
+    NO row — they are outside shingle-dedup's domain (use
+    ``exact_dedup`` for empty/near-empty docs).  Before the r8 fix
+    (found by the signature-portability fuzz test) they emitted
+    all-NULL signatures, which the DuckDB twin omits (min over an
+    empty relation is no row) AND which ``minhash_bands``' concat_ws
+    collapsed into one shared ``""`` bucket — a hot quadratic
+    candidate bucket of every short doc in the corpus.
     """
     params = hashing.MINHASH_PARAMS[:num_hashes]
     bound = _bound_token_hashes(df, text_col, id_col)
     hashed = _once(
         bound, id_col, hashing.shingle_hash_array(F.col("_th"), n), "_h32s"
-    )
+    ).filter(F.size(F.col("_h32s")) > 0)
     return hashed.select(
         F.col(id_col),
         *[
@@ -1004,10 +1013,19 @@ def simhash_fingerprints(
     token (materialized once via the ``_once`` barrier), then ``bits``
     integer bit-test counts over the long array — ZERO shuffles at any
     corpus size, and no per-bit string ops in the codegen'd tree.
+
+    Token-less documents (empty/whitespace-only text) emit NO row —
+    same domain contract and r8 rationale as ``minhash_signatures``:
+    the DuckDB twin omits them, and a shared all-zero fingerprint
+    would otherwise funnel every empty doc in the corpus into one hot
+    banding bucket AND emit them all as mutual hamming-0 "near-dups"
+    (exact_dedup is the right tool for empty docs).
     """
     toks = _word_tokens(text_col)
     hashes = F.transform(toks, hashing.simhash_token_hash)
-    hashed = _once(ensure_parallelism(df), id_col, hashes, "_h")
+    hashed = _once(ensure_parallelism(df), id_col, hashes, "_h").filter(
+        F.size(F.col("_h")) > 0
+    )
     n_tok = F.size(F.col("_h"))
 
     def vote(j: int):

@@ -167,3 +167,80 @@ def test_canonical_url_matches_duckdb_twin(spark, urls):
     want = [r[2] for r in con.execute(_DUCK_CANON).fetchall()]
     con.close()
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# portable hashing: MinHash / SimHash signatures vs the DuckDB twins
+# ---------------------------------------------------------------------------
+
+_DOC_TEXT = st.one_of(
+    # degenerate tier: token-less and sub-shingle-width docs — the
+    # r8 fix's domain boundary (no signature row on either engine)
+    st.sampled_from(["", " ", "  \t ", "one", "two tok"]),
+    st.lists(
+        st.text(alphabet="abcXYZ019", min_size=1, max_size=6),
+        min_size=1,
+        max_size=12,
+    ).map(" ".join),
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_DOC_TEXT, min_size=1, max_size=12))
+def test_minhash_signatures_match_duckdb_twin(spark, texts):
+    """The portable md5-derived MinHash family must be BIT-IDENTICAL
+    across engines on arbitrary token soups, not just the synthetic
+    corpus — this is the foundation the whole LSH/banding/admission
+    family's oracle exactness rests on."""
+    from serverless_podcast_etl_spark.operators.dedup import (
+        minhash_signatures,
+    )
+    from serverless_podcast_etl_spark.plans.catalog import _minhash_sql
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: tuple(r[f"mh_{i}"] for i in range(8))
+        for r in minhash_signatures(
+            docs, text_col="text", id_col="doc_id", n=3, num_hashes=8
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+    )
+    want = {
+        r[0]: tuple(r[1:9])
+        for r in con.execute(_minhash_sql(n=3, num_hashes=8)).fetchall()
+    }
+    con.close()
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_DOC_TEXT, min_size=1, max_size=12))
+def test_simhash_fingerprints_match_duckdb_twin(spark, texts):
+    from serverless_podcast_etl_spark.operators.dedup import (
+        simhash_fingerprints,
+    )
+    from serverless_podcast_etl_spark.plans.catalog import _simhash_sql
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_fingerprints(
+            docs, text_col="text", id_col="doc_id"
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+    )
+    want = {r[0]: r[1] for r in con.execute(_simhash_sql()).fetchall()}
+    con.close()
+    assert got == want
