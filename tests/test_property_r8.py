@@ -244,3 +244,190 @@ def test_simhash_fingerprints_match_duckdb_twin(spark, texts):
     want = {r[0]: r[1] for r in con.execute(_simhash_sql()).fetchall()}
     con.close()
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# PII scrub vs the DuckDB twin expressions
+# ---------------------------------------------------------------------------
+
+_PII_PIECE = st.one_of(
+    st.text(alphabet="abcXYZ019 ", min_size=0, max_size=8),
+    st.sampled_from(
+        [
+            "bob.smith+x@mail.example.com",
+            "a@b.co",
+            "a@b",                      # near-miss: no TLD
+            "(555) 123-4567",
+            "(55) 123-4567",            # near-miss: 2-digit area
+            "10.0.0.1",
+            "999.999.999.999",          # valid per pattern (\d{1,3})
+            "1.2.3.4.5",                # adjacent octet run
+            "x10.0.0.1",                # \b left edge blocked
+        ]
+    ),
+)
+
+_PII_TEXT = st.lists(_PII_PIECE, min_size=0, max_size=6).map(" ".join)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_PII_TEXT, min_size=1, max_size=15))
+def test_pii_scrub_matches_duckdb_twin(spark, texts):
+    """The Java-regex ∩ RE2 restriction is a CLAIM about pattern
+    semantics — fuzz it: counts and the ordered redaction must agree
+    on adversarial near-miss mixes, not just the synthetic corpus."""
+    from serverless_podcast_etl_spark.functions.pii import (
+        scrub,
+        scrub_sql_exprs,
+    )
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_emails"], r["n_phones"], r["n_ipv4"], r["text_redacted"]
+        )
+        for r in scrub(docs, text_col="text", id_col="doc_id").collect()
+    }
+    exprs = scrub_sql_exprs("text")
+    con = duckdb.connect()
+    con.register(
+        "docs_in",
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute(
+            f"SELECT doc_id, {exprs['n_emails']}, {exprs['n_phones']}, "
+            f"{exprs['n_ipv4']}, {exprs['text_redacted']} FROM docs_in"
+        ).fetchall()
+    }
+    con.close()
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# line cleaning vs the DuckDB list_filter twin
+# ---------------------------------------------------------------------------
+
+_LINE = st.one_of(
+    st.lists(
+        st.sampled_from(["alpha", "bra", "Bad", "bad", "x1", "  "]),
+        min_size=0,
+        max_size=5,
+    ).map(" ".join),
+    st.sampled_from(["", "   ", "\t", " bad line here "]),
+)
+
+_DOC = st.lists(_LINE, min_size=0, max_size=6).map("\n".join)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_DOC, min_size=1, max_size=12))
+def test_clean_lines_matches_duckdb_twin(spark, texts):
+    """q87's in-row split -> filter -> reassemble vs the DuckDB
+    list_filter lambda, fuzzed over whitespace-only lines, banned
+    substrings in mixed case, empty docs and fully-dropped docs."""
+    from serverless_podcast_etl_spark.functions.cleaning import clean_lines
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (
+            r["text_clean"], r["n_lines_kept"], r["n_lines_dropped"]
+        )
+        for r in clean_lines(
+            docs,
+            "text",
+            min_words=2,
+            banned_substrings=("bad",),
+            min_lines_kept=1,
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "docs_in",
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(r"""
+SELECT doc_id,
+       array_to_string(kept, chr(10)),
+       CAST(len(kept) AS INT),
+       CAST(len(all_lines) - len(kept) AS INT)
+FROM (SELECT doc_id,
+             string_split(text, chr(10)) AS all_lines,
+             list_filter(string_split(text, chr(10)),
+                 x -> trim(x) <> ''
+                      AND len(regexp_split_to_array(trim(x), '\s+')) >= 2
+                      AND NOT contains(lower(x), 'bad')) AS kept
+      FROM docs_in)
+WHERE len(kept) >= 1
+""").fetchall()
+    }
+    con.close()
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# sentence tokenizer (Arrow UDF) vs the sentinel-split DuckDB twin
+# ---------------------------------------------------------------------------
+
+_SENT_PIECE = st.one_of(
+    st.text(alphabet="abXY19", min_size=1, max_size=5),
+    st.sampled_from([".", "!", "?", ". ", "!  ", "?\t", ".\n", "  ", "a.b"]),
+)
+
+_SENT_DOC = st.lists(_SENT_PIECE, min_size=0, max_size=10).map("".join)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_SENT_DOC, min_size=1, max_size=12))
+def test_sentence_tokenizer_matches_duckdb_twin(spark, texts):
+    """q26's certification rests on lookbehind-split == sentinel-split
+    over ASCII input (the documented whitespace assumption) — fuzz the
+    equivalence over adversarial punctuation/whitespace runs instead
+    of trusting the three injected boundary shapes."""
+    from serverless_podcast_etl_spark.functions.text import (
+        tokenize_sentences,
+    )
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["sentence_index"]): r["sentence_text"]
+        for r in tokenize_sentences(
+            docs, text_col="text", id_cols=["doc_id"]
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+    )
+    want = {
+        (r[0], r[1]): r[2]
+        for r in con.execute(r"""
+WITH s AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(
+             str_split(
+               regexp_replace(text, '([.!?])\s+', '\1' || chr(1), 'g'),
+               chr(1)),
+             x -> trim(x, ' ' || chr(9) || chr(10) || chr(13)
+                          || chr(11) || chr(12))),
+           x -> x <> '') AS sents
+  FROM documents
+)
+SELECT doc_id, CAST(u.i - 1 AS INT) AS sentence_index, u.s AS sentence_text
+FROM s, LATERAL (SELECT unnest(sents) AS s,
+                        generate_subscripts(sents, 1) AS i) u
+""").fetchall()
+    }
+    con.close()
+    assert got == want
