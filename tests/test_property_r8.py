@@ -431,3 +431,126 @@ FROM s, LATERAL (SELECT unnest(sents) AS s,
     }
     con.close()
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# quantile bins (exact type-7 percentile) vs DuckDB quantile_cont
+# ---------------------------------------------------------------------------
+
+_SCORE = st.one_of(
+    st.none(),
+    # quarter-valued doubles: type-7 interpolation at p in {.25,.5,.75}
+    # is binary-exact, so a mismatch is a real semantics bug, not ULP
+    st.integers(min_value=-40, max_value=40).map(lambda i: i / 4.0),
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_SCORE, min_size=1, max_size=30))
+def test_quantile_bins_match_duckdb_quantile_cont(spark, scores):
+    """q92's portability claim — Spark `percentile` and DuckDB
+    `quantile_cont` share type-7 interpolation — fuzzed over
+    duplicates, nulls, all-null input and n < #probs."""
+    from serverless_podcast_etl_spark.operators.selection import (
+        quantile_bins,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(scores)), "id long, score double"
+    )
+    got = {
+        r["id"]: r["bucket"]
+        for r in quantile_bins(df, "score").collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "t", pd.DataFrame({"id": range(len(scores)), "score": scores})
+    )
+    want = {
+        r[0]: r[1]
+        for r in con.execute("""
+WITH b AS (SELECT quantile_cont(score, [0.25, 0.5, 0.75]) AS q FROM t)
+SELECT id, CAST(CASE WHEN score IS NULL THEN NULL
+                WHEN score <= q[1] THEN 0
+                WHEN score <= q[2] THEN 1
+                WHEN score <= q[3] THEN 2
+                ELSE 3 END AS INT) AS bucket
+FROM t, b
+""").fetchall()
+    }
+    con.close()
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# event debounce vs the lag-window DuckDB twin
+# ---------------------------------------------------------------------------
+
+_DEB_EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),       # user
+        st.sampled_from(["a", "b"]),                 # type
+        st.integers(min_value=0, max_value=40),      # ts in 60s steps
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_DEB_EVENTS)
+def test_debounce_matches_duckdb_twin(spark, events):
+    """q91's lag semantics fuzzed over tied timestamps, exact-600s
+    gaps (suppressed: the keep rule is STRICTLY greater) and
+    interleaved types."""
+    from serverless_podcast_etl_spark.operators.windows import (
+        suppress_repeated_events,
+    )
+
+    rows = [
+        (i, u, ty, f"2024-01-01 {t // 60:02d}:{t % 60:02d}:00")
+        for i, (u, ty, t) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    kept = suppress_repeated_events(
+        df,
+        key_cols=["user_id"],
+        dedup_cols=["event_type"],
+        ts_col="ts",
+        order_cols=[F.col("ts"), F.col("event_id")],
+        max_gap_seconds=600,
+    )
+    got = sorted(r["event_id"] for r in kept.collect())
+    con = duckdb.connect()
+    con.register(
+        "events",
+        pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "user_id": [r[1] for r in rows],
+                "event_type": [r[2] for r in rows],
+                "ts": pd.to_datetime([r[3] for r in rows]),
+            }
+        ),
+    )
+    want = sorted(
+        r[0]
+        for r in con.execute("""
+WITH w AS (
+  SELECT event_id, user_id, event_type, ts,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type,
+         lag(ts) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+SELECT event_id FROM w
+WHERE prev_ts IS NULL
+   OR prev_type IS DISTINCT FROM event_type
+   OR date_diff('microsecond', prev_ts, ts) > 600000000
+""").fetchall()
+    )
+    con.close()
+    assert got == want
