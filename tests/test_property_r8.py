@@ -554,3 +554,43 @@ WHERE prev_ts IS NULL
     )
     con.close()
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# digest ordering (md5 portability) vs DuckDB
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-(10**9), max_value=10**9),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    ),
+    st.integers(min_value=1, max_value=10),
+)
+def test_digest_sample_matches_duckdb_twin(spark, ids, n):
+    """q77's reproducible-across-engines claim: Spark md5 over
+    utf-8(seed:id) orders identically to DuckDB md5 over the same
+    concatenation, including negative ids and n > corpus."""
+    from serverless_podcast_etl_spark.operators.selection import (
+        digest_sample,
+    )
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = [
+        (r["doc_id"], r["sample_key"])
+        for r in digest_sample(df, id_col="doc_id", n=n)
+        .orderBy("sample_key")
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"doc_id": ids}))
+    want = con.execute(
+        "SELECT doc_id, md5('seed0' || ':' || CAST(doc_id AS VARCHAR)) "
+        f"AS k FROM t ORDER BY k LIMIT {n}"
+    ).fetchall()
+    con.close()
+    assert got == [tuple(r) for r in want]
