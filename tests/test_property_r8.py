@@ -594,3 +594,79 @@ def test_digest_sample_matches_duckdb_twin(spark, ids, n):
     ).fetchall()
     con.close()
     assert got == [tuple(r) for r in want]
+
+
+# ---------------------------------------------------------------------------
+# retention cohorts: fixed-epoch week arithmetic incl. pre-epoch events
+# ---------------------------------------------------------------------------
+
+_RET_EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),        # user
+        st.integers(min_value=-30, max_value=30),     # day offset vs epoch
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_RET_EVENTS)
+def test_retention_cohorts_match_duckdb_twin(spark, events):
+    """q94's integer week arithmetic fuzzed across the epoch boundary
+    — pre-epoch first events produce NEGATIVE cohort weeks, a region
+    the synthetic corpus never exercises; floor-division semantics
+    must agree between engines there too."""
+    import datetime
+
+    from serverless_podcast_etl_spark.operators.funnels import (
+        retention_cohorts,
+    )
+
+    epoch = datetime.date(2024, 1, 1)
+    rows = [
+        (u, (epoch + datetime.timedelta(days=d)).isoformat() + " 12:00:00")
+        for u, d in events
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        (r["cohort_week"], r["week_offset"]): r["n_active_users"]
+        for r in retention_cohorts(
+            df, "user_id", "ts", epoch="2024-01-01"
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "events",
+        pd.DataFrame(
+            {
+                "user_id": [r[0] for r in rows],
+                "ts": pd.to_datetime([r[1] for r in rows]),
+            }
+        ),
+    )
+    want = {
+        (r[0], r[1]): r[2]
+        for r in con.execute("""
+WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id),
+j AS (
+  SELECT e.user_id,
+         CAST(floor(date_diff('day', DATE '2024-01-01',
+                              CAST(f.first_ts AS DATE)) / 7) AS INT)
+           AS cohort_week,
+         CAST(floor(date_diff('day', DATE '2024-01-01',
+                              CAST(e.ts AS DATE)) / 7) AS INT)
+         - CAST(floor(date_diff('day', DATE '2024-01-01',
+                                CAST(f.first_ts AS DATE)) / 7) AS INT)
+           AS week_offset
+  FROM events e JOIN f ON e.user_id = f.user_id
+)
+SELECT cohort_week, week_offset,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n
+FROM j GROUP BY 1, 2
+""").fetchall()
+    }
+    con.close()
+    assert got == want
