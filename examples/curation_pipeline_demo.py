@@ -10,9 +10,13 @@ near-dup cluster dedup (+ cross-source leakage matrix report) →
 fraction-gated eval-set decontamination → leakage-free train/eval
 split → per-source quota cap → LM-scored token-budget selection →
 source-weighted mixture materialization → deterministic shuffle into
-training shards — over the synthetic ``documents`` table, printing
-surviving row counts per stage.  Every stage is a certified catalog
-operator (q18/q43/q49/q71-q76/q79-q81/q83-q84/q87-q89); this file
+training shards — then the r8 closing loop as its own fresh-session
+job, the way production schedules these: a multi-method near-dup
+ENSEMBLE adjudication over the source corpus and an incremental
+snapshot REFRESH (diff → admission gate) simulating the next crawl —
+over the synthetic ``documents`` table, printing surviving row
+counts per stage.  Every stage is a certified catalog operator
+(q18/q43/q49/q71-q76/q79-q81/q83-q84/q87-q89/q97-q99); this file
 only composes them.
 """
 
@@ -234,6 +238,64 @@ def main() -> None:
         for r in shards.groupBy("shard").count().collect()
     }
     print(f"shard sizes (balanced to within one row): {sizes}")
+
+    # The r8 closing loop runs as its OWN job with a fresh session —
+    # the way production schedules it (adjudication/refresh are
+    # separate pipeline runs), and it releases the long session's
+    # accumulated checkpoint/broadcast blocks (a 13-stage demo in one
+    # JVM otherwise walks into heap pressure that a real multi-job
+    # deployment never sees).
+    spark.stop()
+    spark = get_spark(
+        app_name="curation-pipeline-demo-closing", master="local[4]"
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = load_table(spark, sf_dir, "documents")
+
+    # 10. ensemble adjudication (q97): which near-dup pairs do the
+    #     independent detectors agree on?  One table with method
+    #     provenance + a single component label per cluster.
+    pairs = dedup.neardup_ensemble(
+        {
+            "minhash": dedup.minhash_lsh_pairs(
+                docs, text_col="text", id_col="doc_id",
+                n=3, num_hashes=8, bands=4, verify_threshold=0.3,
+            ),
+            "simhash": dedup.simhash_neardup_pairs(
+                docs, text_col="text", id_col="doc_id",
+                bits=32, band_bits=8, max_hamming=3,
+            ),
+        }
+    )
+    agree = pairs.filter(F.col("n_methods") > 1).count()
+    print(
+        f"ensemble: {pairs.count()} adjudicated pairs, "
+        f"{agree} found by >1 method"
+    )
+
+    # 11. incremental refresh (q99): the NEXT crawl arrives — diff the
+    #     snapshots and admit only delta docs that are not near-dups
+    #     of the unchanged retained corpus.
+    new_snap = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(F.col("text"), F.lit(" updated")),
+        ).otherwise(F.col("text")).alias("text"),
+    ).filter(F.col("doc_id") % 17 != 0)
+    refreshed = dedup.incremental_refresh(
+        docs.select("doc_id", "text"), new_snap,
+        text_col="text", id_col="doc_id", verify_threshold=0.3,
+    )
+    # one aggregate, one execution (fact 18: two separate counts
+    # would re-run the whole admission pipeline per action)
+    stats = refreshed.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("admitted").alias("adm")
+    ).first()
+    print(
+        f"refresh: {stats['n']} delta docs, {stats['adm']} admitted "
+        f"(rest near-dup of the retained corpus)"
+    )
     spark.stop()
 
 
