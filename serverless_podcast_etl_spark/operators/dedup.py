@@ -1854,6 +1854,16 @@ def incremental_refresh(
     shuffle to candidates — see ``incremental_neardup_admission``).
     The corpus is never self-paired and never re-signed when an
     index is supplied.
+
+    Stale-index safety: an index built BEFORE this snapshot may still
+    carry band signatures of now-changed/removed docs (including a
+    changed doc's own old signature).  Those entries can only create
+    false CANDIDATES, never false matches — verification shingles are
+    re-derived from the retained corpus, where such docs have no
+    rows, so every stale candidate dies at the verify join.  Refresh
+    the index with ``append_to_band_index`` on the admission
+    survivors per the band-index lifecycle; staleness costs candidate
+    work, not correctness.
     """
     delta = snapshot_diff(old, new, id_col=id_col, text_col=text_col)
     ingest_ids = delta.filter(F.col("status") != "removed").select(
