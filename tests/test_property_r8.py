@@ -670,3 +670,81 @@ FROM j GROUP BY 1, 2
     }
     con.close()
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# suffix-wildcard domain blocklist vs the DuckDB twin
+# ---------------------------------------------------------------------------
+
+_HOST = st.lists(
+    st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=4
+).map(".".join)
+
+_TEXT_PIECE = st.one_of(
+    st.sampled_from(["plain", "words", "here"]),
+    _HOST.map(lambda h: f"https://{h}/p/1"),
+    _HOST.map(lambda h: f"http://{h}"),
+)
+
+_BLOCK_ENTRY = st.lists(
+    st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=3
+).map(".".join)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(_TEXT_PIECE, min_size=0, max_size=4).map(" ".join),
+        min_size=1,
+        max_size=12,
+    ),
+    st.lists(_BLOCK_ENTRY, min_size=1, max_size=4, unique=True),
+)
+def test_suffix_blocklist_matches_duckdb_twin(spark, texts, blocklist):
+    """q89's UT1 suffix semantics fuzzed: an entry blocks itself and
+    every subdomain, docs with no URLs always survive, and multi-URL
+    docs are blocked when ANY host matches."""
+    from serverless_podcast_etl_spark.functions.urls import (
+        filter_blocked_domain_suffixes,
+    )
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    bl = spark.createDataFrame([(d,) for d in blocklist], "domain string")
+    got = sorted(
+        r["doc_id"]
+        for r in filter_blocked_domain_suffixes(
+            docs, "text", "doc_id", bl
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+    )
+    bl_sql = ", ".join(f"'{d}'" for d in blocklist)
+    want = sorted(
+        r[0]
+        for r in con.execute(rf"""
+WITH hosts AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text,
+                'https?://([A-Za-z0-9.-]+)(/[^\s]*)?', 1)) AS host
+  FROM documents
+),
+sfx AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             range(1, len(string_split(host, '.')) + 1),
+             i -> array_to_string(string_split(host, '.')[i:], '.')))
+           AS suffix
+  FROM hosts
+),
+blocked AS (SELECT DISTINCT doc_id FROM sfx WHERE suffix IN ({bl_sql}))
+SELECT d.doc_id FROM documents d
+ANTI JOIN blocked b ON d.doc_id = b.doc_id
+""").fetchall()
+    )
+    con.close()
+    assert got == want
