@@ -1486,13 +1486,41 @@ def q51_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q52_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified (per-language) sampling — corpus re-balancing, the
-    mixing step of a pretraining data pipeline.  ``sampleBy`` keeps the
-    per-stratum Bernoulli draw inside the scan (no shuffle); sampling
-    is seeded but partitioning-dependent ⇒ rows-only check."""
+    mixing step of a pretraining data pipeline.  Fractions are derived
+    from the DATA (alternating 0.5/0.2 over the sorted distinct
+    languages — the "downsample every other stratum" rebalance), then
+    applied as md5-digest thresholds (operators/selection.
+    stratified_digest_sample), so the draw is reproducible across
+    runs, engines and partitionings and therefore hash-exact against
+    the DuckDB twin (r8 fuzz proved the digest ordering portable —
+    the rows-only seeded ``docs.stat.sampleBy`` it replaces was
+    partitioning-dependent by construction).  The distinct-lang
+    collect is a handful of rows (stratum cardinality, not corpus
+    cardinality) — safe at any scale."""
     docs = _t(spark, sf_dir, "documents")
     langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
     fractions = {lg: (0.5 if i % 2 == 0 else 0.2) for i, lg in enumerate(sorted(langs))}
-    return docs.stat.sampleBy("lang", fractions, seed=7)
+    return selection.stratified_digest_sample(
+        docs, stratum_col="lang", fractions=fractions,
+        id_col="doc_id", seed="q52",
+    ).select("doc_id", "lang", "source")
+
+
+#: q52's oracle re-derives the alternating-fraction scheme in SQL
+#: (ROW_NUMBER over sorted distinct langs) so the twin stays correct
+#: if the corpus's language set changes; bounds are
+#: selection._digest_bound(0.5) = '800000' and _digest_bound(0.2) =
+#: '333333' inlined as literals.
+_Q52_SQL = """
+WITH ranks AS (
+  SELECT lang, ROW_NUMBER() OVER (ORDER BY lang) - 1 AS i
+  FROM (SELECT DISTINCT lang FROM documents)
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN ranks r ON d.lang = r.lang
+WHERE substr(md5('q52' || ':' || d.lang || ':' || CAST(d.doc_id AS VARCHAR)), 1, 6)
+      < CASE WHEN r.i % 2 = 0 THEN '800000' ELSE '333333' END
+"""
 
 
 def q53_grouped_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3596,7 +3624,8 @@ CATALOG: dict[str, QueryDef] = {
         "TF-IDF top terms per doc",
     ),
     "q52_stratified_sample": QueryDef(
-        q52_stratified_sample, None, "stratified per-language sampling"
+        q52_stratified_sample, _Q52_SQL,
+        "stratified per-language digest sampling",
     ),
     "q53_grouped_ewma": QueryDef(
         q53_grouped_ewma, None, "grouped applyInPandas EWMA (recursive state)"
@@ -3824,9 +3853,10 @@ CATALOG: dict[str, QueryDef] = {
 #: are unaffected); only the DRIVER-facing dicts below re-key the
 #: entries in this set with an ``x`` prefix ("x" sorts after "q") and
 #: append them last, so the driver's 50 slots land on one
-#: representative per operator FAMILY — 44 oracle-backed + 6
-#: rows-only-by-contract (q26 tokenizer UDF, q29 decode seam, q41
-#: sketches, q52 seeded sampler, q53 EWMA, q62 recall panel).
+#: representative per operator FAMILY — 46 oracle-backed + 4
+#: rows-only-by-contract (q29 decode seam, q41 sketches, q53 EWMA,
+#: q62 recall panel; q26 graduated in r7 via the sentinel-split
+#: oracle, q52 in r9 via the md5-digest twin).
 #:
 #: Every overflow entry stays fully runnable with its oracle intact and
 #: is certified by the pytest replica (tests/test_catalog_oracle.py);
@@ -3905,6 +3935,19 @@ CATALOG: dict[str, QueryDef] = {
 #: swap, q87's cleaning family keeps q43 quality-filter, q88→q59
 #: mixture weights, q84's selection family keeps the q13/q18
 #: digest patterns, q82's ANN family keeps q22/q55).
+#:
+#: Round-9 rotation (r8 VERDICT "do this" #1/#2): the four round-8
+#: flagships — q97 near-dup ensemble, q98 applied ensemble dedup,
+#: q99 incremental corpus refresh (the three most production-relevant
+#: curation ops in the repo), q96 k-step funnel — plus q85 snapshot
+#: diff (q99's building block, the cheap-backlog pick) rotated INTO
+#: the window; q79/q80/q91/q93/q94 rotated out (all driver-green in
+#: CORRECTNESS_r08 first, per the rotation rule; families keep green
+#: window siblings: q79 URL dedup → q39/q58 string/regex machinery
+#: stays certified and q18 keep-first dedup, q80 unigram LM → q38/q43
+#: quality scoring, q91 debounce / q93 funnel / q94 retention → q96
+#: k-step funnel generalizes q93 and the q37/q40 event-time family
+#: stays in-window).
 DRIVER_OVERFLOW: frozenset[str] = frozenset(
     {
         "q03_filtered_mention_counts",
@@ -3950,13 +3993,12 @@ DRIVER_OVERFLOW: frozenset[str] = frozenset(
         "q76_incremental_neardup",
         "q77_digest_sample",
         "q78_stratified_digest_sample",
-        # remaining r6 additions, replica-certified — r9 rotation
-        # candidates (q81, q83, q85/q86, q90, q92: cross-source
-        # matrix, contamination fractions, snapshot diff, report
-        # card, token-share cap, quantile bins).
+        # remaining r6 additions, replica-certified — rotation
+        # backlog (q81, q83, q86, q90, q92: cross-source matrix,
+        # contamination fractions, report card, token-share cap,
+        # quantile bins; q85 rotated in r9).
         "q81_cross_source_neardup_matrix",
         "q83_contamination_fractions",
-        "q85_snapshot_diff",
         "q86_corpus_report_card",
         "q90_top_share_per_source",
         "q92_quantile_bins",
@@ -3971,13 +4013,14 @@ DRIVER_OVERFLOW: frozenset[str] = frozenset(
         # r7 additions start in overflow, replica-certified, per the
         # standing convention (q95 rows-only: Python pixel seam)
         "q95_image_neardup",
-        # r8 additions start in overflow, replica-certified (q96
-        # k-step funnel, oracle via chained CTEs; q97 near-dup
-        # ensemble, oracle composed from the q30/q21/q23 CTEs)
-        "q96_funnel_steps",
-        "q97_neardup_ensemble",
-        "q98_ensemble_dedup",
-        "q99_incremental_refresh",
+        # r9 rotations-out for the q96–q99 + q85 rotation-in
+        # (driver-green in r8; families keep green siblings — see the
+        # round-9 note above)
+        "q79_url_canonical_dedup",
+        "q80_unigram_lm_scores",
+        "q91_event_debounce",
+        "q93_funnel_conversion",
+        "q94_retention_cohorts",
     }
 )
 

@@ -27,7 +27,6 @@ from serverless_podcast_etl_spark.plans.catalog import (
 EXPECTED_PRIORITY_ROWS_ONLY = {
     "q29_image_decode",
     "q41_corpus_profile_sketches",
-    "q52_stratified_sample",
     "q53_grouped_ewma",
     "q62_ann_recall_panel",
 }
@@ -69,9 +68,10 @@ def test_oracle_keys_match_queries_and_rows_only_set():
     priority = [n for n in q if not n.startswith("x")]
     rows_only_priority = {n for n in priority if n not in sql}
     assert rows_only_priority == EXPECTED_PRIORITY_ROWS_ONLY
-    # 45 of the 50 certified slots carry a full DuckDB oracle (q26
-    # graduated from rows-only in r7 via the sentinel-split oracle)
-    assert len([n for n in priority if n in sql]) == 45
+    # 46 of the 50 certified slots carry a full DuckDB oracle (q26
+    # graduated from rows-only in r7 via the sentinel-split oracle,
+    # q52 in r9 via the md5-digest twin)
+    assert len([n for n in priority if n in sql]) == 46
     # overflow entries keep their oracles (pytest replica certifies them)
     for n in DRIVER_OVERFLOW:
         d = CATALOG[n]
