@@ -1727,7 +1727,9 @@ def neardup_ensemble(
     one output row per distinct pair with ``methods`` (sorted
     comma-joined provenance — which detectors agree), ``n_methods``,
     and ``component`` — the connected-components label over the WHOLE
-    union (``connected_components``; extra kwargs pass through), so
+    union (``connected_components``; extra kwargs pass through,
+    except ``out_id``/``out_comp``, which are pinned here — the
+    output join binds them by name), so
     transitive clusters merge even when each edge came from a
     different method and a downstream keep-one-per-component dedup
     has a single table to act on.
@@ -1746,6 +1748,15 @@ def neardup_ensemble(
     """
     if not pair_sources:
         raise ValueError("neardup_ensemble requires at least one method")
+    for k in ("out_id", "out_comp"):
+        if k in cc_kwargs:
+            # the output join below binds the CC columns by their
+            # default names; a renamed passthrough would fail deep in
+            # the join with an opaque AnalysisException (r8 ADVICE)
+            raise ValueError(
+                f"neardup_ensemble pins the CC output columns; {k!r} "
+                "is not forwardable (rename on the returned frame)"
+            )
     tagged = []
     for method, pairs in sorted(pair_sources.items()):
         lo, hi = F.least(F.col(id_a), F.col(id_b)), F.greatest(
@@ -1793,14 +1804,20 @@ def ensemble_dedup_keep_first(
     convention; docs in no pair survive untouched).
 
     Pair endpoints outside ``df``'s id space (e.g. embedding-side
-    synthetic ids) still participate in component formation but
-    cannot remove anything they don't name: the final step is one
-    anti-join of ``df`` against the non-representative id set.
+    synthetic ids) still participate in component formation but never
+    affect which ``df`` rows survive: the representative is the
+    minimum over the ids ACTUALLY PRESENT in ``df`` (r8 ADVICE — with
+    the naive component-min, a synthetic endpoint that sorted below
+    every real id would become the "kept" representative and delete
+    every real member of its component), and the final step is one
+    anti-join of ``df`` against the non-representative present-id
+    set.  A component with no ``df`` member removes nothing.
 
-    Scale: identical to ``neardup_dedup_keep_first`` — the union of
-    post-verification pair lists is corpus-small, CC runs on that
-    edge set only, and the corpus is scanned exactly once for the
-    anti-join.
+    Scale: the union of post-verification pair lists is corpus-small,
+    CC runs on that edge set only, and the corpus is never shuffled —
+    the presence probe and the anti-join both broadcast the tiny
+    CC-node/non-representative sides, two map-side passes over
+    ``df``.
     """
     if not pair_sources:
         raise ValueError(
@@ -1816,7 +1833,19 @@ def ensemble_dedup_keep_first(
     allp = frames[0]
     for f in frames[1:]:
         allp = allp.unionByName(f)
-    return neardup_dedup_keep_first(df, allp.distinct(), id_col)
+    comp = connected_components(allp.distinct())
+    # restrict to ids present in df BEFORE electing representatives:
+    # min over present ids, not over all endpoints (see docstring).
+    # Join direction keeps the corpus on the streaming side — comp is
+    # pair-endpoint-sized, so AQE broadcasts it and df never shuffles.
+    present = df.select(F.col(id_col).alias("id")).join(comp, "id")
+    reps = present.groupBy("component").agg(F.min("id").alias("_rep"))
+    non_reps = (
+        present.join(reps, "component")
+        .filter(F.col("id") != F.col("_rep"))
+        .select(F.col("id").alias(id_col))
+    )
+    return df.join(non_reps, id_col, "left_anti")
 
 
 def incremental_refresh(

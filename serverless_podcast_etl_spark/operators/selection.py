@@ -27,6 +27,21 @@ from pyspark.storagelevel import StorageLevel
 _LAST_PERSISTED: list[DataFrame] = []
 
 
+def mark_materialized() -> None:
+    """Caller acknowledgment that every result of the previous
+    ``global_prefix_sum(materialize=False)`` call has been fully
+    materialized (collected / checkpointed / written to a sink):
+    release the tracked persisted sort WITHOUT the eviction
+    ``RuntimeWarning``.  The warning exists because recomputing an
+    evicted un-materialized result silently misaligns its offsets
+    (see ``global_prefix_sum``); once the caller has materialized,
+    that hazard is gone and the warning would be a false alarm on
+    every subsequent call (r8 ADVICE).  No-op when nothing is
+    tracked."""
+    while _LAST_PERSISTED:
+        _LAST_PERSISTED.pop().unpersist()
+
+
 def global_prefix_sum(
     df: DataFrame,
     cost_col: str,
@@ -97,7 +112,10 @@ def global_prefix_sum(
        (collect/checkpoint/sink) every ``materialize=False`` result
        BEFORE the next ``global_prefix_sum`` call on the same
        session; each eviction emits a ``RuntimeWarning`` naming this
-       hazard.  ``materialize=True`` (the default, and the only mode
+       hazard.  After materializing, call ``mark_materialized()`` to
+       release the tracked sort and acknowledge safety — routine
+       sequential use then never sees the (otherwise false-alarm)
+       warning.  ``materialize=True`` (the default, and the only mode
        production call sites use) is immune — ``localCheckpoint``
        stores the realized partitions and truncates lineage, so
        re-sampling is impossible.

@@ -53,10 +53,17 @@ def _sql_list(words: list[str]) -> str:
     return ", ".join(f"'{w}'" for w in words)
 
 
-_TOKS_CTE = (
-    "SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), "
-    "x -> x <> '') AS t FROM documents"
-)
+def _toks_cte(table: str = "documents") -> str:
+    """Whitespace-token list per doc — THE tokenization twin of
+    dedup._word_tokens; every oracle that tokenizes derives from this
+    one helper so the expressions cannot drift apart (r8 ADVICE)."""
+    return (
+        "SELECT doc_id, list_filter(regexp_split_to_array(lower(text), "
+        f"'\\s+'), x -> x <> '') AS t FROM {table}"
+    )
+
+
+_TOKS_CTE = _toks_cte()
 
 
 def _shingle_cte(n: int, table: str = "documents") -> str:
@@ -64,10 +71,7 @@ def _shingle_cte(n: int, table: str = "documents") -> str:
     dedup.shingles — token md5 hashes folded polynomially).
     ``table`` lets the q99 refresh oracle shingle a derived snapshot
     CTE instead of the base table."""
-    toks = (
-        "SELECT doc_id, list_filter(regexp_split_to_array(lower(text), "
-        f"'\\s+'), x -> x <> '') AS t FROM {table}"
-    )
+    toks = _toks_cte(table)
     th_cte = f"SELECT doc_id, {hashing.token_hashes_sql('t')} AS th FROM ({toks})"
     return (
         f"SELECT DISTINCT doc_id, unnest(list_transform("
@@ -3320,6 +3324,18 @@ def q97_neardup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     unseen docs, guaranteeing method-exclusive pairs in the output.
     An ensemble consumes each member's SCALE form: nothing here is
     quadratic, so the composition benches at any SF."""
+    docs, sources = _ensemble_sources(spark, sf_dir)
+    return dedup.neardup_ensemble(sources).orderBy("id_a", "id_b")
+
+
+def _ensemble_sources(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, dict[str, DataFrame]]:
+    """The ensemble family's shared method sources (q97 report / q98
+    applied dedup — ONE construction so the two queries cannot drift,
+    r8 ADVICE): corpus frame plus the three certified pair detectors,
+    with q23/q35's scaled embedding clones (ids +1_000_000) unioned
+    into the embedding side."""
     docs = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     clones = emb.filter(F.col("vec_id") < 3).select(
@@ -3328,7 +3344,7 @@ def q97_neardup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding", lambda x: (x * F.lit(2.0)).cast("float")
         ).alias("embedding"),
     )
-    sources = {
+    return docs, {
         "minhash": dedup.minhash_lsh_pairs(
             docs, text_col="text", id_col="doc_id",
             n=3, num_hashes=8, bands=4, verify_threshold=0.3,
@@ -3344,7 +3360,6 @@ def q97_neardup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
             threshold=0.8,
         ),
     }
-    return dedup.neardup_ensemble(sources).orderBy("id_a", "id_b")
 
 
 def _ensemble_cte_sql() -> str:
@@ -3401,32 +3416,11 @@ def q98_ensemble_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     single dedup decision (keep each component's min id, q49's
     convention).  Same three method sources as q97; embedding-side
     synthetic ids participate in components but name no corpus doc,
-    so they cannot remove one.  One anti-join against the (tiny)
-    non-representative set — the corpus is scanned once."""
-    docs = _t(spark, sf_dir, "documents")
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    clones = emb.filter(F.col("vec_id") < 3).select(
-        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
-        F.transform(
-            "embedding", lambda x: (x * F.lit(2.0)).cast("float")
-        ).alias("embedding"),
-    )
-    sources = {
-        "minhash": dedup.minhash_lsh_pairs(
-            docs, text_col="text", id_col="doc_id",
-            n=3, num_hashes=8, bands=4, verify_threshold=0.3,
-        ),
-        "simhash": dedup.simhash_neardup_pairs(
-            docs, text_col="text", id_col="doc_id",
-            bits=32, band_bits=8, max_hamming=3,
-        ),
-        "embedding": similarity.embedding_neardup_pairs(
-            emb.unionByName(clones),
-            id_col="vec_id",
-            planes=_PLANES_8[:4],
-            threshold=0.8,
-        ),
-    }
+    so they cannot remove one (representatives are elected over ids
+    present in the corpus — dedup.ensemble_dedup_keep_first).  One
+    anti-join against the (tiny) non-representative set — the corpus
+    is never shuffled."""
+    docs, sources = _ensemble_sources(spark, sf_dir)
     return dedup.ensemble_dedup_keep_first(
         docs, sources, id_col="doc_id"
     ).orderBy("doc_id")

@@ -93,3 +93,38 @@ def test_global_prefix_sum_eviction_warns(spark):
     finally:
         while sel._LAST_PERSISTED:
             sel._LAST_PERSISTED.pop().unpersist()
+
+
+def test_global_prefix_sum_mark_materialized_silences_eviction(spark):
+    """mark_materialized() (r9, r8 ADVICE): after the caller
+    materializes a materialize=False result, acknowledging it releases
+    the tracked sort so the NEXT call warns nothing — routine
+    sequential use stays warning-free."""
+    from serverless_podcast_etl_spark.operators import selection as sel
+
+    df1 = spark.createDataFrame(
+        [(i, 1) for i in range(20)], "id long, cost long"
+    )
+    df2 = spark.createDataFrame(
+        [(i, 2) for i in range(10)], "id long, cost long"
+    )
+    try:
+        out1 = global_prefix_sum(
+            df1, "cost", [F.col("id")], materialize=False
+        )
+        assert out1.count() == 20  # materialized by the caller
+        sel.mark_materialized()
+        assert not sel._LAST_PERSISTED
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # would raise on any warning
+            out2 = global_prefix_sum(
+                df2, "cost", [F.col("id")], materialize=False
+            )
+        assert out2.count() == 10
+        # idempotent no-op when nothing is tracked
+        sel.mark_materialized()
+        sel.mark_materialized()
+        assert not sel._LAST_PERSISTED
+    finally:
+        while sel._LAST_PERSISTED:
+            sel._LAST_PERSISTED.pop().unpersist()

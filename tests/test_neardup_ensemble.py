@@ -101,16 +101,43 @@ def test_applied_ensemble_dedup(spark):
     assert sorted(r["doc_id"] for r in out.collect()) == [0, 3, 4, 5]
 
 
-def test_applied_ensemble_dedup_nonrep_removed_by_foreign_min(spark):
-    # when the out-of-corpus endpoint IS the component minimum, the
-    # corpus doc is a non-representative and must be removed — the
-    # ensemble's decision is over the whole id space, not just df's
+def test_applied_ensemble_dedup_foreign_min_cannot_orphan_component(spark):
+    # r8 ADVICE hazard: an out-of-corpus endpoint that IS the
+    # component minimum must NOT become the representative — that
+    # would remove every real member and leave the component with
+    # zero surviving corpus docs.  The representative is the min over
+    # ids PRESENT in df: 10 survives; 11 (linked to 10 via the
+    # foreign node 1) is the non-representative and is removed.
+    corpus = spark.createDataFrame(
+        [(10, "a"), (11, "b"), (12, "c")], "doc_id long, text string"
+    )
+    out = ensemble_dedup_keep_first(
+        corpus,
+        {"embedding": _pairs(spark, [(1, 10), (1, 11)])},
+        id_col="doc_id",
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [10, 12]
+
+
+def test_applied_ensemble_dedup_all_foreign_component_removes_nothing(spark):
+    # a component with NO df member cannot remove anything
     corpus = spark.createDataFrame(
         [(10, "a"), (11, "b")], "doc_id long, text string"
     )
     out = ensemble_dedup_keep_first(
         corpus,
-        {"embedding": _pairs(spark, [(1, 10)])},
+        {"embedding": _pairs(spark, [(1, 2)])},
         id_col="doc_id",
     )
-    assert sorted(r["doc_id"] for r in out.collect()) == [11]
+    assert sorted(r["doc_id"] for r in out.collect()) == [10, 11]
+
+
+def test_ensemble_rejects_cc_output_renames(spark):
+    with pytest.raises(ValueError, match="pins the CC output"):
+        neardup_ensemble(
+            {"minhash": _pairs(spark, [(1, 2)])}, out_id="node"
+        )
+    with pytest.raises(ValueError, match="pins the CC output"):
+        neardup_ensemble(
+            {"minhash": _pairs(spark, [(1, 2)])}, out_comp="cluster"
+        )
