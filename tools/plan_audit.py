@@ -25,6 +25,25 @@ from serverless_podcast_etl_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
+#: The ONLY queries allowed a BroadcastNestedLoopJoin, with the reason
+#: each is sanctioned (r8 VERDICT "what's wrong" #1: the review rule
+#: must be mechanically checkable).  Two sanctioned shapes exist:
+#: broadcast ANN scorers (a small query/probe side broadcast against
+#: the corpus — the exact arm several recall audits compose), and
+#: one-row scalar attaches (a 1-row aggregate broadcast to every row —
+#: safe at any scale).  main() FAILS if bnlj appears anywhere else, or
+#: if any plan contains a CartesianProduct.
+BNLJ_WHITELIST: dict[str, str] = {
+    "q22_ann_topk": "broadcast ANN scorer (queries broadcast vs corpus)",
+    "q23_embedding_neardup": "guarded exact pair scorer (size-capped)",
+    "q55_quantized_ann_topk": "broadcast ANN scorer (IVF probe)",
+    "q60_ann_recall": "composes q22's exact arm",
+    "q62_ann_recall_panel": "composes q22's exact arm (ground truth)",
+    "q80_unigram_lm_scores": (
+        "one-row totals scalar attach (functions/textstats.py)"
+    ),
+}
+
 
 def _count_nodes(plan: str, node: str) -> int:
     # formatted plans print each node twice (tree + detail); count the
@@ -119,8 +138,14 @@ def main() -> None:
         "Regenerate after operator changes; reviewed facts:",
         "",
         "- `cartesian` must be 0 everywhere.",
-        "- `bnlj` > 0 only for the sanctioned broadcast ANN scorers",
-        "  (q22/q23/q55 and q60, which composes q22).",
+        "- `bnlj` > 0 only at whitelisted queries (BNLJ_WHITELIST in",
+        "  tools/plan_audit.py): the broadcast ANN scorers (q22/q23/",
+        "  q55, and q60/q62 which compose q22's exact arm) and",
+        "  documented one-row scalar broadcasts (q80's corpus-totals",
+        "  attach — a 1-row frame broadcast to every row, safe at any",
+        "  scale).  ENFORCED MECHANICALLY: the generator fails on any",
+        "  non-whitelisted bnlj or any cartesian, so a table that",
+        "  exists at all satisfies both rules.",
         "- `python` > 0 only where the operator is genuinely",
         "  non-expressible in JVM expressions (tokenizer/decode seams,",
         "  numpy matmul kernels: ANN scoring, LSH table hashing, IVF",
@@ -138,12 +163,34 @@ def main() -> None:
         "| query | exchanges | bhj | smj | bnlj | cartesian | codegen | pushed filters | python |",
         "|---|---|---|---|---|---|---|---|---|",
     ]
+    violations = []
     for name, a in rows:
+        base = name.split("[", 1)[0]
+        if a["cartesian"]:
+            violations.append(f"{name}: cartesian={a['cartesian']}")
+        if a["bnlj"] and base not in BNLJ_WHITELIST:
+            violations.append(
+                f"{name}: bnlj={a['bnlj']} not in BNLJ_WHITELIST"
+            )
         out.append(
             f"| {name} | {a['exchanges']} | {a['bhj']} | {a['smj']} "
             f"| {a['bnlj']} | {a['cartesian']} | {a['codegen_spans']} "
             f"| {'yes' if a['pushed_filters'] else '—'} | {a['python_stages']} |"
         )
+    if violations:
+        raise SystemExit(
+            "plan audit FAILED — unsanctioned plan facts (PLANS.md not "
+            "written):\n  " + "\n  ".join(violations)
+        )
+    whitelisted = sorted(
+        n for n, a in rows if a["bnlj"] and n.split("[", 1)[0] in BNLJ_WHITELIST
+    )
+    out.append("")
+    out.append(
+        "Mechanical check: PASS — 0 cartesians; bnlj only at "
+        + ", ".join(whitelisted)
+        + " (all whitelisted)."
+    )
     out.append("")
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "PLANS.md"), "w") as f:
