@@ -19,10 +19,11 @@ At scale: the key read-back can push a partitioned read
 partition (``batchsize``) — both exposed via ``reader_options`` /
 ``writer_options``.  No driver-side row handling anywhere.
 
-Untested against a live database in this environment (no JDBC driver
-jar is shipped); the orchestration — key pruning, anti-join, append
-mode — is unit-tested with recorded reader/writer calls in
-tests/test_jdbc_store.py.
+Tested two ways: the orchestration — key pruning, anti-join, append
+gating — with recorded reader/writer calls (tests/test_jdbc_store.py),
+and the LIVE path end-to-end against embedded Apache Derby, whose
+jars ship with Spark (tests/test_jdbc_derby_roundtrip.py: write →
+read-back → idempotent re-write → overlapping batch).
 """
 
 from __future__ import annotations
@@ -51,21 +52,25 @@ class JdbcTableStore:
         self.writer_options = dict(writer_options or {})
 
     def read(self, table: str, columns: list[str] | None = None) -> DataFrame:
-        """JDBC scan, optionally pruned to ``columns`` via a pushdown
-        subquery (reads only the key columns for insert_ignore)."""
-        dbtable = (
-            f"(SELECT {', '.join(columns)} FROM {table}) AS t"
-            if columns
-            else table
-        )
+        """JDBC scan, optionally pruned to ``columns``.
+
+        Pruning is a plain ``.select`` — Spark's JDBC source pushes
+        the projection into the generated query itself, with
+        DIALECT-CORRECT identifier quoting.  (A hand-built
+        ``(SELECT col FROM t)`` subquery breaks against stores that
+        quote identifiers at CREATE — Spark's writer quotes
+        lower-case column names, so Derby folds the unquoted
+        reference to upper case and misses them; found by the live
+        Derby roundtrip, tests/test_jdbc_derby_roundtrip.py.)"""
         reader = (
             self.spark.read.format("jdbc")
             .option("url", self.url)
-            .option("dbtable", dbtable)
+            .option("dbtable", table)
         )
         for k, v in {**self.properties, **self.reader_options}.items():
             reader = reader.option(k, v)
-        return reader.load()
+        df = reader.load()
+        return df.select(*columns) if columns else df
 
     def append(self, table: str, df: DataFrame) -> None:
         writer = (

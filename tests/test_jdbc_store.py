@@ -62,9 +62,19 @@ def test_insert_ignore_noop_skips_write(spark, existing):
     assert store.appended == []  # re-delivery is a no-op, no JDBC write
 
 
-def test_key_pruned_read_builds_subquery(spark):
+def test_key_pruned_read_selects_columns(spark):
+    """Pruning is a .select on the loaded relation — Spark pushes the
+    projection into the JDBC query with dialect-correct quoting (a
+    hand-built unquoted subquery broke against Derby's quoted
+    identifiers; see tests/test_jdbc_derby_roundtrip.py)."""
     store = JdbcTableStore(spark, url="jdbc:mysql://example.invalid/wh")
     reader_conf = {}
+    selected = []
+
+    class FakeFrame:
+        def select(self, *cols):
+            selected.append(list(cols))
+            return self
 
     # capture the options the reader would send without loading
     class FakeReader:
@@ -77,13 +87,14 @@ def test_key_pruned_read_builds_subquery(spark):
             return self
 
         def load(self):
-            return None
+            return FakeFrame()
 
     store.spark = type("S", (), {"read": FakeReader()})()
     store.read("episode_dimension", columns=["link"])
     assert reader_conf["format"] == "jdbc"
-    assert reader_conf["dbtable"] == "(SELECT link FROM episode_dimension) AS t"
+    assert reader_conf["dbtable"] == "episode_dimension"
     assert reader_conf["url"].startswith("jdbc:mysql://")
+    assert selected == [["link"]]
 
 
 def test_natural_keys_default(spark, existing):
