@@ -87,6 +87,33 @@ def parse_rss_xml(df: DataFrame, xml_col: str = "xml") -> DataFrame:
     return df.select(rebuilt["rss"].alias("rss"))
 
 
+def fetch_rss_docs(
+    feeds: DataFrame,
+    url_col: str = "feed",
+    transport=None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Feed URLs → parsed RSS structs: the fetch front of S5
+    (src/lambda_2.py:160-171 — ``requests.get`` per feed, then
+    xmltodict), composed as ``sources.fetch.fetch_urls`` →
+    ``parse_rss_xml``.
+
+    Unfetchable feeds (transport error, null URL) and malformed XML
+    both degrade to null structs that ``parse_rss_docs`` drops —
+    byte-for-byte the staged-ingest posture, so the downstream
+    pipeline is IDENTICAL whether feeds arrive staged or live.  The
+    binary→string cast decodes UTF-8 leniently (replacement chars),
+    never throwing on a hostile feed."""
+    from ..sources.fetch import fetch_urls
+
+    fetched = fetch_urls(
+        feeds, url_col, transport=transport, num_partitions=num_partitions
+    )
+    return parse_rss_xml(
+        fetched.withColumn("xml", F.col("body").cast("string")), "xml"
+    )
+
+
 def parse_rss_docs(rss_docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     """RSS documents → (podcast rows, episode rows).
 

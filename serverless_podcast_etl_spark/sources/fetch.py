@@ -1,0 +1,104 @@
+"""URL fetch seam (the optional front of S5 RSS ingest and S8 audio
+download).
+
+The reference fetches inline with ``requests`` — feeds at
+``/root/reference/src/lambda_2.py:168-171``, episode audio at
+``src/lambda_3.py:84-88`` — one URL at a time inside a Lambda.  The
+engine's staged pipelines start from already-fetched bytes (fetching
+is an external-I/O concern, SURVEY §2); this module closes the gap
+for users who want the whole path in one plan: ``fetch_urls`` is an
+Arrow-batched ``mapInPandas`` stage that pulls each row's URL through
+a pluggable TRANSPORT and appends the payload as a ``binary`` column.
+
+Semantics:
+
+- **Failures are rows, not exceptions**: a transport error lands as
+  ``body = NULL`` + ``fetch_error`` holding ``Type: message`` —
+  the same swallow-don't-crash posture as F4 date parsing and
+  PERMISSIVE XML.  A crawl that dies on URL #7,391,204 of a 100 TB
+  refresh is not a pipeline; downstream filters on
+  ``fetch_error IS NULL`` and the error rows are the retry queue.
+- **Transport is pluggable and must be picklable** (it ships to
+  executors): the default ``urllib_transport`` covers ``http(s)://``
+  AND ``file://`` via the stdlib — ``file://`` doubles as the
+  deterministic local transport for tests and air-gapped runs, no
+  fake needed.
+- **Scale**: fetching is LATENCY-bound, not CPU-bound — pass
+  ``num_partitions`` to spread a URL list across executors (a
+  one-partition list would fetch serially no matter the cluster
+  size).  Each partition holds one Python worker whose loop fetches
+  sequentially; parallelism = partitions.  No driver-side fetching,
+  no collect.
+
+Composition points: ``pipeline.ingest.fetch_rss_docs`` (URLs → parsed
+RSS structs, S5) and ``operators.multimodal.chunk_binary`` over the
+``body`` column (S8/S9) — the golden-pipeline-from-URLs test drives
+both to the same warehouse tables as the staged path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+
+Transport = Callable[[str], bytes]
+
+
+def urllib_transport(url: str, timeout: float = 30.0) -> bytes:
+    """Default transport: stdlib urllib, supporting http(s):// and
+    file:// (the deterministic local scheme tests use).  Raises on any
+    transport failure — ``fetch_urls`` converts that to an error row."""
+    from urllib.request import urlopen
+
+    with urlopen(url, timeout=timeout) as resp:  # noqa: S310 (scheme chosen by caller)
+        return resp.read()
+
+
+def fetch_urls(
+    df: DataFrame,
+    url_col: str,
+    transport: Transport | None = None,
+    out_col: str = "body",
+    error_col: str = "fetch_error",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Fetch every row's ``url_col`` through ``transport``, appending
+    ``out_col`` (binary payload, NULL on failure) and ``error_col``
+    (NULL on success, ``Type: message`` on failure).  All input
+    columns pass through unchanged."""
+    transport = transport or urllib_transport
+    schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField(out_col, BinaryType()),
+            StructField(error_col, StringType()),
+        ]
+    )
+
+    def fetch_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            bodies: list[bytes | None] = []
+            errors: list[str | None] = []
+            for url in pdf[url_col]:
+                if url is None:
+                    bodies.append(None)
+                    errors.append("ValueError: url is null")
+                    continue
+                try:
+                    bodies.append(bytes(transport(url)))
+                    errors.append(None)
+                except Exception as exc:  # noqa: BLE001 — error rows by contract
+                    bodies.append(None)
+                    errors.append(f"{type(exc).__name__}: {exc}")
+            out = pdf.copy()
+            out[out_col] = pd.Series(bodies, index=pdf.index, dtype=object)
+            out[error_col] = pd.Series(errors, index=pdf.index, dtype=object)
+            yield out
+
+    src = df.repartition(num_partitions) if num_partitions else df
+    return src.mapInPandas(fetch_batches, schema)
