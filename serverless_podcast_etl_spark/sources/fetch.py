@@ -64,11 +64,21 @@ def fetch_urls(
     out_col: str = "body",
     error_col: str = "fetch_error",
     num_partitions: int | None = None,
+    max_attempts: int = 1,
 ) -> DataFrame:
     """Fetch every row's ``url_col`` through ``transport``, appending
     ``out_col`` (binary payload, NULL on failure) and ``error_col``
     (NULL on success, ``Type: message`` on failure).  All input
-    columns pass through unchanged."""
+    columns pass through unchanged.
+
+    ``max_attempts`` > 1 retries a failing URL in place before
+    emitting its error row (transient-fault absorption inside the
+    task — a Spark TASK retry would refetch the whole partition);
+    the recorded error is the LAST attempt's.  No sleep between
+    attempts — back-off policy belongs in the transport, where the
+    protocol (Retry-After, jitter) is known."""
+    if max_attempts < 1:
+        raise ValueError(f"max_attempts must be >= 1, got {max_attempts}")
     transport = transport or urllib_transport
     schema = StructType(
         list(df.schema.fields)
@@ -89,12 +99,15 @@ def fetch_urls(
                     bodies.append(None)
                     errors.append("ValueError: url is null")
                     continue
-                try:
-                    bodies.append(bytes(transport(url)))
-                    errors.append(None)
-                except Exception as exc:  # noqa: BLE001 — error rows by contract
-                    bodies.append(None)
-                    errors.append(f"{type(exc).__name__}: {exc}")
+                body, err = None, None
+                for _ in range(max_attempts):
+                    try:
+                        body, err = bytes(transport(url)), None
+                        break
+                    except Exception as exc:  # noqa: BLE001 — error rows by contract
+                        err = f"{type(exc).__name__}: {exc}"
+                bodies.append(body)
+                errors.append(err)
             out = pdf.copy()
             out[out_col] = pd.Series(bodies, index=pdf.index, dtype=object)
             out[error_col] = pd.Series(errors, index=pdf.index, dtype=object)

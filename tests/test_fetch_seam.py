@@ -95,6 +95,52 @@ def test_fetch_urls_file_transport_and_error_rows(spark, tmp_path):
     assert rows[3]["body"] is None and "null" in rows[3]["fetch_error"]
 
 
+def _flaky_transport(url: str) -> bytes:
+    """Fails each URL's first attempt, succeeds after — the marker
+    file carries per-URL attempt state across retries (same worker
+    process within one mapInPandas batch).  Top-level for pickling."""
+    import hashlib
+    import os
+    import tempfile
+    from urllib.request import urlopen
+
+    marker = os.path.join(
+        tempfile.gettempdir(),
+        "flaky_" + hashlib.md5(url.encode()).hexdigest(),
+    )
+    if not os.path.exists(marker):
+        open(marker, "w").close()
+        raise TimeoutError("transient fault (attempt 1)")
+    with urlopen(url) as resp:
+        return resp.read()
+
+
+def test_fetch_urls_retries_transient_faults(spark, tmp_path):
+    (tmp_path / "ok.txt").write_bytes(b"payload")
+    urls = spark.createDataFrame(
+        [(1, f"file://{tmp_path}/ok.txt")], "id long, url string"
+    )
+    # one attempt: the transient fault IS the result
+    r1 = fetch_urls(urls, "url", transport=_flaky_transport).collect()[0]
+    assert r1["body"] is None and "TimeoutError" in r1["fetch_error"]
+    # marker now exists; reset it so the retry path is what recovers
+    import glob
+    import os
+    import tempfile
+
+    for m in glob.glob(os.path.join(tempfile.gettempdir(), "flaky_*")):
+        os.remove(m)
+    r2 = fetch_urls(
+        urls, "url", transport=_flaky_transport, max_attempts=2
+    ).collect()[0]
+    assert bytes(r2["body"]) == b"payload" and r2["fetch_error"] is None
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_attempts"):
+        fetch_urls(urls, "url", max_attempts=0)
+
+
 def test_golden_pipeline_from_urls_matches_staged(spark, tmp_path):
     # ---- staged run: structs + binary frames straight in ----------------
     wh_staged = Warehouse(spark, str(tmp_path / "wh_staged"))
