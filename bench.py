@@ -155,6 +155,7 @@ HEADLINE = [
     "q97_neardup_ensemble",
     "q98_ensemble_dedup",
     "q99_incremental_refresh",
+    "q100_target_importance_select",
 ]
 
 #: Every exclusion, with its reason in the header comment above —

@@ -20,6 +20,9 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from ..functions import hashing
+from ..functions.text import word_tokens
+
 # One-slot tracker for global_prefix_sum(materialize=False)'s persisted
 # sort: the frame must outlive the call (the returned plan reads it),
 # so each call evicts its predecessor instead (bounded cache footprint
@@ -518,3 +521,158 @@ def quantile_bins(
         case = case.when(F.col(score_col) <= F.lit(b), F.lit(i))
     case = case.otherwise(F.lit(len(bounds)))
     return df.withColumn(out_col, case.cast("int"))
+
+
+def _gram_buckets(
+    text_col: str, num_buckets: int, max_n: int
+) -> Column:
+    """array<long> of hashed word-n-gram feature buckets (all n in
+    1..max_n concatenated), computed entirely in-row: whitespace
+    tokens → portable md5 token hashes → polynomial shingle folds →
+    ``% num_buckets``.  Token hashes land in [0, 2^32), so plain
+    ``%`` is non-negative in Spark and DuckDB alike."""
+    th = hashing.token_hashes(word_tokens(F.col(text_col)))
+    grams = th
+    for n in range(2, max_n + 1):
+        grams = F.concat(grams, hashing.shingle_hash_array(th, n))
+    return F.transform(grams, lambda h: h % F.lit(num_buckets))
+
+
+def _bucket_weights(
+    df: DataFrame, text_col: str, num_buckets: int, max_n: int
+) -> tuple[list[int], int]:
+    """Add-1-smoothed feature counts for one corpus: ``weights[b] =
+    count_b + 1`` (length ``num_buckets``) and the smoothed total
+    ``Σ count + num_buckets``.  One explode → hash-agg pass whose
+    shuffle carries at most ``num_buckets`` rows per partition
+    (map-side partial aggregation collapses the exploded grams), then
+    one BOUNDED collect — rows ≤ num_buckets by construction, the
+    same driver-side-bounds class as ``global_prefix_sum``'s offsets."""
+    counts = (
+        df.select(
+            F.explode(
+                _gram_buckets(text_col, num_buckets, max_n)
+            ).alias("_b")
+        )
+        .groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .collect()
+    )
+    weights = [1] * num_buckets
+    total = num_buckets
+    for r in counts:
+        weights[r["_b"]] += r["_c"]
+        total += r["_c"]
+    return weights, total
+
+
+def target_affinity_scores(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_buckets: int = 1024,
+    max_n: int = 2,
+) -> DataFrame:
+    """Per-document target-distribution affinity over hashed n-gram
+    features — the data-selection step of a pretraining pipeline
+    (select raw web documents that look like a small trusted target
+    corpus), after DSIR (Xie et al., "Data Selection for Language
+    Models via Importance Resampling", NeurIPS 2023): fit hashed
+    n-gram feature distributions on TARGET and RAW, then score every
+    raw document by how much its features favor the target.
+
+    Deviation from the paper, deliberately: DSIR's per-feature weight
+    is the LOG ratio ``log p_t(f) − log p_r(f)``; this operator uses
+    the rational DIFFERENCE ``p_t(f) − p_r(f)``, so the per-document
+    score
+
+        score = 1e6 · (A/T_t − B/T_r) / n_grams,
+        A = Σ_grams (target_count[bucket]+1),  T_t = Σ count + K
+        B = Σ_grams (raw_count[bucket]+1),     T_r = Σ count + K
+
+    accumulates as EXACT INTEGERS (A, B, n_grams) with float entering
+    only through two correctly-rounded IEEE divisions, one subtract,
+    one multiply, one divide per document — bit-identical in any
+    engine, hence DuckDB-oracle-hashable, where a log-space sum
+    diverges in the last ulp across runtimes (NOTES fact 12).  Log
+    weights are a one-line swap where cross-engine hashing is not a
+    requirement.  Rank order is monotone in the per-gram evidence
+    either way; the difference form weighs common features more and
+    rare features less than the log form.
+
+    Scale shape: both distribution fits are one in-row hashing pass +
+    a ≤``num_buckets``-row shuffle; the score pass is PURELY in-row —
+    the two weight tables ship as array literals inside the plan
+    (~16 KB at the default 1024 buckets), so scoring 100 TB of raw
+    text is a single scan with zero shuffle and zero joins.  Token-
+    less documents emit no row (no evidence — same domain contract
+    as ``minhash_signatures``).  Overflow: A ≤ n_grams · (T_t+1)
+    must stay under 2^63 — with a billion-gram target corpus that
+    caps documents at ~9e9 grams, far beyond any real document.
+
+    Returns (id_col, n_grams, score) with ``score`` rounded to 6 dp
+    (ranking therefore ties only at genuinely equal rounded evidence;
+    break ties on ``id_col`` downstream).
+    """
+    wt, tt = _bucket_weights(target, text_col, num_buckets, max_n)
+    wr, tr = _bucket_weights(raw, text_col, num_buckets, max_n)
+    wt_lit = F.lit(wt)
+    wr_lit = F.lit(wr)
+    buckets = _gram_buckets(text_col, num_buckets, max_n)
+    scored = (
+        raw.select(id_col, buckets.alias("_b"))
+        .filter(F.size("_b") > 0)
+        .select(
+            id_col,
+            F.size("_b").cast("long").alias("n_grams"),
+            F.aggregate(
+                "_b",
+                F.lit(0).cast("long"),
+                lambda acc, b: acc
+                + F.element_at(wt_lit, b.cast("int") + 1),
+            ).alias("_a"),
+            F.aggregate(
+                "_b",
+                F.lit(0).cast("long"),
+                lambda acc, b: acc
+                + F.element_at(wr_lit, b.cast("int") + 1),
+            ).alias("_bsum"),
+        )
+    )
+    return scored.select(
+        id_col,
+        "n_grams",
+        F.round(
+            (
+                F.col("_a").cast("double") / F.lit(float(tt))
+                - F.col("_bsum").cast("double") / F.lit(float(tr))
+            )
+            * F.lit(1_000_000.0)
+            / F.col("n_grams").cast("double"),
+            6,
+        ).alias("score"),
+    )
+
+
+def select_by_target_affinity(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    num_buckets: int = 1024,
+    max_n: int = 2,
+) -> DataFrame:
+    """Top-``k`` raw documents by target affinity (score DESC, then
+    ``id_col`` ASC — the rounded score makes the order, and therefore
+    the selected set, deterministic cross-engine).  orderBy + limit
+    compiles to TakeOrdered: per-partition top-k then a k-row merge,
+    never a global sort materialization."""
+    scores = target_affinity_scores(
+        raw, target, text_col, id_col,
+        num_buckets=num_buckets, max_n=max_n,
+    )
+    return scores.orderBy(
+        F.col("score").desc(), F.col(id_col)
+    ).limit(k)

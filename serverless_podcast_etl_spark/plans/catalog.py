@@ -3513,6 +3513,79 @@ ORDER BY d.doc_id
 """
 
 
+def q100_target_importance_select(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DSIR-style data selection (selection.target_affinity_scores /
+    select_by_target_affinity; Xie et al., NeurIPS 2023): score every
+    document's hashed-n-gram affinity to a trusted TARGET distribution
+    (here: the English subset as the "quality" corpus) and keep the
+    top 100 — the select-web-data-that-looks-like-the-target step of
+    a pretraining pipeline.
+
+    Spark shape: two fit passes (in-row hashing + a ≤1024-row
+    shuffle each, one bounded collect each), then a PURELY in-row
+    scoring scan — the two weight tables ride the plan as ~8 KB array
+    literals, so the 100 TB case is one corpus scan with zero joins —
+    finished by orderBy+limit (TakeOrdered, no global sort).  The
+    rational score form keeps every accumulation integer-exact (float
+    enters only via per-doc correctly-rounded IEEE ops), which is
+    what makes this hash-exact against the DuckDB twin; see the
+    operator docstring for the deliberate log-ratio deviation."""
+    docs = _t(spark, sf_dir, "documents")
+    return selection.select_by_target_affinity(
+        docs,
+        docs.filter(F.col("lang") == "en"),
+        text_col="text",
+        id_col="doc_id",
+        k=100,
+        num_buckets=1024,
+        max_n=2,
+    )
+
+
+def _target_importance_sql() -> str:
+    """DuckDB twin: same tokens (_toks_cte), same md5 token hashes
+    and polynomial bigram fold (functions.hashing twins), same
+    bucketing, add-1 smoothing, and score arithmetic in the same
+    operation order."""
+    bigram = hashing.shingle_hash_sql("th", "i", 2)
+    return f"""
+WITH th AS (
+  SELECT doc_id, lang, {hashing.token_hashes_sql('t')} AS th
+  FROM (SELECT doc_id, lang, list_filter(
+          regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS t
+        FROM documents)
+),
+g AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(th, h -> h % 1024) ||
+                list_transform(range(1, greatest(len(th) - 2 + 2, 1)),
+                               i -> ({bigram}) % 1024)) AS b
+  FROM th
+),
+tc AS (SELECT b, count(*) AS c FROM g WHERE lang = 'en' GROUP BY b),
+rc AS (SELECT b, count(*) AS c FROM g GROUP BY b),
+tt AS (SELECT CAST(coalesce(sum(c), 0) + 1024 AS DOUBLE) AS tot FROM tc),
+tr AS (SELECT CAST(coalesce(sum(c), 0) + 1024 AS DOUBLE) AS tot FROM rc),
+docsums AS (
+  SELECT g.doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(count(*) + sum(coalesce(tc.c, 0)) AS BIGINT) AS a,
+         CAST(count(*) + sum(coalesce(rc.c, 0)) AS BIGINT) AS bs
+  FROM g LEFT JOIN tc USING (b) LEFT JOIN rc USING (b)
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id, d.n_grams,
+       round((CAST(d.a AS DOUBLE) / tt.tot
+              - CAST(d.bs AS DOUBLE) / tr.tot)
+             * 1000000.0 / CAST(d.n_grams AS DOUBLE), 6) AS score
+FROM docsums d, tt, tr
+ORDER BY score DESC, d.doc_id
+LIMIT 100
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "q01_pricing_summary": QueryDef(q01_pricing_summary, _Q01_SQL, "filter+agg+sort (A1/A3)"),
     "q02_event_type_counts": QueryDef(q02_event_type_counts, _Q02_SQL, "groupBy count desc (A1/O1)"),
@@ -3837,6 +3910,11 @@ CATALOG: dict[str, QueryDef] = {
         _incremental_refresh_sql(),
         "snapshot delta -> admission gate (continuous-crawl refresh)",
     ),
+    "q100_target_importance_select": QueryDef(
+        q100_target_importance_select,
+        _target_importance_sql(),
+        "DSIR-style hashed-ngram target-affinity selection",
+    ),
 }
 
 
@@ -4015,6 +4093,10 @@ DRIVER_OVERFLOW: frozenset[str] = frozenset(
         "q91_event_debounce",
         "q93_funnel_conversion",
         "q94_retention_cohorts",
+        # r9 addition starts in overflow, replica-certified, per the
+        # standing convention (q100 DSIR-style target-affinity
+        # selection)
+        "q100_target_importance_select",
     }
 )
 

@@ -1,0 +1,90 @@
+"""DSIR-style target-affinity selection (r9): hashed n-gram feature
+distributions fit on target + raw, per-doc rational affinity score,
+deterministic top-k.  The cross-engine hash-exactness is certified by
+the q100 catalog oracle; these tests pin the SEMANTICS."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from serverless_podcast_etl_spark.operators.selection import (
+    select_by_target_affinity,
+    target_affinity_scores,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_target_like_docs_score_higher(spark):
+    target = _docs(spark, [(100, "alpha beta gamma"), (101, "alpha beta")])
+    raw = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma"),  # pure target vocabulary
+            (2, "zzz qqq www eee"),  # disjoint vocabulary
+            (3, "alpha beta zzz qqq"),  # half-and-half
+        ],
+    )
+    scores = {
+        r["doc_id"]: r["score"]
+        for r in target_affinity_scores(
+            raw, target, "text", "doc_id"
+        ).collect()
+    }
+    assert scores[1] > scores[3] > scores[2]
+
+
+def test_tokenless_docs_emit_no_row(spark):
+    target = _docs(spark, [(100, "alpha beta")])
+    raw = _docs(spark, [(1, "alpha"), (2, "   "), (3, None)])
+    out = target_affinity_scores(raw, target, "text", "doc_id").collect()
+    assert [r["doc_id"] for r in out] == [1]
+
+
+def test_scores_partitioning_invariant(spark):
+    target = _docs(spark, [(100, "alpha beta gamma delta")])
+    rows = [(i, f"alpha beta w{i % 7} w{i % 5} gamma") for i in range(60)]
+    raw = _docs(spark, rows)
+    a = sorted(
+        tuple(r)
+        for r in target_affinity_scores(raw, target, "text", "doc_id").collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in target_affinity_scores(
+            raw.repartition(13), target, "text", "doc_id"
+        ).collect()
+    )
+    assert a == b
+
+
+def test_select_top_k_deterministic_order(spark):
+    target = _docs(spark, [(100, "alpha beta")])
+    raw = _docs(
+        spark,
+        [
+            (5, "alpha beta"),
+            (2, "alpha beta"),  # identical text: tie broken by doc_id
+            (9, "zzz qqq"),
+        ],
+    )
+    out = select_by_target_affinity(
+        raw, target, "text", "doc_id", k=2
+    ).collect()
+    assert [r["doc_id"] for r in out] == [2, 5]
+
+
+def test_bigram_evidence_counts(spark):
+    # same unigrams, different ORDER: only bigram features separate
+    # them, so the in-order doc must outscore the shuffled one
+    target = _docs(spark, [(100, "new york city")] * 1)
+    raw = _docs(spark, [(1, "new york city"), (2, "city new york")])
+    scores = {
+        r["doc_id"]: r["score"]
+        for r in target_affinity_scores(
+            raw, target, "text", "doc_id"
+        ).collect()
+    }
+    assert scores[1] > scores[2]
