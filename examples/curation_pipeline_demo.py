@@ -8,7 +8,8 @@ URL canonical dedup → domain blocklist → line-level cleaning →
 quality gate → exact dedup → cross-doc boilerplate stripping →
 near-dup cluster dedup (+ cross-source leakage matrix report) →
 fraction-gated eval-set decontamination → leakage-free train/eval
-split → per-source quota cap → LM-scored token-budget selection →
+split → DSIR-style target-affinity selection → per-source quota
+cap → LM-scored token-budget selection →
 source-weighted mixture materialization → deterministic shuffle into
 training shards — then the r8 closing loop as its own fresh-session
 job, the way production schedules these: a multi-method near-dup
@@ -16,7 +17,7 @@ ENSEMBLE adjudication over the source corpus and an incremental
 snapshot REFRESH (diff → admission gate) simulating the next crawl —
 over the synthetic ``documents`` table, printing surviving row
 counts per stage.  Every stage is a certified catalog operator
-(q18/q43/q49/q71-q76/q79-q81/q83-q84/q87-q89/q97-q99); this file
+(q18/q43/q49/q71-q76/q79-q81/q83-q84/q87-q89/q97-q100); this file
 only composes them.
 """
 
@@ -174,11 +175,25 @@ def main() -> None:
         {r["split"]: r["count"] for r in docs.groupBy("split").count().collect()},
     )
 
+    # 6b. DSIR-style target-affinity gate (q100, r9) — keep the train
+    #     docs whose hashed-ngram features look most like the trusted
+    #     target distribution (here: the English subset stands in for
+    #     a curated quality corpus)
+    train = docs.filter(F.col("split") == "train")
+    affine = selection.select_by_target_affinity(
+        train.select("doc_id", "text"),
+        train.filter(F.col("lang") == "en").select("doc_id", "text"),
+        text_col="text",
+        id_col="doc_id",
+        k=200,
+    )
+    train = train.join(affine.select("doc_id"), "doc_id")
+    print(f"after target-affinity selection (top 200): {train.count()}")
+
     # 7. per-source quota + LM-scored token budget on the train split
     #    (q75/q74, ordered by the q80 unigram LM rarity score — most
     #    corpus-typical documents fill the budget first, rarity
     #    outliers only if room remains)
-    train = docs.filter(F.col("split") == "train")
     lm = textstats.unigram_frequency_scores(
         train, text_col="text", id_col="doc_id"
     )
