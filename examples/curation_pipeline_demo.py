@@ -181,11 +181,12 @@ def main() -> None:
     #     a curated quality corpus)
     train = docs.filter(F.col("split") == "train")
     affine = selection.select_by_target_affinity(
-        train.select("doc_id", "text"),
-        train.filter(F.col("lang") == "en").select("doc_id", "text"),
+        train.select("doc_id", "text", "lang"),
+        None,
         text_col="text",
         id_col="doc_id",
         k=200,
+        target_predicate=F.col("lang") == "en",
     )
     train = train.join(affine.select("doc_id"), "doc_id")
     print(f"after target-affinity selection (top 200): {train.count()}")

@@ -3523,11 +3523,13 @@ def q100_target_importance_select(
     top 100 — the select-web-data-that-looks-like-the-target step of
     a pretraining pipeline.
 
-    Spark shape: two fit passes (in-row hashing + a ≤1024-row
-    shuffle each, one bounded collect each), then a PURELY in-row
-    scoring scan — the two weight tables ride the plan as ~8 KB array
-    literals, so the 100 TB case is one corpus scan with zero joins —
-    finished by orderBy+limit (TakeOrdered, no global sort).  The
+    Spark shape: ONE joint fit pass (the target is a subset of raw,
+    so a conditional per-bucket count fits both distributions from a
+    single hashing scan + ≤1024-row shuffle + bounded collect), then
+    a PURELY in-row scoring scan — the weight tables ride the plan as
+    ~8 KB array literals, so the 100 TB case is two corpus scans
+    total with zero joins — finished by orderBy+limit (TakeOrdered,
+    no global sort).  The
     rational score form keeps every accumulation integer-exact (float
     enters only via per-doc correctly-rounded IEEE ops), which is
     what makes this hash-exact against the DuckDB twin; see the
@@ -3535,12 +3537,15 @@ def q100_target_importance_select(
     docs = _t(spark, sf_dir, "documents")
     return selection.select_by_target_affinity(
         docs,
-        docs.filter(F.col("lang") == "en"),
+        None,
         text_col="text",
         id_col="doc_id",
         k=100,
         num_buckets=1024,
         max_n=2,
+        # subset-target fast path: one conditional-count fit pass
+        # instead of hashing the corpus once per distribution
+        target_predicate=F.col("lang") == "en",
     )
 
 

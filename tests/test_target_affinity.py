@@ -76,6 +76,35 @@ def test_select_top_k_deterministic_order(spark):
     assert [r["doc_id"] for r in out] == [2, 5]
 
 
+def test_predicate_fit_path_matches_two_frame_fit(spark):
+    # the subset-target fast path (one conditional-count fit pass)
+    # must be output-identical to fitting the filtered frame
+    rows = [
+        (i, f"alpha w{i % 7} beta w{i % 5} gamma", "en" if i % 3 == 0 else "de")
+        for i in range(40)
+    ]
+    raw = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    via_frames = sorted(
+        tuple(r)
+        for r in target_affinity_scores(
+            raw, raw.filter(F.col("lang") == "en"), "text", "doc_id"
+        ).collect()
+    )
+    via_predicate = sorted(
+        tuple(r)
+        for r in target_affinity_scores(
+            raw, None, "text", "doc_id",
+            target_predicate=F.col("lang") == "en",
+        ).collect()
+    )
+    assert via_frames == via_predicate
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="target"):
+        target_affinity_scores(raw, None, "text", "doc_id")
+
+
 def test_bigram_evidence_counts(spark):
     # same unigrams, different ORDER: only bigram features separate
     # them, so the in-order doc must outscore the shuffled one
