@@ -611,6 +611,7 @@ def target_affinity_scores(
     num_buckets: int = 1024,
     max_n: int = 2,
     target_predicate: Column | None = None,
+    weight_form: str = "difference",
 ) -> DataFrame:
     """Per-document target-distribution affinity over hashed n-gram
     features — the data-selection step of a pretraining pipeline
@@ -633,11 +634,17 @@ def target_affinity_scores(
     only through two correctly-rounded IEEE divisions, one subtract,
     one multiply, one divide per document — bit-identical in any
     engine, hence DuckDB-oracle-hashable, where a log-space sum
-    diverges in the last ulp across runtimes (NOTES fact 12).  Log
-    weights are a one-line swap where cross-engine hashing is not a
-    requirement.  Rank order is monotone in the per-gram evidence
-    either way; the difference form weighs common features more and
-    rare features less than the log form.
+    diverges in the last ulp across runtimes (NOTES fact 12).
+    ``weight_form="log_ratio"`` gives the paper's exact weights
+    instead (score = mean of ``log p_t(b) − log p_r(b)`` over the
+    doc's grams, the per-gram log importance weight) — use it where
+    cross-engine hashing is not a requirement; it is deterministic
+    WITHIN Spark (the per-bucket weight is precomputed once,
+    driver-side, and the in-row fold always accumulates in the doc's
+    gram order), just not last-ulp-portable ACROSS engines.  Rank
+    order is monotone in the per-gram evidence either way; the
+    difference form weighs common features more and rare features
+    less than the log form.
 
     Fit shapes — two, picked by how the target is given:
 
@@ -664,6 +671,11 @@ def target_affinity_scores(
     (ranking therefore ties only at genuinely equal rounded evidence;
     break ties on ``id_col`` downstream).
     """
+    if weight_form not in ("difference", "log_ratio"):
+        raise ValueError(
+            f"weight_form must be 'difference' or 'log_ratio', "
+            f"got {weight_form!r}"
+        )
     if target_predicate is not None:
         wt, tt, wr, tr = _bucket_weights_joint(
             raw, target_predicate, text_col, num_buckets, max_n
@@ -675,9 +687,43 @@ def target_affinity_scores(
             )
         wt, tt = _bucket_weights(target, text_col, num_buckets, max_n)
         wr, tr = _bucket_weights(raw, text_col, num_buckets, max_n)
+    buckets = _gram_buckets(text_col, num_buckets, max_n)
+    if weight_form == "log_ratio":
+        # DSIR's exact per-feature weight, precomputed driver-side:
+        # w[b] = log p_t(b) − log p_r(b) with the same add-1
+        # smoothing; the score is the mean weight over the doc's
+        # grams.  One double fold per doc — same plan shape as the
+        # rational form, one weight array instead of two.
+        import math
+
+        w = [
+            math.log(wt[b] / tt) - math.log(wr[b] / tr)
+            for b in range(num_buckets)
+        ]
+        w_lit = F.lit(w)
+        logfold = F.aggregate(
+            "_b",
+            F.lit(0.0),
+            lambda acc, b: acc + F.element_at(w_lit, b.cast("int") + 1),
+        )
+        return (
+            raw.select(id_col, buckets.alias("_b"))
+            .filter(F.size("_b") > 0)
+            .select(
+                id_col,
+                F.size("_b").cast("long").alias("n_grams"),
+                logfold.alias("_s"),
+            )
+            .select(
+                id_col,
+                "n_grams",
+                F.round(
+                    F.col("_s") / F.col("n_grams").cast("double"), 6
+                ).alias("score"),
+            )
+        )
     wt_lit = F.lit(wt)
     wr_lit = F.lit(wr)
-    buckets = _gram_buckets(text_col, num_buckets, max_n)
     # ONE fold computes both integer sums (struct accumulator) — the
     # fold is interpreted (NOTES fact 16), so per-gram passes are the
     # scoring cost driver; two separate aggregates measured ~25%
@@ -732,6 +778,7 @@ def select_by_target_affinity(
     num_buckets: int = 1024,
     max_n: int = 2,
     target_predicate: Column | None = None,
+    weight_form: str = "difference",
 ) -> DataFrame:
     """Top-``k`` raw documents by target affinity (score DESC, then
     ``id_col`` ASC — the rounded score makes the order, and therefore
@@ -742,6 +789,7 @@ def select_by_target_affinity(
         raw, target, text_col, id_col,
         num_buckets=num_buckets, max_n=max_n,
         target_predicate=target_predicate,
+        weight_form=weight_form,
     )
     return scores.orderBy(
         F.col("score").desc(), F.col(id_col)

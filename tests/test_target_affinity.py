@@ -105,6 +105,44 @@ def test_predicate_fit_path_matches_two_frame_fit(spark):
         target_affinity_scores(raw, None, "text", "doc_id")
 
 
+def test_log_ratio_weight_form(spark):
+    # the paper-faithful weights: same domain contract, deterministic
+    # within Spark, and the same qualitative ranking on a corpus with
+    # clear target/non-target separation
+    target = _docs(spark, [(100, "alpha beta gamma"), (101, "alpha beta")])
+    raw = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma"),
+            (2, "zzz qqq www eee"),
+            (3, "alpha beta zzz qqq"),
+        ],
+    )
+    scores = {
+        r["doc_id"]: r["score"]
+        for r in target_affinity_scores(
+            raw, target, "text", "doc_id", weight_form="log_ratio"
+        ).collect()
+    }
+    assert scores[1] > scores[3] > scores[2]
+    # repeatable run-to-run (precomputed driver-side weights, fixed
+    # in-row fold order)
+    again = {
+        r["doc_id"]: r["score"]
+        for r in target_affinity_scores(
+            raw, target, "text", "doc_id", weight_form="log_ratio"
+        ).collect()
+    }
+    assert scores == again
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="weight_form"):
+        target_affinity_scores(
+            raw, target, "text", "doc_id", weight_form="nope"
+        )
+
+
 def test_bigram_evidence_counts(spark):
     # same unigrams, different ORDER: only bigram features separate
     # them, so the in-order doc must outscore the shuffled one
