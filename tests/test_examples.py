@@ -18,7 +18,10 @@ def _run(script: str, *args: str) -> str:
         [sys.executable, os.path.join(REPO, "examples", script), *args],
         capture_output=True,
         text=True,
-        timeout=420,
+        # the curation demo is ~5-6 min of real stages at sf0.01 on
+        # the subprocess's local[4]; 420 s started flaking once the
+        # r9 target-affinity stage joined the chain
+        timeout=600,
         cwd=REPO,
     )
     assert out.returncode == 0, out.stderr[-2000:]
