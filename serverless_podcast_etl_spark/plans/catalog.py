@@ -3427,12 +3427,29 @@ def q98_ensemble_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ensemble_dedup_sql() -> str:
+    # Pins the PRESENT-ID representative semantics (the r8 fix in
+    # dedup.ensemble_dedup_keep_first): each component's keeper is the
+    # MIN id over members that exist in `documents`, NOT the raw
+    # component label — foreign endpoints (embedding-side synthetic
+    # ids) participate in components but can never be elected, so
+    # they can never remove a corpus doc.  The earlier
+    # `component <> d.doc_id` form asserted min-over-ALL-endpoints and
+    # agreed only because synthetic ids (+1_000_000) never sort below
+    # a real id in bench data.
     return f"""
 WITH RECURSIVE
-{_ensemble_cte_sql()}
+{_ensemble_cte_sql()},
+present AS (
+  SELECT c.id, c.component FROM comp c
+  JOIN documents dd ON dd.doc_id = c.id
+),
+rep AS (
+  SELECT component, min(id) AS rep_id FROM present GROUP BY component
+)
 SELECT d.* FROM documents d
-WHERE NOT EXISTS (SELECT 1 FROM comp c
-                  WHERE c.id = d.doc_id AND c.component <> d.doc_id)
+WHERE NOT EXISTS (SELECT 1 FROM present p
+                  JOIN rep r ON r.component = p.component
+                  WHERE p.id = d.doc_id AND p.id <> r.rep_id)
 ORDER BY d.doc_id
 """
 

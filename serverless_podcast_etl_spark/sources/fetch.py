@@ -38,6 +38,7 @@ both to the same warehouse tables as the staged path.
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable, Iterator
 
 import pandas as pd
@@ -65,6 +66,7 @@ def fetch_urls(
     error_col: str = "fetch_error",
     num_partitions: int | None = None,
     max_attempts: int = 1,
+    timeout: float | None = None,
 ) -> DataFrame:
     """Fetch every row's ``url_col`` through ``transport``, appending
     ``out_col`` (binary payload, NULL on failure) and ``error_col``
@@ -76,10 +78,21 @@ def fetch_urls(
     task — a Spark TASK retry would refetch the whole partition);
     the recorded error is the LAST attempt's.  No sleep between
     attempts — back-off policy belongs in the transport, where the
-    protocol (Retry-After, jitter) is known."""
+    protocol (Retry-After, jitter) is known.
+
+    ``timeout`` (seconds) bounds each attempt so one hung fetch cannot
+    stall the whole partition; it is forwarded to the transport as a
+    ``timeout=`` kwarg via ``functools.partial``, so a custom transport
+    used with ``timeout`` must accept that kwarg (the default
+    ``urllib_transport`` does).  Leave it ``None`` to call the
+    transport as plain ``transport(url)`` — a transport needing a
+    different fixed configuration can always be pre-bound by the
+    caller the same way: ``functools.partial(my_transport, retries=3)``."""
     if max_attempts < 1:
         raise ValueError(f"max_attempts must be >= 1, got {max_attempts}")
     transport = transport or urllib_transport
+    if timeout is not None:
+        transport = functools.partial(transport, timeout=timeout)
     schema = StructType(
         list(df.schema.fields)
         + [

@@ -95,19 +95,30 @@ def test_fetch_urls_file_transport_and_error_rows(spark, tmp_path):
     assert rows[3]["body"] is None and "null" in rows[3]["fetch_error"]
 
 
+def _flaky_marker(url: str) -> str:
+    """Marker path for ``_flaky_transport``'s per-URL attempt state:
+    lives NEXT TO the fetched file (i.e. inside the test's unique
+    ``tmp_path``), so state never leaks across runs via the shared
+    system tempdir and cleanup never touches files the test does not
+    own."""
+    import hashlib
+    import os
+    from urllib.parse import urlparse
+
+    return os.path.join(
+        os.path.dirname(urlparse(url).path),
+        "flaky_" + hashlib.md5(url.encode()).hexdigest(),
+    )
+
+
 def _flaky_transport(url: str) -> bytes:
     """Fails each URL's first attempt, succeeds after — the marker
     file carries per-URL attempt state across retries (same worker
     process within one mapInPandas batch).  Top-level for pickling."""
-    import hashlib
     import os
-    import tempfile
     from urllib.request import urlopen
 
-    marker = os.path.join(
-        tempfile.gettempdir(),
-        "flaky_" + hashlib.md5(url.encode()).hexdigest(),
-    )
+    marker = _flaky_marker(url)
     if not os.path.exists(marker):
         open(marker, "w").close()
         raise TimeoutError("transient fault (attempt 1)")
@@ -121,15 +132,14 @@ def test_fetch_urls_retries_transient_faults(spark, tmp_path):
         [(1, f"file://{tmp_path}/ok.txt")], "id long, url string"
     )
     # one attempt: the transient fault IS the result
+    url = f"file://{tmp_path}/ok.txt"
     r1 = fetch_urls(urls, "url", transport=_flaky_transport).collect()[0]
     assert r1["body"] is None and "TimeoutError" in r1["fetch_error"]
-    # marker now exists; reset it so the retry path is what recovers
-    import glob
+    # marker now exists; reset exactly this URL's marker so the retry
+    # path is what recovers (no glob over shared directories)
     import os
-    import tempfile
 
-    for m in glob.glob(os.path.join(tempfile.gettempdir(), "flaky_*")):
-        os.remove(m)
+    os.remove(_flaky_marker(url))
     r2 = fetch_urls(
         urls, "url", transport=_flaky_transport, max_attempts=2
     ).collect()[0]
@@ -139,6 +149,24 @@ def test_fetch_urls_retries_transient_faults(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="max_attempts"):
         fetch_urls(urls, "url", max_attempts=0)
+
+
+def _timeout_echo_transport(url: str, timeout: float = 30.0) -> bytes:
+    """Echoes the timeout it was handed — proves fetch_urls' kwarg
+    forwarding without real sockets.  Top-level for pickling."""
+    return repr(timeout).encode()
+
+
+def test_fetch_urls_forwards_timeout_kwarg(spark):
+    urls = spark.createDataFrame([(1, "x://any")], "id long, url string")
+    # explicit timeout reaches the transport via functools.partial
+    r = fetch_urls(
+        urls, "url", transport=_timeout_echo_transport, timeout=2.5
+    ).collect()[0]
+    assert bytes(r["body"]) == b"2.5" and r["fetch_error"] is None
+    # timeout=None (default): transport called bare, keeps its own default
+    r = fetch_urls(urls, "url", transport=_timeout_echo_transport).collect()[0]
+    assert bytes(r["body"]) == b"30.0"
 
 
 def test_golden_pipeline_from_urls_matches_staged(spark, tmp_path):
