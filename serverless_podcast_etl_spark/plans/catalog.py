@@ -4030,6 +4030,23 @@ CATALOG: dict[str, QueryDef] = {
 #: mixture weights, q84's selection family keeps the q13/q18
 #: digest patterns, q82's ANN family keeps q22/q55).
 #:
+#: Round-10 rotation (r9 VERDICT "do this" #1): the certification
+#: backlog's five highest-impact entries — q100 target-affinity
+#: selection (the r9 flagship, the largest never-hash-certified
+#: operator), q81 cross-source near-dup matrix + q83 contamination
+#: fractions (both curation-core: leakage accounting between corpus
+#: sources and against eval sets), q86 corpus report card, q92
+#: quantile bins — rotated INTO the window; q85/q96/q97/q98/q99
+#: rotated out (all driver-green in CORRECTNESS_r09 first, per the
+#: rotation rule; families keep green window siblings: the ensemble
+#: family q97/q98 keeps q21 banded SimHash + q30 banded MinHash-LSH
+#: + q23 embedding near-dup, q99 refresh keeps q50 decontamination
+#: and its building blocks stay exercised via q81/q83 now in-window,
+#: q85 snapshot diff is q99's building block and both certified
+#: together in r9, q96 funnel keeps the q37/q40 event-time family).
+#: Remaining backlog after this rotation: q35, q54, q90 — scheduled
+#: for the r11 drain.
+#:
 #: Round-9 rotation (r8 VERDICT "do this" #1/#2): the four round-8
 #: flagships — q97 near-dup ensemble, q98 applied ensemble dedup,
 #: q99 incremental corpus refresh (the three most production-relevant
@@ -4087,15 +4104,10 @@ DRIVER_OVERFLOW: frozenset[str] = frozenset(
         "q76_incremental_neardup",
         "q77_digest_sample",
         "q78_stratified_digest_sample",
-        # remaining r6 additions, replica-certified — rotation
-        # backlog (q81, q83, q86, q90, q92: cross-source matrix,
-        # contamination fractions, report card, token-share cap,
-        # quantile bins; q85 rotated in r9).
-        "q81_cross_source_neardup_matrix",
-        "q83_contamination_fractions",
-        "q86_corpus_report_card",
+        # remaining r6 additions — rotation backlog (q81/q83/q86/q92
+        # rotated in r10; q85 rotated in r9; q90 token-share cap is
+        # the last of the family, scheduled for the r11 drain).
         "q90_top_share_per_source",
-        "q92_quantile_bins",
         # r8 rotations-out for the q79/q80/q91/q93/q94 rotation-in
         # (driver-green in r7; families keep green siblings — see the
         # round-8 note above)
@@ -4115,10 +4127,14 @@ DRIVER_OVERFLOW: frozenset[str] = frozenset(
         "q91_event_debounce",
         "q93_funnel_conversion",
         "q94_retention_cohorts",
-        # r9 addition starts in overflow, replica-certified, per the
-        # standing convention (q100 DSIR-style target-affinity
-        # selection)
-        "q100_target_importance_select",
+        # r10 rotations-out for the q100 + q81/q83/q86/q92 rotation-in
+        # (driver-green in r9; families keep green siblings — see the
+        # round-10 note above)
+        "q85_snapshot_diff",
+        "q96_funnel_steps",
+        "q97_neardup_ensemble",
+        "q98_ensemble_dedup",
+        "q99_incremental_refresh",
     }
 )
 

@@ -32,6 +32,30 @@ EXPECTED_PRIORITY_ROWS_ONLY = {
 }
 
 
+#: the round-10 rotation (r9 VERDICT #1): backlog flagships in, the
+#: r9-certified five out — pinned so a catalog edit cannot silently
+#: undo the rotation before the driver certifies it.
+ROTATED_IN_R10 = {
+    "q81_cross_source_neardup_matrix",
+    "q83_contamination_fractions",
+    "q86_corpus_report_card",
+    "q92_quantile_bins",
+    "q100_target_importance_select",
+}
+ROTATED_OUT_R10 = {
+    "q85_snapshot_diff",
+    "q96_funnel_steps",
+    "q97_neardup_ensemble",
+    "q98_ensemble_dedup",
+    "q99_incremental_refresh",
+}
+
+
+def test_round10_rotation_membership():
+    assert ROTATED_IN_R10.isdisjoint(DRIVER_OVERFLOW)
+    assert ROTATED_OUT_R10 <= DRIVER_OVERFLOW
+
+
 def test_priority_window_is_exactly_50():
     q = queries()
     priority = [n for n in q if not n.startswith("x")]

@@ -155,3 +155,72 @@ def test_bigram_evidence_counts(spark):
         ).collect()
     }
     assert scores[1] > scores[2]
+
+
+def test_weight_forms_rank_agreement_at_sf01(spark):
+    """Scale-sized pin of the production weight-form choice (r9
+    VERDICT #7): score the full sf0.1 corpus (5,000 docs) under BOTH
+    weight forms through the q100 subset-target fast path and assert
+    the measured rank relationship between them.
+
+    The forms are NOT interchangeable, and this test pins that fact
+    honestly: with add-1 smoothing the log form amplifies rare-gram
+    evidence (log of a ratio of tiny smoothed probabilities) while the
+    rational difference form weighs frequent grams (p_t − p_r ∝ raw
+    frequency), so on a corpus whose "target" subset shares its whole
+    vocabulary with the rest — exactly what the templated sf0.1
+    documents table is; its `lang` column labels rows but draws text
+    from ONE shared word pool — the two rankings correlate positively
+    but far from perfectly.  Measured once, deterministic thereafter
+    (both forms precompute weights driver-side and fold in gram
+    order): Spearman 0.620, top-100 overlap 35, top-500 overlap 229
+    at the default 1024 buckets.  On corpora with true lexical
+    separation both forms agree on strong signals — pinned by
+    test_log_ratio_weight_form's ordering case.
+    """
+    import numpy as np
+
+    from serverless_podcast_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.1", "documents")
+    pred = F.col("lang") == "en"
+
+    def score(form):
+        return {
+            r["doc_id"]: (r["score"], r["n_grams"])
+            for r in target_affinity_scores(
+                docs,
+                None,
+                "text",
+                "doc_id",
+                target_predicate=pred,
+                weight_form=form,
+            ).collect()
+        }
+
+    diff, logr = score("difference"), score("log_ratio")
+    # identical domain + identical evidence counts: the forms differ
+    # ONLY in the per-bucket weight table
+    assert set(diff) == set(logr) and len(diff) == 5000
+    assert all(diff[i][1] == logr[i][1] for i in diff)
+
+    ids = sorted(diff)
+    a = np.array([diff[i][0] for i in ids])
+    b = np.array([logr[i][0] for i in ids])
+
+    def ranks(x):
+        order = np.argsort(x, kind="stable")
+        r = np.empty(len(x))
+        r[order] = np.arange(len(x))
+        return r
+
+    rho = float(np.corrcoef(ranks(a), ranks(b))[0, 1])
+    assert 0.55 <= rho <= 0.70, f"spearman drifted: {rho}"
+    top = lambda x, k: set(np.array(ids)[np.argsort(-x, kind="stable")][:k])  # noqa: E731
+    assert len(top(a, 100) & top(b, 100)) >= 25
+    assert len(top(a, 500) & top(b, 500)) >= 180
+
+    # deterministic re-run: the log form's scores are repeatable at
+    # scale, not just on the toy corpus
+    again = score("log_ratio")
+    assert again == logr
