@@ -8,7 +8,10 @@ explicit A/B of BOTH connected-components backends on that pair
 graph — the distributed min-label loop is exercised on real volume
 every rehearsal regardless of where ``small_graph_max`` sits (r5
 raised it to 500k after this A/B measured union-find faster at 250k
-pairs), and backend parity is asserted.  Results go to NOTES.md's
+pairs), and backend parity is asserted.  Since r10 the rehearsal also
+builds an ABOVE-BOUND 15-replica pair graph (in memory, from sf0.1)
+so the default dispatch itself picks the distributed loop and its
+parity is asserted past the bound.  Results go to NOTES.md's
 scale-rehearsal section per round.
 """
 
@@ -63,6 +66,12 @@ QUERIES = [
     "q96_funnel_steps",
     "q97_neardup_ensemble",
     "q99_incremental_refresh",
+    # r10 addition (r9 VERDICT #2): the target-affinity selection's
+    # claimed shape — two full-corpus hashing scans (joint fit +
+    # in-row score), zero joins — measured at 10x docs before its
+    # driver-window rotation; cost should scale ~linearly with the
+    # corpus (sf0.1 golden median 6.9s)
+    "q100_target_importance_select",
 ]
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -126,11 +135,84 @@ def main() -> None:
     cc_ab["backend_parity"] = a == b
     assert cc_ab["backend_parity"], "CC backends diverged on the sf1 graph"
 
+    # r10 (r9 VERDICT #6): an ABOVE-BOUND pair graph, so the DEFAULT
+    # small_graph_max organically selects the distributed min-label
+    # loop (the A/B above forces both backends regardless of the
+    # bound; this one proves the default dispatch itself).  Derived
+    # in memory from sf0.1 with 15 replicas per doc — C(15,2)=105
+    # within-group pairs x 5,000 groups = 525k alone, past the 500k
+    # bound — instead of regenerating .scale/sf1, so every historical
+    # rehearsal wall-time stays comparable.
+    from pyspark.sql import functions as F
+
+    src01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    rep15 = spark.range(15).select(F.col("id").alias("_rep"))
+    dense = (
+        _t(spark, src01, "documents")
+        .crossJoin(F.broadcast(rep15))
+        .select(
+            (F.col("doc_id") + F.col("_rep") * 10_000).alias("doc_id"),
+            F.when(F.col("_rep") == 0, F.col("text"))
+            .otherwise(
+                F.concat(F.col("text"), F.lit(" rep"), F.col("_rep"))
+            )
+            .alias("text"),
+        )
+    )
+    dense_pairs = dedup.minhash_lsh_pairs(
+        dense,
+        text_col="text",
+        id_col="doc_id",
+        n=3,
+        num_hashes=8,
+        bands=4,
+        verify_threshold=0.3,
+    ).localCheckpoint(eager=True)
+    n_dense = dense_pairs.count()
+    dense_cc: dict = {
+        "replicas": 15,
+        "pair_count": n_dense,
+        "crosses_default_bound": n_dense > default_bound,
+    }
+    assert dense_cc["crosses_default_bound"], (
+        f"dense graph must exceed small_graph_max={default_bound}, "
+        f"got {n_dense} pairs"
+    )
+    dedup.connected_components(dense_pairs).write.format("noop").mode(
+        "overwrite"
+    ).save()  # warm (default dispatch = distributed at this volume)
+    t0 = time.perf_counter()
+    dedup.connected_components(dense_pairs).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    dense_cc["default_path_sec"] = round(time.perf_counter() - t0, 2)
+    da = sorted(
+        map(tuple, dedup.connected_components(dense_pairs).collect())
+    )
+    db = sorted(
+        map(
+            tuple,
+            dedup.connected_components(
+                dense_pairs, small_graph_max=n_dense + 1
+            ).collect(),
+        )
+    )
+    dense_cc["backend_parity"] = da == db
+    assert dense_cc["backend_parity"], (
+        "CC backends diverged on the above-bound dense graph"
+    )
+    print(
+        f"  dense_cc: pairs={n_dense} (bound {default_bound}) "
+        f"default_path={dense_cc['default_path_sec']}s parity=True",
+        file=sys.stderr,
+    )
+
     report: dict = {
         "sf_dir": sf_dir,
         "q48_pair_count": n_pairs,
         "q48_pair_count_sec": pair_count_sec,
         "crosses_default_bound": n_pairs > default_bound,
+        "dense_cc_crossing": dense_cc,
         "cc_backends": cc_ab,
         "queries": {},
     }
