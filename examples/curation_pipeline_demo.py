@@ -5,10 +5,12 @@ Usage:  python examples/curation_pipeline_demo.py [sf_dir]
 
 Chains the curation stages the way a pretraining data pipeline does —
 URL canonical dedup → domain blocklist → line-level cleaning →
-quality gate → exact dedup → cross-doc boilerplate stripping →
+quality gate → vocab-OOV gate → exact dedup → cross-doc
+boilerplate stripping →
 near-dup cluster dedup (+ cross-source leakage matrix report) →
 fraction-gated eval-set decontamination → leakage-free train/eval
-split → DSIR-style target-affinity selection → per-source quota
+split → DSIR-style target-affinity selection (+ coverage audit
+vs the digest baseline) → per-source quota
 cap → LM-scored token-budget selection →
 source-weighted mixture materialization → deterministic shuffle into
 training shards — then the r8 closing loop as its own fresh-session
@@ -17,7 +19,7 @@ ENSEMBLE adjudication over the source corpus and an incremental
 snapshot REFRESH (diff → admission gate) simulating the next crawl —
 over the synthetic ``documents`` table, printing surviving row
 counts per stage.  Every stage is a certified catalog operator
-(q18/q43/q49/q71-q76/q79-q81/q83-q84/q87-q89/q97-q100); this file
+(q18/q43/q49/q71-q76/q79-q81/q83-q84/q87-q89/q97-q102); this file
 only composes them.
 """
 
@@ -107,12 +109,23 @@ def main() -> None:
     )
     print(f"after line cleaning: {docs.count()}")
 
-    # 1. cheap quality gate (q43)
+    # 1. cheap quality gate (q43) + vocabulary-OOV gate (q102, r10):
+    #    the hard vocabulary-miss fraction catches garbled/off-corpus
+    #    docs the ratio heuristics miss
     kept = textstats.quality_filter(
         docs, text_col="text", id_col="doc_id"
     ).select("doc_id")
     docs = docs.join(kept, "doc_id", "left_semi")
     print(f"after quality gate: {docs.count()}")
+    oov_ok = (
+        textstats.vocab_oov_scores(
+            docs, text_col="text", id_col="doc_id", vocab_size=64
+        )
+        .filter(F.col("oov_rate") <= 0.5)
+        .select("doc_id")
+    )
+    docs = docs.join(oov_ok, "doc_id", "left_semi")
+    print(f"after vocab-OOV gate (rate <= 0.5): {docs.count()}")
 
     # 2. exact dedup, keep-first (q44/q18)
     docs = dedup.exact_dedup_keep_first(docs, text_col="text", id_col="doc_id")
@@ -178,8 +191,15 @@ def main() -> None:
     # 6b. DSIR-style target-affinity gate (q100, r9) — keep the train
     #     docs whose hashed-ngram features look most like the trusted
     #     target distribution (here: the English subset stands in for
-    #     a curated quality corpus)
-    train = docs.filter(F.col("split") == "train")
+    #     a curated quality corpus).  Materialized ONCE: the affinity
+    #     fit and the q101 audit below each scan this frame several
+    #     times, and without the checkpoint every scan would recompute
+    #     the whole upstream cleaning/dedup chain (the repo's
+    #     materialize-once pattern — unigram_frequency_scores does the
+    #     same for its tf table)
+    train = docs.filter(F.col("split") == "train").localCheckpoint(
+        eager=True
+    )
     affine = selection.select_by_target_affinity(
         train.select("doc_id", "text", "lang"),
         None,
@@ -188,8 +208,23 @@ def main() -> None:
         k=200,
         target_predicate=F.col("lang") == "en",
     )
+    audited = train.select("doc_id", "text", "lang")
     train = train.join(affine.select("doc_id"), "doc_id")
     print(f"after target-affinity selection (top 200): {train.count()}")
+
+    # 6c. selection coverage audit (q101, r10) — did the targeted
+    #     selection buy target-feature coverage over sampling blindly?
+    for r in selection.target_coverage_audit(
+        audited,
+        text_col="text",
+        id_col="doc_id",
+        k=200,
+        target_predicate=F.col("lang") == "en",
+    ).collect():
+        print(
+            f"coverage[{r['method']}]: {r['covered_buckets']}/"
+            f"{r['target_buckets']} = {r['coverage_pct']}"
+        )
 
     # 7. per-source quota + LM-scored token budget on the train split
     #    (q75/q74, ordered by the q80 unigram LM rarity score — most

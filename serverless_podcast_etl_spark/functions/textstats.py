@@ -586,3 +586,150 @@ SELECT doc_id,
 FROM tf JOIN counts USING (token), tot
 GROUP BY doc_id
 """
+
+
+def build_vocabulary(
+    df: DataFrame, text_col: str, vocab_size: int
+) -> list[str]:
+    """Top-``vocab_size`` corpus tokens by (count DESC, token ASC) —
+    the deterministic tie-break makes the vocabulary, and everything
+    scored against it, reproducible across engines and partitionings.
+    Plans as explode → map-side-combinable hash aggregate →
+    TakeOrdered (per-partition top-V, one V-row merge; the corpus is
+    shuffled once on token and never globally sorted).  The collect is
+    bounded at ``vocab_size`` rows."""
+    return [
+        r["token"]
+        for r in (
+            df.select(
+                F.explode(word_tokens(F.col(text_col))).alias("token")
+            )
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.col("c").desc(), "token")
+            .limit(vocab_size)
+            .collect()
+        )
+    ]
+
+
+def vocab_oov_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    vocab_size: int = 64,
+    literal_max: int = 1024,
+) -> DataFrame:
+    """Vocabulary-coverage scoring per document — the out-of-vocabulary
+    rate against a corpus-derived top-``vocab_size`` vocabulary.  The
+    standard "does this document speak the corpus's language" filter
+    (CCNet/fastText-style pipelines gate on exactly this signal before
+    the heavier LM score): boilerplate, garbled encodings and
+    wrong-language docs are OOV-heavy.  Complements
+    ``unigram_frequency_scores`` (q80): that one averages smoothed
+    token probabilities, this one measures the hard vocabulary-miss
+    fraction.
+
+    Emits (id, n_tokens, oov_tokens, oov_rate) per document with at
+    least one token (token-less docs carry no evidence — the
+    ``minhash_signatures`` domain contract); ``oov_rate`` rounded to
+    6 dp, one IEEE division per doc, so the DuckDB twin
+    (``vocab_oov_sql``) hashes exactly.
+
+    Two scoring paths, chosen by vocabulary size, identical results:
+
+    - ``vocab_size <= literal_max``: the fitted vocabulary ships as an
+      IN-list inside the plan (Catalyst converts In over >10 literals
+      to InSet — an O(1) hash-set probe per token), and scoring is ONE
+      purely in-row corpus scan: zero joins, zero shuffles, the q100
+      plan-literal pattern.
+    - larger vocabularies: explode → per-doc tf hash aggregate (one
+      corpus shuffle, map-side combinable) → broadcast left join
+      against the vocabulary → per-doc re-aggregate.  The corpus is
+      shuffled once; the vocabulary is broadcast, never shuffled.
+    """
+    vocab = build_vocabulary(df, text_col, vocab_size)
+    toks = word_tokens(F.col(text_col))
+    if vocab_size <= literal_max:
+        oov = F.size(F.filter("_t", lambda t: ~t.isin(*vocab)))
+        return (
+            df.select(F.col(id_col), toks.alias("_t"))
+            .filter(F.size("_t") > 0)
+            .select(
+                id_col,
+                F.size("_t").cast("long").alias("n_tokens"),
+                oov.cast("long").alias("oov_tokens"),
+            )
+            .withColumn(
+                "oov_rate",
+                F.round(
+                    F.col("oov_tokens").cast("double") / F.col("n_tokens"),
+                    6,
+                ),
+            )
+        )
+    vocab_df = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(t,) for t in vocab], "token string"
+        ).withColumn("_in_vocab", F.lit(1))
+    )
+    tf = (
+        df.select(
+            F.col(id_col),
+            F.explode(toks).alias("token"),
+        )
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        tf.join(vocab_df, "token", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("_in_vocab").isNull(), F.col("tf")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("oov_tokens"),
+        )
+        .withColumn(
+            "oov_rate",
+            F.round(
+                F.col("oov_tokens").cast("double") / F.col("n_tokens"), 6
+            ),
+        )
+    )
+
+
+def vocab_oov_sql(vocab_size: int = 64) -> str:
+    """DuckDB twin of ``vocab_oov_scores`` (same tokenization via the
+    shared whitespace split, same (count DESC, token ASC) vocabulary
+    tie-break, same single-division rate)."""
+    return f"""
+WITH terms AS (
+  SELECT doc_id, unnest(list_filter(
+           regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''))
+         AS token
+  FROM documents
+),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, count(*) AS c FROM terms GROUP BY token
+  ) ORDER BY c DESC, token LIMIT {vocab_size}
+),
+d AS (
+  SELECT t.doc_id,
+         count(*) AS n_tokens,
+         count(CASE WHEN v.token IS NULL THEN 1 END) AS oov
+  FROM terms t LEFT JOIN vocab v USING (token)
+  GROUP BY t.doc_id
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(oov AS BIGINT) AS oov_tokens,
+       round(CAST(oov AS DOUBLE) / n_tokens, 6) AS oov_rate
+FROM d
+ORDER BY doc_id
+"""

@@ -769,6 +769,105 @@ def target_affinity_scores(
     )
 
 
+def target_coverage_audit(
+    raw: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    num_buckets: int = 1024,
+    max_n: int = 2,
+    target: DataFrame | None = None,
+    target_predicate: Column | None = None,
+    seed: str = "seed0",
+) -> DataFrame:
+    """Selection-quality audit for ``select_by_target_affinity``: of
+    the TARGET distribution's distinct hashed n-gram feature buckets,
+    what fraction does a size-``k`` selection cover?  Reported for the
+    affinity top-k AND for a same-size deterministic digest sample
+    (``digest_sample`` — the uniform baseline), so the number answers
+    the question a curation run actually asks: did targeted selection
+    buy feature coverage over sampling blindly?  (DSIR-style selection
+    is justified exactly when it does — Xie et al. NeurIPS 2023 §5
+    evaluates selections against random-sampling baselines the same
+    way.)
+
+    Output: one row per method (``affinity``, ``digest``) with
+    ``covered_buckets``, ``target_buckets`` and ``coverage_pct``
+    (covered/target, 6 dp), ordered by method.  Same feature space as
+    ``target_affinity_scores`` (md5 token hashes → polynomial n-gram
+    folds → ``% num_buckets``), so the audit measures the same
+    features the selector optimizes.
+
+    Scale shape: the target's bucket set is ≤``num_buckets`` rows
+    after one distinct (materialized once — both methods read it);
+    each selection is k rows; each coverage pass is ONE corpus scan
+    with the k selected ids as a BROADCAST semi-join (the corpus is
+    never shuffled) folding into a ≤``num_buckets``-row distinct.
+    Driver memory is O(k + num_buckets); nothing here is quadratic.
+    """
+    buckets = _gram_buckets(text_col, num_buckets, max_n)
+    if target_predicate is not None:
+        tgt = raw.filter(target_predicate)
+    else:
+        if target is None:
+            raise ValueError("pass a target frame or a target_predicate")
+        tgt = target
+    # ≤num_buckets rows; materialized once so the two method branches
+    # don't each re-scan the target corpus
+    tb = (
+        tgt.select(F.explode(buckets).alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    sel_aff = select_by_target_affinity(
+        raw,
+        target,
+        text_col,
+        id_col,
+        k=k,
+        num_buckets=num_buckets,
+        max_n=max_n,
+        target_predicate=target_predicate,
+    ).select(id_col)
+    sel_dig = digest_sample(
+        raw.select(id_col), id_col, n=k, seed=seed
+    ).select(id_col)
+
+    def _coverage_row(sel: DataFrame, method: str) -> DataFrame:
+        covered = (
+            raw.join(F.broadcast(sel), id_col, "left_semi")
+            .select(F.explode(buckets).alias("b"))
+            .distinct()
+            .withColumn("_hit", F.lit(1))
+        )
+        return (
+            tb.join(F.broadcast(covered), "b", "left")
+            .agg(
+                F.count("_hit").cast("long").alias("covered_buckets"),
+                F.count(F.lit(1)).cast("long").alias("target_buckets"),
+            )
+            .select(
+                F.lit(method).alias("method"),
+                "covered_buckets",
+                "target_buckets",
+                F.round(
+                    F.try_divide(
+                        F.col("covered_buckets").cast("double"),
+                        F.col("target_buckets"),
+                    ),
+                    6,
+                ).alias("coverage_pct"),
+            )
+        )
+
+    return (
+        _coverage_row(sel_aff, "affinity")
+        .unionByName(_coverage_row(sel_dig, "digest"))
+        .orderBy("method")
+    )
+
+
 def select_by_target_affinity(
     raw: DataFrame,
     target: DataFrame | None,

@@ -3608,6 +3608,117 @@ LIMIT 100
 """
 
 
+def q101_target_coverage_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Selection-quality audit (selection.target_coverage_audit): of
+    the target distribution's distinct hashed n-gram buckets, the
+    fraction covered by q100's affinity top-100 vs a same-size
+    deterministic digest sample — the did-targeted-selection-beat-
+    random check a curation run performs after every selection (the
+    evaluation twin of q100, after DSIR's random-baseline comparisons).
+
+    Spark shape: target bucket set materialized once (≤1024 rows);
+    each method's coverage pass is one corpus scan with the 100
+    selected ids broadcast into a semi-join, folding to a ≤1024-row
+    distinct — the corpus is never shuffled, and every join side
+    beyond the corpus scan is bounded by k or num_buckets."""
+    docs = _t(spark, sf_dir, "documents")
+    return selection.target_coverage_audit(
+        docs,
+        text_col="text",
+        id_col="doc_id",
+        k=100,
+        num_buckets=1024,
+        max_n=2,
+        target_predicate=F.col("lang") == "en",
+    )
+
+
+def _target_coverage_sql() -> str:
+    """DuckDB twin of q101: q100's fit/score/top-k CTEs verbatim
+    (same hashes, same smoothing, same rounded-score ordering), the
+    q77 digest-sample convention for the baseline, and plain
+    DISTINCT + LEFT JOIN coverage counting."""
+    bigram = hashing.shingle_hash_sql("th", "i", 2)
+    return f"""
+WITH th AS (
+  SELECT doc_id, lang, {hashing.token_hashes_sql('t')} AS th
+  FROM (SELECT doc_id, lang, list_filter(
+          regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS t
+        FROM documents)
+),
+g AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(th, h -> h % 1024) ||
+                list_transform(range(1, greatest(len(th) - 2 + 2, 1)),
+                               i -> ({bigram}) % 1024)) AS b
+  FROM th
+),
+tb AS (SELECT DISTINCT b FROM g WHERE lang = 'en'),
+tc AS (SELECT b, count(*) AS c FROM g WHERE lang = 'en' GROUP BY b),
+rc AS (SELECT b, count(*) AS c FROM g GROUP BY b),
+tt AS (SELECT CAST(coalesce(sum(c), 0) + 1024 AS DOUBLE) AS tot FROM tc),
+tr AS (SELECT CAST(coalesce(sum(c), 0) + 1024 AS DOUBLE) AS tot FROM rc),
+docsums AS (
+  SELECT g.doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(count(*) + sum(coalesce(tc.c, 0)) AS BIGINT) AS a,
+         CAST(count(*) + sum(coalesce(rc.c, 0)) AS BIGINT) AS bs
+  FROM g LEFT JOIN tc USING (b) LEFT JOIN rc USING (b)
+  GROUP BY g.doc_id
+),
+sel_aff AS (
+  SELECT d.doc_id
+  FROM docsums d, tt, tr
+  ORDER BY round((CAST(d.a AS DOUBLE) / tt.tot
+                  - CAST(d.bs AS DOUBLE) / tr.tot)
+                 * 1000000.0 / CAST(d.n_grams AS DOUBLE), 6) DESC,
+           d.doc_id
+  LIMIT 100
+),
+sel_dig AS (
+  SELECT doc_id FROM documents
+  ORDER BY md5('seed0' || ':' || CAST(doc_id AS VARCHAR)) LIMIT 100
+),
+cb_aff AS (SELECT DISTINCT b FROM g JOIN sel_aff USING (doc_id)),
+cb_dig AS (SELECT DISTINCT b FROM g JOIN sel_dig USING (doc_id))
+SELECT * FROM (
+  SELECT 'affinity' AS method,
+         CAST(count(c.b) AS BIGINT) AS covered_buckets,
+         CAST(count(*) AS BIGINT) AS target_buckets,
+         round(CAST(count(c.b) AS DOUBLE) / count(*), 6) AS coverage_pct
+  FROM tb t LEFT JOIN cb_aff c ON c.b = t.b
+  UNION ALL
+  SELECT 'digest',
+         CAST(count(c.b) AS BIGINT),
+         CAST(count(*) AS BIGINT),
+         round(CAST(count(c.b) AS DOUBLE) / count(*), 6)
+  FROM tb t LEFT JOIN cb_dig c ON c.b = t.b
+)
+ORDER BY method
+"""
+
+
+def q102_vocab_oov_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary OOV-rate scoring (textstats.vocab_oov_scores): fit
+    a top-64 corpus vocabulary (count DESC, token ASC — deterministic)
+    and score every document's out-of-vocabulary token fraction — the
+    CCNet-style hard vocabulary-miss gate that complements q80's
+    smoothed-probability LM score.
+
+    Spark shape (the q100 plan-literal pattern): the fitted vocabulary
+    ships as an InSet inside the plan (O(1) hash-set probe per token),
+    so scoring is ONE purely in-row corpus scan — zero joins, zero
+    shuffles; the fit is one map-side-combinable token count finished
+    by TakeOrdered.  Above ``literal_max`` the operator switches to a
+    broadcast-join path (same results, one corpus shuffle)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.vocab_oov_scores(
+        docs, text_col="text", id_col="doc_id", vocab_size=64
+    ).orderBy("doc_id")
+
+
 CATALOG: dict[str, QueryDef] = {
     "q01_pricing_summary": QueryDef(q01_pricing_summary, _Q01_SQL, "filter+agg+sort (A1/A3)"),
     "q02_event_type_counts": QueryDef(q02_event_type_counts, _Q02_SQL, "groupBy count desc (A1/O1)"),
@@ -3937,6 +4048,16 @@ CATALOG: dict[str, QueryDef] = {
         _target_importance_sql(),
         "DSIR-style hashed-ngram target-affinity selection",
     ),
+    "q101_target_coverage_audit": QueryDef(
+        q101_target_coverage_audit,
+        _target_coverage_sql(),
+        "selection coverage audit: affinity top-k vs digest baseline",
+    ),
+    "q102_vocab_oov_scores": QueryDef(
+        q102_vocab_oov_scores,
+        textstats.vocab_oov_sql(64),
+        "vocabulary OOV-rate scoring (top-64 corpus vocab)",
+    ),
 }
 
 
@@ -4135,6 +4256,11 @@ DRIVER_OVERFLOW: frozenset[str] = frozenset(
         "q97_neardup_ensemble",
         "q98_ensemble_dedup",
         "q99_incremental_refresh",
+        # r10 additions start in overflow, replica-certified, per the
+        # standing convention (q101 selection coverage audit, q102
+        # vocabulary OOV scoring)
+        "q101_target_coverage_audit",
+        "q102_vocab_oov_scores",
     }
 )
 

@@ -1,0 +1,177 @@
+"""r10 additions: selection target-coverage audit (q101) and
+vocabulary OOV-rate scoring (q102).  Cross-engine exactness is
+certified by their catalog oracles; these tests pin the SEMANTICS."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from serverless_podcast_etl_spark.functions.textstats import (
+    build_vocabulary,
+    vocab_oov_scores,
+)
+from serverless_podcast_etl_spark.operators.selection import (
+    target_coverage_audit,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------- q101
+
+
+def _separated_corpus(spark):
+    """Target docs (ids 1-3) speak one vocabulary, the rest (4-9)
+    another — affinity selection should recover the target-side docs
+    and therefore cover (almost) all target buckets."""
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "beta gamma delta epsilon"),
+        (3, "alpha gamma epsilon beta"),
+        (4, "zz yy xx ww"),
+        (5, "ww vv uu zz"),
+        (6, "xx uu vv yy"),
+        (7, "qq rr ss tt"),
+        (8, "tt ss rr qq"),
+        (9, "rr qq tt ss"),
+    ]
+    return _docs(spark, rows)
+
+
+def test_coverage_audit_shape_and_bounds(spark):
+    raw = _separated_corpus(spark)
+    out = target_coverage_audit(
+        raw,
+        "text",
+        "doc_id",
+        k=3,
+        target_predicate=F.col("doc_id") <= 3,
+    ).collect()
+    assert [r["method"] for r in out] == ["affinity", "digest"]
+    for r in out:
+        assert 0 <= r["covered_buckets"] <= r["target_buckets"]
+        assert r["coverage_pct"] == pytest.approx(
+            r["covered_buckets"] / r["target_buckets"], abs=1e-6
+        )
+
+
+def test_affinity_selection_covers_target_fully_on_separated_corpus(
+    spark,
+):
+    raw = _separated_corpus(spark)
+    out = {
+        r["method"]: r
+        for r in target_coverage_audit(
+            raw,
+            "text",
+            "doc_id",
+            k=3,
+            target_predicate=F.col("doc_id") <= 3,
+        ).collect()
+    }
+    # the affinity top-3 IS the target subset here (its vocabulary is
+    # disjoint from the rest), so it covers every target bucket
+    aff = out["affinity"]
+    assert aff["covered_buckets"] == aff["target_buckets"]
+    assert aff["coverage_pct"] == 1.0
+    # and targeted selection beats the blind digest baseline (which
+    # mixes in off-target docs that contribute no target buckets)
+    assert aff["coverage_pct"] >= out["digest"]["coverage_pct"]
+
+
+def test_coverage_audit_target_frame_equals_predicate(spark):
+    raw = _separated_corpus(spark)
+    via_pred = target_coverage_audit(
+        raw, "text", "doc_id", k=3,
+        target_predicate=F.col("doc_id") <= 3,
+    ).collect()
+    via_frame = target_coverage_audit(
+        raw, "text", "doc_id", k=3,
+        target=raw.filter(F.col("doc_id") <= 3),
+    ).collect()
+    # same target rows -> same bucket universe and same digest arm;
+    # the affinity arm differs only through the fit path (joint
+    # conditional fit vs two-frame fit), which is itself pinned equal
+    # in test_target_affinity — here the audit rows must agree
+    assert via_pred == via_frame
+
+
+def test_coverage_audit_requires_a_target(spark):
+    raw = _separated_corpus(spark)
+    with pytest.raises(ValueError, match="target"):
+        target_coverage_audit(raw, "text", "doc_id", k=3)
+
+
+# ---------------------------------------------------------------- q102
+
+
+def test_build_vocabulary_count_then_token_tiebreak(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "bb bb aa aa cc"),
+            (2, "dd cc"),
+        ],
+    )
+    # counts: aa=2 bb=2 cc=2 dd=1 -> top-2 by (count desc, token asc)
+    assert build_vocabulary(df, "text", 2) == ["aa", "bb"]
+    assert build_vocabulary(df, "text", 3) == ["aa", "bb", "cc"]
+
+
+def test_vocab_oov_rates(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "aa aa bb"),     # all in top-2 vocab -> 0.0
+            (2, "aa zz"),        # 1 of 2 OOV -> 0.5
+            (3, "zz yy xx qq"),  # hmm: these each occur once
+        ],
+    )
+    # counts: aa=3 bb=1 zz=2 ... top-2 = aa, zz (count desc, token asc:
+    # aa=3; zz=2; bb/xx/yy/qq=1)
+    out = {
+        r["doc_id"]: r
+        for r in vocab_oov_scores(
+            df, "text", "doc_id", vocab_size=2
+        ).collect()
+    }
+    assert out[1]["n_tokens"] == 3 and out[1]["oov_tokens"] == 1  # bb OOV
+    assert out[2]["oov_tokens"] == 0  # aa, zz both in vocab
+    assert out[3]["n_tokens"] == 4 and out[3]["oov_tokens"] == 3
+    assert out[3]["oov_rate"] == pytest.approx(0.75)
+
+
+def test_vocab_oov_tokenless_docs_emit_no_row(spark):
+    df = _docs(spark, [(1, "aa bb"), (2, "   "), (3, "")])
+    out = vocab_oov_scores(df, "text", "doc_id", vocab_size=8).collect()
+    assert sorted(r["doc_id"] for r in out) == [1]
+
+
+def test_vocab_oov_literal_and_join_paths_agree(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "aa aa bb cc"),
+            (2, "dd ee aa"),
+            (3, "ff ff ff aa bb"),
+            (4, "gg"),
+        ],
+    )
+    lit_path = sorted(
+        map(
+            tuple,
+            vocab_oov_scores(df, "text", "doc_id", vocab_size=3).collect(),
+        )
+    )
+    join_path = sorted(
+        map(
+            tuple,
+            vocab_oov_scores(
+                df, "text", "doc_id", vocab_size=3, literal_max=0
+            ).collect(),
+        )
+    )
+    assert lit_path == join_path

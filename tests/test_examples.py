@@ -20,8 +20,11 @@ def _run(script: str, *args: str) -> str:
         text=True,
         # the curation demo is ~5-6 min of real stages at sf0.01 on
         # the subprocess's local[4]; 420 s started flaking once the
-        # r9 target-affinity stage joined the chain
-        timeout=600,
+        # r9 target-affinity stage joined the chain, and the r10
+        # vocab-OOV gate + coverage audit add two more fit passes
+        # (the train split is now checkpointed once to keep the
+        # audit's scans from recomputing the whole upstream chain)
+        timeout=780,
         cwd=REPO,
     )
     assert out.returncode == 0, out.stderr[-2000:]
