@@ -3635,11 +3635,16 @@ def q101_target_coverage_audit(
     )
 
 
-def _target_coverage_sql() -> str:
+def _target_coverage_sql(
+    k: int = 100, num_buckets: int = 1024, seed: str = "seed0"
+) -> str:
     """DuckDB twin of q101: q100's fit/score/top-k CTEs verbatim
     (same hashes, same smoothing, same rounded-score ordering), the
     q77 digest-sample convention for the baseline, and plain
-    DISTINCT + LEFT JOIN coverage counting."""
+    DISTINCT + LEFT JOIN coverage counting.  Parameterized so the
+    hypothesis differential (tests/test_coverage_and_vocab.py) can
+    run the same twin at small k over random corpora; the catalog
+    entry uses the defaults."""
     bigram = hashing.shingle_hash_sql("th", "i", 2)
     return f"""
 WITH th AS (
@@ -3650,16 +3655,16 @@ WITH th AS (
 ),
 g AS (
   SELECT doc_id, lang,
-         unnest(list_transform(th, h -> h % 1024) ||
+         unnest(list_transform(th, h -> h % {num_buckets}) ||
                 list_transform(range(1, greatest(len(th) - 2 + 2, 1)),
-                               i -> ({bigram}) % 1024)) AS b
+                               i -> ({bigram}) % {num_buckets})) AS b
   FROM th
 ),
 tb AS (SELECT DISTINCT b FROM g WHERE lang = 'en'),
 tc AS (SELECT b, count(*) AS c FROM g WHERE lang = 'en' GROUP BY b),
 rc AS (SELECT b, count(*) AS c FROM g GROUP BY b),
-tt AS (SELECT CAST(coalesce(sum(c), 0) + 1024 AS DOUBLE) AS tot FROM tc),
-tr AS (SELECT CAST(coalesce(sum(c), 0) + 1024 AS DOUBLE) AS tot FROM rc),
+tt AS (SELECT CAST(coalesce(sum(c), 0) + {num_buckets} AS DOUBLE) AS tot FROM tc),
+tr AS (SELECT CAST(coalesce(sum(c), 0) + {num_buckets} AS DOUBLE) AS tot FROM rc),
 docsums AS (
   SELECT g.doc_id,
          CAST(count(*) AS BIGINT) AS n_grams,
@@ -3675,11 +3680,11 @@ sel_aff AS (
                   - CAST(d.bs AS DOUBLE) / tr.tot)
                  * 1000000.0 / CAST(d.n_grams AS DOUBLE), 6) DESC,
            d.doc_id
-  LIMIT 100
+  LIMIT {k}
 ),
 sel_dig AS (
   SELECT doc_id FROM documents
-  ORDER BY md5('seed0' || ':' || CAST(doc_id AS VARCHAR)) LIMIT 100
+  ORDER BY md5('{seed}' || ':' || CAST(doc_id AS VARCHAR)) LIMIT {k}
 ),
 cb_aff AS (SELECT DISTINCT b FROM g JOIN sel_aff USING (doc_id)),
 cb_dig AS (SELECT DISTINCT b FROM g JOIN sel_dig USING (doc_id))

@@ -175,3 +175,110 @@ def test_vocab_oov_literal_and_join_paths_agree(spark):
         )
     )
     assert lit_path == join_path
+
+
+# ------------------------------------------------- DuckDB differentials
+# The catalog oracles certify q101/q102 on the fixed testdata; these
+# hypothesis differentials run the SAME twins over random corpora and
+# random k/V, so the cross-engine claim doesn't rest on one corpus
+# shape (the q79 canonical_url certification style).
+
+import duckdb  # noqa: E402
+import pandas as pd  # noqa: E402
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+from serverless_podcast_etl_spark.functions.textstats import (  # noqa: E402
+    vocab_oov_sql,
+)
+from serverless_podcast_etl_spark.plans.catalog import (  # noqa: E402
+    _target_coverage_sql,
+)
+
+_TOK = st.sampled_from(["aa", "bb", "cc", "dd", "zz", "yy"])
+_TEXT = st.lists(_TOK, min_size=0, max_size=6).map(" ".join)
+_CORPUS = st.lists(
+    st.tuples(_TEXT, st.sampled_from(["en", "de"])),
+    min_size=1,
+    max_size=9,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_CORPUS, st.integers(min_value=1, max_value=5))
+def test_coverage_audit_matches_duckdb_twin_on_random_corpora(
+    spark, rows, k
+):
+    # guarantee a non-empty target so coverage_pct is well-defined in
+    # both engines (the operator itself null-guards via try_divide)
+    rows = [*rows, ("aa bb cc", "en")]
+    df = spark.createDataFrame(
+        [(i + 1, t, lang) for i, (t, lang) in enumerate(rows)],
+        "doc_id long, text string, lang string",
+    )
+    got = [
+        tuple(r)
+        for r in target_coverage_audit(
+            df,
+            "text",
+            "doc_id",
+            k=k,
+            num_buckets=64,
+            target_predicate=F.col("lang") == "en",
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(
+            {
+                "doc_id": [i + 1 for i in range(len(rows))],
+                "text": [t for t, _ in rows],
+                "lang": [lang for _, lang in rows],
+            }
+        ),
+    )
+    want = [
+        tuple(r)
+        for r in con.execute(
+            _target_coverage_sql(k=k, num_buckets=64)
+        ).fetchall()
+    ]
+    assert len(got) == len(want) == 2
+    for g, w in zip(got, want):
+        assert g[:3] == w[:3]
+        assert g[3] == pytest.approx(w[3], abs=1e-9)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(_TEXT, min_size=1, max_size=9),
+    st.integers(min_value=1, max_value=5),
+)
+def test_vocab_oov_matches_duckdb_twin_on_random_corpora(
+    spark, texts, vocab_size
+):
+    df = spark.createDataFrame(
+        [(i + 1, t) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        tuple(r)
+        for r in vocab_oov_scores(
+            df, "text", "doc_id", vocab_size=vocab_size
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(
+            {
+                "doc_id": [i + 1 for i in range(len(texts))],
+                "text": texts,
+            }
+        ),
+    )
+    want = sorted(
+        tuple(r) for r in con.execute(vocab_oov_sql(vocab_size)).fetchall()
+    )
+    assert got == want

@@ -72,6 +72,12 @@ QUERIES = [
     # driver-window rotation; cost should scale ~linearly with the
     # corpus (sf0.1 golden median 6.9s)
     "q100_target_importance_select",
+    # r10 additions rehearsed the round they land (the q100 lesson:
+    # don't let an operator reach its rotation with no 10x row) —
+    # the coverage audit's two broadcast-semi corpus scans and the
+    # OOV scorer's fit+InSet-scan shape at 10x docs
+    "q101_target_coverage_audit",
+    "q102_vocab_oov_scores",
 ]
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
