@@ -178,6 +178,7 @@ EXCLUDED = {
     # NOTES r10) and enter with r11's batched freeze.
     "q101_target_coverage_audit",
     "q102_vocab_oov_scores",
+    "q103_cluster_balanced_sample",
 }
 
 

@@ -1064,3 +1064,61 @@ def ivf_probe_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    id_col: str,
+    n_per_cell: int,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    seed: str = "seed0",
+) -> DataFrame:
+    """Diversity-preserving selection over an embedding corpus: assign
+    every vector to its quantizer cell (``spherical_assign`` — max dot
+    against fixed centroids), then keep at most ``n_per_cell`` rows
+    per cell, chosen by the deterministic md5-digest order
+    (``selection.digest_sample``'s key convention).  The
+    cluster-then-sample step of DataComp-style curation: a uniform
+    draw over a corpus with dense modes keeps the modes dense, while
+    a per-cell quota flattens embedding-space coverage (the
+    within-cell complement of SemDeDup, which removes near-identical
+    points but never rebalances BETWEEN cells).
+
+    Composition of certified pieces: the q70 assignment stage + the
+    q75 per-group quota (``cap_per_group``), with the q77 digest key
+    as the order — so the draw is reproducible across runs, engines
+    and partitionings.  Output: (id, cell, rank_in_cell).
+
+    Scale: assignment is purely in-row (centroids are plan literals);
+    the quota is ONE shuffle on the cell key with a per-cell
+    row_number — output bounded at ``n_per_cell × len(centroids)``
+    regardless of corpus size.  A pathological cell bounds one task
+    (windows don't get AQE skew handling), which the cap itself keeps
+    cheap: the task only streams to rank n_per_cell's digest.
+    """
+    from .selection import cap_per_group
+
+    key = F.md5(
+        F.encode(
+            F.concat(
+                F.lit(seed), F.lit(":"), F.col(id_col).cast("string")
+            ),
+            "utf-8",
+        )
+    )
+    assigned = spherical_assign(df, centroids, vec_col, out_col="_cell")
+    return (
+        cap_per_group(
+            assigned.withColumn("_k", key),
+            group_col="_cell",
+            order_cols=[F.col("_k")],
+            n=n_per_cell,
+            rank_col="rank_in_cell",
+        )
+        .select(
+            id_col,
+            F.col("_cell").cast("int").alias("cell"),
+            F.col("rank_in_cell").cast("int").alias("rank_in_cell"),
+        )
+    )

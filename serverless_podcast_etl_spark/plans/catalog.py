@@ -3724,6 +3724,56 @@ def q102_vocab_oov_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q103_cluster_balanced_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cluster-balanced embedding sampling
+    (similarity.cluster_balanced_sample): quantizer-cell assignment
+    (q70's fixed spherical quantizer) + per-cell digest quota (q75's
+    cap, q77's key) — DataComp-style diversity-preserving selection
+    that flattens embedding-space coverage instead of following the
+    corpus's density modes.
+
+    Spark shape: in-row assignment (centroids as plan literals), one
+    shuffle on the cell key, output bounded at n_per_cell × cells."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return similarity.cluster_balanced_sample(
+        emb,
+        id_col="vec_id",
+        n_per_cell=20,
+        centroids=_SEM_CENTROIDS,
+    ).orderBy("cell", "rank_in_cell")
+
+
+def _cluster_sample_sql(
+    n_per_cell: int = 20, seed: str = "seed0"
+) -> str:
+    """DuckDB twin of q103: the q70 oracle's assignment expression
+    (list_position over list_dot_product against the same centroid
+    literals), the q77 digest key, a window quota."""
+
+    def lit_vec(c: list[float]) -> str:
+        return "[" + ", ".join(repr(x) for x in c) + "]"
+
+    ds = ", ".join(
+        f"list_dot_product(e, {lit_vec(c)})" for c in _SEM_CENTROIDS
+    )
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+assigned AS (SELECT vec_id, list_position(ds, list_max(ds)) AS cell
+             FROM (SELECT vec_id, [{ds}] AS ds FROM v)),
+ranked AS (SELECT vec_id, cell,
+                  row_number() OVER (
+                    PARTITION BY cell
+                    ORDER BY md5('{seed}' || ':' || CAST(vec_id AS VARCHAR))
+                  ) AS rk
+           FROM assigned)
+SELECT vec_id, CAST(cell AS INT) AS cell, CAST(rk AS INT) AS rank_in_cell
+FROM ranked WHERE rk <= {n_per_cell}
+ORDER BY cell, rank_in_cell
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "q01_pricing_summary": QueryDef(q01_pricing_summary, _Q01_SQL, "filter+agg+sort (A1/A3)"),
     "q02_event_type_counts": QueryDef(q02_event_type_counts, _Q02_SQL, "groupBy count desc (A1/O1)"),
@@ -4063,6 +4113,11 @@ CATALOG: dict[str, QueryDef] = {
         textstats.vocab_oov_sql(64),
         "vocabulary OOV-rate scoring (top-64 corpus vocab)",
     ),
+    "q103_cluster_balanced_sample": QueryDef(
+        q103_cluster_balanced_sample,
+        _cluster_sample_sql(),
+        "cluster-balanced embedding sampling (per-cell digest quota)",
+    ),
 }
 
 
@@ -4263,9 +4318,10 @@ DRIVER_OVERFLOW: frozenset[str] = frozenset(
         "q99_incremental_refresh",
         # r10 additions start in overflow, replica-certified, per the
         # standing convention (q101 selection coverage audit, q102
-        # vocabulary OOV scoring)
+        # vocabulary OOV scoring, q103 cluster-balanced sampling)
         "q101_target_coverage_audit",
         "q102_vocab_oov_scores",
+        "q103_cluster_balanced_sample",
     }
 )
 

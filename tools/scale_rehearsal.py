@@ -78,6 +78,11 @@ QUERIES = [
     # OOV scorer's fit+InSet-scan shape at 10x docs
     "q101_target_coverage_audit",
     "q102_vocab_oov_scores",
+    # q103 (late r10 addition, rides from the r11 rehearsal onward):
+    # a composition of already-rehearsed stages — q70's in-row
+    # quantizer assignment + q75's per-group window quota — measured
+    # standalone at sf0.1 (1.5 s) in NOTES r10
+    "q103_cluster_balanced_sample",
 ]
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
