@@ -179,6 +179,7 @@ EXCLUDED = {
     "q101_target_coverage_audit",
     "q102_vocab_oov_scores",
     "q103_cluster_balanced_sample",
+    "q104_strip_contamination",
 }
 
 

@@ -1383,6 +1383,72 @@ def strip_spans(
     )
 
 
+def decontamination_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    benchmark_text_col: str | None = None,
+) -> DataFrame:
+    """Eval-set contamination SPANS: maximal ranges of corpus tokens
+    covered by a k-token window that appears verbatim anywhere in the
+    benchmark corpus — the detection stage of span-level
+    decontamination.  Where the q50/q65/q69 family FLAGS contaminated
+    documents (the drop-the-whole-doc policy), this locates the
+    contaminated ranges so ``strip_contamination`` can remove just
+    the leaked text and keep the document — the policy production
+    pipelines prefer when eval sentences leak into otherwise-good
+    web pages.
+
+    Scale: the benchmark's distinct window-hash set is small relative
+    to the corpus (eval suites are fixed-size) and is BROADCAST into
+    a semi-join against the corpus's positioned windows, so the
+    corpus is never shuffled for candidate generation; only flagged
+    positions enter the per-document gaps-and-islands merge.  For
+    eval sets beyond broadcast reach, detect docs first with the
+    Bloom tier (``bloom_cross_corpus_overlap``) and run this only on
+    the flagged subset.
+
+    Returns (id, span_start, span_end, n_windows) with INCLUSIVE
+    0-based token offsets — ``strip_spans``' input contract.
+    """
+    bcol = benchmark_text_col or text_col
+    ev = (
+        _positioned_window_hashes(
+            benchmark.select(F.col(bcol).alias("_bt")).withColumn(
+                "_bid", F.monotonically_increasing_id()
+            ),
+            "_bt",
+            "_bid",
+            k,
+        )
+        .select("h")
+        .distinct()
+    )
+    pos = _positioned_window_hashes(corpus, text_col, id_col, k)
+    flagged = pos.join(F.broadcast(ev), "h", "left_semi")
+    return _merge_windows_to_spans(flagged, id_col, k)
+
+
+def strip_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    benchmark_text_col: str | None = None,
+) -> DataFrame:
+    """Applied span-level decontamination: ``strip_spans`` over
+    ``decontamination_spans`` — every corpus token covered by a
+    benchmark k-gram removed, documents otherwise kept intact.
+    Returns (id, n_tokens_before, n_tokens_after, text_stripped)."""
+    spans = decontamination_spans(
+        corpus, benchmark, text_col, id_col, k, benchmark_text_col
+    )
+    return strip_spans(corpus, spans, text_col, id_col)
+
+
 def pair_overlap_stats(
     approx_pairs: DataFrame,
     exact_pairs: DataFrame,

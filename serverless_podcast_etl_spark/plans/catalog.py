@@ -3774,6 +3774,115 @@ ORDER BY cell, rank_in_cell
 """
 
 
+def q104_strip_contamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Span-level eval-set decontamination
+    (dedup.strip_contamination): every corpus token covered by an
+    8-token window that appears verbatim in the benchmark slice is
+    removed, documents otherwise kept — the keep-the-page policy
+    complement of q50/q69's drop-the-doc detection.  Same
+    deterministic contamination injection as q50 (benchmark =
+    doc_id % 97 slice; an 8-token tail appended to benchmark docs
+    and to corpus docs with doc_id % 101 == 0), so the strip is
+    certified on non-empty spans; md5 pins the rebuilt text
+    byte-for-byte (the q72 pattern).
+
+    Spark shape: benchmark window hashes broadcast into a semi-join
+    (corpus never shuffled for candidates), flagged positions merge
+    per-document, one equi-join applies the spans in-row."""
+    docs = _t(spark, sf_dir, "documents")
+    tail = (
+        " contam0 contam1 contam2 contam3 contam4 contam5 contam6 contam7"
+    )
+    injected = docs.select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 97 == 0) | (F.col("doc_id") % 101 == 0),
+            F.concat(F.col("text"), F.lit(tail)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    corpus = injected.filter(F.col("doc_id") % 97 != 0)
+    benchmark = injected.filter(F.col("doc_id") % 97 == 0)
+    out = dedup.strip_contamination(
+        corpus, benchmark, text_col="text", id_col="doc_id", k=8
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens_before",
+        "n_tokens_after",
+        F.md5(F.encode(F.col("text_stripped"), "utf-8")).alias(
+            "stripped_md5"
+        ),
+    ).orderBy("doc_id")
+
+
+def _strip_contamination_sql(k: int = 8) -> str:
+    """DuckDB twin of q104: q50's injection CTE, q71's positioned
+    windows + island merge (windows restricted to those in the
+    benchmark's hash set), q72's strip + md5 pin."""
+    toks = _toks_cte("injected")
+    th_cte = (
+        f"SELECT doc_id, {hashing.token_hashes_sql('t')} AS th FROM ({toks})"
+    )
+    return f"""
+WITH injected AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 97 = 0 OR doc_id % 101 = 0
+              THEN text || ' contam0 contam1 contam2 contam3 contam4 contam5 contam6 contam7'
+              ELSE text END AS text
+  FROM documents
+),
+th AS ({th_cte}),
+p0 AS (
+  SELECT doc_id, unnest(list_transform(
+           range(1, greatest(len(th) - {k} + 2, 1)),
+           i -> {{'pos': i - 1, 'h': {hashing.shingle_hash_sql('th', 'i', k)}}}
+         )) AS g
+  FROM th
+),
+p AS (SELECT doc_id, g.pos AS pos, g.h AS h FROM p0),
+ev AS (SELECT DISTINCT h FROM p WHERE doc_id % 97 = 0),
+d AS (SELECT p.doc_id, p.pos FROM p JOIN ev USING (h)
+      WHERE p.doc_id % 97 <> 0),
+b AS (SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= {k}
+                  THEN 0 ELSE 1 END AS brk
+      FROM d),
+g AS (SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM b),
+spans AS (
+  SELECT doc_id, min(pos) AS span_start, max(pos) + {k} - 1 AS span_end
+  FROM g GROUP BY doc_id, grp
+),
+sp AS (SELECT doc_id, list({{'s': span_start, 'e': span_end}}) AS spans
+       FROM spans GROUP BY doc_id),
+t AS (
+  SELECT i.doc_id,
+         list_filter(regexp_split_to_array(lower(i.text), '\\s+'),
+                     x -> x <> '') AS toks,
+         coalesce(sp.spans, []) AS spans
+  FROM injected i LEFT JOIN sp ON i.doc_id = sp.doc_id
+  WHERE i.doc_id % 97 <> 0
+),
+kept AS (
+  SELECT doc_id, toks,
+         list_filter(toks, (x, i) ->
+           NOT len(list_filter(spans,
+                   r -> i - 1 >= r.s AND i - 1 <= r.e)) > 0) AS kt
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens_before,
+       CAST(len(kt) AS BIGINT) AS n_tokens_after,
+       md5(coalesce(array_to_string(kt, ' '), '')) AS stripped_md5
+FROM kept ORDER BY doc_id
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "q01_pricing_summary": QueryDef(q01_pricing_summary, _Q01_SQL, "filter+agg+sort (A1/A3)"),
     "q02_event_type_counts": QueryDef(q02_event_type_counts, _Q02_SQL, "groupBy count desc (A1/O1)"),
@@ -4118,6 +4227,11 @@ CATALOG: dict[str, QueryDef] = {
         _cluster_sample_sql(),
         "cluster-balanced embedding sampling (per-cell digest quota)",
     ),
+    "q104_strip_contamination": QueryDef(
+        q104_strip_contamination,
+        _strip_contamination_sql(),
+        "span-level eval-set decontamination (strip, keep the doc)",
+    ),
 }
 
 
@@ -4318,10 +4432,12 @@ DRIVER_OVERFLOW: frozenset[str] = frozenset(
         "q99_incremental_refresh",
         # r10 additions start in overflow, replica-certified, per the
         # standing convention (q101 selection coverage audit, q102
-        # vocabulary OOV scoring, q103 cluster-balanced sampling)
+        # vocabulary OOV scoring, q103 cluster-balanced sampling,
+        # q104 span-level decontamination strip)
         "q101_target_coverage_audit",
         "q102_vocab_oov_scores",
         "q103_cluster_balanced_sample",
+        "q104_strip_contamination",
     }
 )
 

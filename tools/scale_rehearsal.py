@@ -78,11 +78,15 @@ QUERIES = [
     # OOV scorer's fit+InSet-scan shape at 10x docs
     "q101_target_coverage_audit",
     "q102_vocab_oov_scores",
-    # q103 (late r10 addition, rides from the r11 rehearsal onward):
-    # a composition of already-rehearsed stages — q70's in-row
-    # quantizer assignment + q75's per-group window quota — measured
-    # standalone at sf0.1 (1.5 s) in NOTES r10
+    # q103/q104 (late r10 additions, ride from the r11 rehearsal
+    # onward): both compositions of already-rehearsed stages —
+    # q103 = q70's in-row quantizer assignment + q75's per-group
+    # window quota; q104 = q72's positioned-window/island/strip
+    # machinery with the benchmark hash set broadcast instead of a
+    # df threshold — measured standalone at sf0.1 (1.5 s / 2.2 s)
+    # in NOTES r10
     "q103_cluster_balanced_sample",
+    "q104_strip_contamination",
 ]
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
