@@ -8,7 +8,8 @@ URL canonical dedup → domain blocklist → line-level cleaning →
 quality gate → vocab-OOV gate → exact dedup → cross-doc
 boilerplate stripping →
 near-dup cluster dedup (+ cross-source leakage matrix report) →
-fraction-gated eval-set decontamination → leakage-free train/eval
+fraction-gated eval-set decontamination (+ span-level strip of
+the survivors) → leakage-free train/eval
 split → DSIR-style target-affinity selection (+ coverage audit
 vs the digest baseline) → per-source quota
 cap → LM-scored token-budget selection →
@@ -19,7 +20,7 @@ ENSEMBLE adjudication over the source corpus and an incremental
 snapshot REFRESH (diff → admission gate) simulating the next crawl —
 over the synthetic ``documents`` table, printing surviving row
 counts per stage.  Every stage is a certified catalog operator
-(q18/q43/q49/q71-q76/q79-q81/q83-q84/q87-q89/q97-q102); this file
+(q18/q43/q49/q71-q76/q79-q81/q83-q84/q87-q89/q97-q102/q104); this file
 only composes them.
 """
 
@@ -178,6 +179,25 @@ def main() -> None:
     ).select("doc_id").distinct()
     docs = docs.join(contaminated, "doc_id", "left_anti")
     print(f"after decontamination: {docs.count()}")
+
+    # 5b. span-level strip (q104, r10) for docs BELOW the q83 drop
+    #     threshold: lightly-contaminated pages keep their content
+    #     minus the leaked ranges (the keep-the-page policy; heavily
+    #     contaminated docs were dropped whole above)
+    stripped = dedup.strip_contamination(
+        docs.select("doc_id", "text"), benchmark,
+        text_col="text", id_col="doc_id", k=8,
+    )
+    n_touched = stripped.filter(
+        F.col("n_tokens_after") < F.col("n_tokens_before")
+    ).count()
+    docs = docs.drop("text").join(
+        stripped.select(
+            "doc_id", F.col("text_stripped").alias("text")
+        ),
+        "doc_id",
+    )
+    print(f"after span-level strip: {docs.count()} ({n_touched} docs trimmed)")
 
     # 6. leakage-free split by near-dup component (q73) — pairs from
     #    the PRE-dedup graph so any surviving member keys its group
