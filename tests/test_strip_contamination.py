@@ -74,3 +74,64 @@ def test_benchmark_text_col_override(spark):
         corpus, bench, "text", "doc_id", k=5, benchmark_text_col="prompt"
     ).collect()[0]
     assert out["text_stripped"] == "pad pad pad"
+
+
+# ------------------------------------------------ Python differential
+# Independent reference implementation over hypothesis-generated
+# corpora: benchmark k-grams located as raw TOKEN TUPLES (no hashing),
+# positions merged to maximal spans, tokens stripped — so the operator
+# is certified against the SEMANTICS, not against its own md5-fold
+# machinery.
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_TOK = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+_TEXT = st.lists(_TOK, min_size=0, max_size=10).map(" ".join)
+
+
+def _ref_strip(corpus, benchmark, k):
+    bench_grams = set()
+    for text in benchmark:
+        toks = [t for t in text.lower().split() if t]
+        for i in range(len(toks) - k + 1):
+            bench_grams.add(tuple(toks[i : i + k]))
+    out = {}
+    for doc_id, text in corpus:
+        toks = [t for t in text.lower().split() if t]
+        flagged = [
+            i
+            for i in range(len(toks) - k + 1)
+            if tuple(toks[i : i + k]) in bench_grams
+        ]
+        covered = set()
+        for i in flagged:
+            covered.update(range(i, i + k))
+        kept = [t for i, t in enumerate(toks) if i not in covered]
+        out[doc_id] = (len(toks), len(kept), " ".join(kept))
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(_TEXT, min_size=1, max_size=8),
+    st.lists(_TEXT, min_size=1, max_size=4),
+    st.integers(min_value=2, max_value=4),
+)
+def test_strip_matches_python_reference(spark, corpus_texts, bench_texts, k):
+    corpus_rows = [(i + 1, t) for i, t in enumerate(corpus_texts)]
+    corpus = _docs(spark, corpus_rows)
+    bench = _docs(
+        spark, [(100 + i, t) for i, t in enumerate(bench_texts)]
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens_before"],
+            r["n_tokens_after"],
+            r["text_stripped"],
+        )
+        for r in strip_contamination(
+            corpus, bench, "text", "doc_id", k=k
+        ).collect()
+    }
+    assert got == _ref_strip(corpus_rows, bench_texts, k)
