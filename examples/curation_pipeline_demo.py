@@ -234,12 +234,15 @@ def main() -> None:
 
     # 6c. selection coverage audit (q101, r10) — did the targeted
     #     selection buy target-feature coverage over sampling blindly?
+    #     The stage-6b selection is passed in (selection_ids), so the
+    #     audit skips its internal re-fit (two corpus scans saved)
     for r in selection.target_coverage_audit(
         audited,
         text_col="text",
         id_col="doc_id",
         k=200,
         target_predicate=F.col("lang") == "en",
+        selection_ids=affine.select("doc_id"),
     ).collect():
         print(
             f"coverage[{r['method']}]: {r['covered_buckets']}/"

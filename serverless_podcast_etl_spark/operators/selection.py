@@ -779,6 +779,7 @@ def target_coverage_audit(
     target: DataFrame | None = None,
     target_predicate: Column | None = None,
     seed: str = "seed0",
+    selection_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Selection-quality audit for ``select_by_target_affinity``: of
     the TARGET distribution's distinct hashed n-gram feature buckets,
@@ -790,6 +791,13 @@ def target_coverage_audit(
     is justified exactly when it does — Xie et al. NeurIPS 2023 §5
     evaluates selections against random-sampling baselines the same
     way.)
+
+    ``selection_ids`` (a frame whose ``id_col`` holds the already-
+    selected ids) skips the internal affinity re-fit and audits THAT
+    selection instead — the form for pipelines that just ran
+    ``select_by_target_affinity`` and hold the result (re-fitting
+    costs two corpus scans); the self-contained form re-derives the
+    top-k so the audit is one call from cold.
 
     Output: one row per method (``affinity``, ``digest``) with
     ``covered_buckets``, ``target_buckets`` and ``coverage_pct``
@@ -820,16 +828,19 @@ def target_coverage_audit(
         .localCheckpoint(eager=True)
     )
 
-    sel_aff = select_by_target_affinity(
-        raw,
-        target,
-        text_col,
-        id_col,
-        k=k,
-        num_buckets=num_buckets,
-        max_n=max_n,
-        target_predicate=target_predicate,
-    ).select(id_col)
+    if selection_ids is not None:
+        sel_aff = selection_ids.select(id_col)
+    else:
+        sel_aff = select_by_target_affinity(
+            raw,
+            target,
+            text_col,
+            id_col,
+            k=k,
+            num_buckets=num_buckets,
+            max_n=max_n,
+            target_predicate=target_predicate,
+        ).select(id_col)
     sel_dig = digest_sample(
         raw.select(id_col), id_col, n=k, seed=seed
     ).select(id_col)

@@ -105,6 +105,26 @@ def test_coverage_audit_requires_a_target(spark):
         target_coverage_audit(raw, "text", "doc_id", k=3)
 
 
+def test_precomputed_selection_ids_skip_the_refit_and_agree(spark):
+    from serverless_podcast_etl_spark.operators.selection import (
+        select_by_target_affinity,
+    )
+
+    raw = _separated_corpus(spark)
+    pred = F.col("doc_id") <= 3
+    precomputed = select_by_target_affinity(
+        raw, None, "text", "doc_id", k=3, target_predicate=pred
+    ).select("doc_id")
+    via_ids = target_coverage_audit(
+        raw, "text", "doc_id", k=3,
+        target_predicate=pred, selection_ids=precomputed,
+    ).collect()
+    self_contained = target_coverage_audit(
+        raw, "text", "doc_id", k=3, target_predicate=pred
+    ).collect()
+    assert via_ids == self_contained
+
+
 # ---------------------------------------------------------------- q102
 
 
