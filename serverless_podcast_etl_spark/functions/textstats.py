@@ -613,6 +613,25 @@ def build_vocabulary(
     ]
 
 
+def oov_columns(
+    tokens: Column, vocabulary: list[str]
+) -> dict[str, Column]:
+    """The in-row OOV expressions keyed by output name, over an
+    already-tokenized array column — shared by ``vocab_oov_scores``'
+    plan-literal path and the streaming curation gate (stateless, so
+    they apply to micro-batches unchanged; the vocabulary ships as an
+    InSet inside the plan).  Caller guarantees non-empty token arrays
+    (the batch scorer filters size>0; the streaming gate sits behind
+    its min_tokens threshold)."""
+    oov = F.size(F.filter(tokens, lambda t: ~t.isin(*vocabulary)))
+    return {
+        "oov_tokens": oov.cast("long"),
+        "oov_rate": F.round(
+            oov.cast("double") / F.size(tokens), 6
+        ),
+    }
+
+
 def vocab_oov_scores(
     df: DataFrame,
     text_col: str,
@@ -651,21 +670,14 @@ def vocab_oov_scores(
     vocab = build_vocabulary(df, text_col, vocab_size)
     toks = word_tokens(F.col(text_col))
     if vocab_size <= literal_max:
-        oov = F.size(F.filter("_t", lambda t: ~t.isin(*vocab)))
+        cols = oov_columns(F.col("_t"), vocab)
         return (
             df.select(F.col(id_col), toks.alias("_t"))
             .filter(F.size("_t") > 0)
             .select(
                 id_col,
                 F.size("_t").cast("long").alias("n_tokens"),
-                oov.cast("long").alias("oov_tokens"),
-            )
-            .withColumn(
-                "oov_rate",
-                F.round(
-                    F.col("oov_tokens").cast("double") / F.col("n_tokens"),
-                    6,
-                ),
+                *[c.alias(n) for n, c in cols.items()],
             )
         )
     vocab_df = F.broadcast(

@@ -16,7 +16,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.pii import pii_columns
-from ..functions.textstats import quality_columns
+from ..functions.text import word_tokens
+from ..functions.textstats import oov_columns, quality_columns
 from .dedup import stream_dedup_exact
 
 
@@ -30,6 +31,8 @@ def curate_stream(
     min_tokens: int = 10,
     max_punct_ratio: float = 0.2,
     max_stopword_ratio: float = 0.6,
+    vocabulary: list[str] | None = None,
+    max_oov_rate: float = 0.5,
 ) -> DataFrame:
     """Documents that survive dedup + quality gating, with their
     quality stats and the PII-redacted text attached.
@@ -37,6 +40,15 @@ def curate_stream(
     ``ts_col=None`` skips the dedup tier (pure stateless gate).  The
     thresholds are plan literals — Catalyst folds them, and the whole
     gate is one projection + filter per micro-batch.
+
+    ``vocabulary`` (r10) adds the q102 vocabulary-OOV tier between
+    the quality gate and the PII scrub: documents whose OOV token
+    fraction exceeds ``max_oov_rate`` are dropped, survivors carry
+    ``oov_tokens``/``oov_rate``.  The vocabulary is FIT OFFLINE on a
+    reference corpus (``textstats.build_vocabulary`` — a stream
+    cannot fit a global vocabulary online) and ships as an InSet
+    inside the plan, so the tier stays stateless and micro-batch-safe
+    like the quality gate.
     """
     d = stream
     if ts_col is not None:
@@ -55,6 +67,11 @@ def curate_stream(
         & (F.col("punct_ratio") <= max_punct_ratio)
         & (F.col("stopword_ratio") <= max_stopword_ratio)
     )
+    if vocabulary is not None:
+        o = oov_columns(word_tokens(F.col(text_col)), vocabulary)
+        gated = gated.select(
+            "*", *[c.alias(n) for n, c in o.items()]
+        ).filter(F.col("oov_rate") <= max_oov_rate)
     p = pii_columns(text_col)
     return gated.select(
         "*", *[c.alias(n) for n, c in p.items()]

@@ -565,3 +565,71 @@ def test_streaming_admission_restart_processes_only_new_files(spark, tmp_path):
     ).parquet(src)
     drain()
     assert admitted == [201, 202]
+
+
+def test_curate_stream_vocab_oov_tier_matches_batch(spark, tmp_path):
+    """The r10 vocabulary-OOV tier: a vocabulary fit OFFLINE on a
+    reference corpus gates streamed documents statelessly; the same
+    call on a batch frame produces identical rows, and the scores
+    agree with the batch q102 operator."""
+    import os
+
+    from serverless_podcast_etl_spark.functions.textstats import (
+        build_vocabulary,
+        vocab_oov_scores,
+    )
+    from serverless_podcast_etl_spark.streaming.curation import curate_stream
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away to the hills near the old stone bridge")
+    junk = ("zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll kk jj ii "
+            "hh gg ff ee dd cc bb az by cx dw ev fu gt hs ir jq kp "
+            "lo mn nm ol pk qj ri sh tg uf ve wd xc yb za ab bc cd")
+    rows = [(1, base), (2, junk), (3, base + " extra words beyond")]
+    schema = "doc_id long, text string"
+    reference = spark.createDataFrame(rows, schema)
+    vocab = build_vocabulary(reference, "text", 30)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(rows[:2], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(rows[2:], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    curated = curate_stream(
+        stream, "text", "doc_id", vocabulary=vocab, max_oov_rate=0.5
+    )
+    assert curated.isStreaming
+    got: list = []
+    q = (
+        curated.writeStream.foreachBatch(
+            lambda df, _e: got.extend(df.collect())
+        )
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # the junk doc is OOV-heavy under a vocab dominated by base's
+    # repeated tokens and is dropped; both base docs survive
+    assert sorted(r["doc_id"] for r in got) == [1, 3]
+    batch = curate_stream(
+        spark.read.parquet(src), "text", "doc_id",
+        vocabulary=vocab, max_oov_rate=0.5,
+    ).collect()
+    key = lambda r: tuple(sorted(r.asDict().items()))  # noqa: E731
+    assert sorted(map(key, batch)) == sorted(map(key, got))
+    # tier scores == the batch q102 operator's (shared expressions)
+    q102 = {
+        r["doc_id"]: (r["oov_tokens"], r["oov_rate"])
+        for r in vocab_oov_scores(
+            spark.read.parquet(src), "text", "doc_id", vocab_size=30
+        ).collect()
+    }
+    for r in got:
+        assert (r["oov_tokens"], r["oov_rate"]) == q102[r["doc_id"]]
