@@ -156,6 +156,13 @@ HEADLINE = [
     "q98_ensemble_dedup",
     "q99_incremental_refresh",
     "q100_target_importance_select",
+    # r10 additions, deferred from the r10 anchor per the freeze
+    # discipline (batch ALL headline additions into ONE re-freeze),
+    # entered here with the r11 batched freeze
+    "q101_target_coverage_audit",
+    "q102_vocab_oov_scores",
+    "q103_cluster_balanced_sample",
+    "q104_strip_contamination",
 ]
 
 #: Every exclusion, with its reason in the header comment above —
@@ -170,16 +177,6 @@ EXCLUDED = {
     "q95_image_neardup",        # pixel-seam timing is codec-dependent (q29
                                 # rationale); its banded join is benched via
                                 # q21/q28's identical machinery
-    # r10 additions, deferred to the r11 anchor batch: the r9 VERDICT
-    # ruled the fresh golden must NOT be re-frozen this round, and the
-    # freeze discipline (NOTES "freeze discipline" bullet) forbids
-    # headline additions without a re-freeze — so q101/q102 stay out
-    # of HEADLINE for one round (their sf0.1 timings are recorded in
-    # NOTES r10) and enter with r11's batched freeze.
-    "q101_target_coverage_audit",
-    "q102_vocab_oov_scores",
-    "q103_cluster_balanced_sample",
-    "q104_strip_contamination",
 }
 
 

@@ -184,10 +184,15 @@ def main() -> None:
     #     threshold: lightly-contaminated pages keep their content
     #     minus the leaked ranges (the keep-the-page policy; heavily
     #     contaminated docs were dropped whole above)
+    #     Materialized once: the n_touched count AND the text-swap
+    #     join both consume this frame, and without the checkpoint
+    #     each would re-run benchmark window detection plus the whole
+    #     uncheckpointed cleaning chain upstream (the repo's
+    #     materialize-at-every-fan-out pattern).
     stripped = dedup.strip_contamination(
         docs.select("doc_id", "text"), benchmark,
         text_col="text", id_col="doc_id", k=8,
-    )
+    ).localCheckpoint(eager=True)
     n_touched = stripped.filter(
         F.col("n_tokens_after") < F.col("n_tokens_before")
     ).count()

@@ -8,7 +8,9 @@ drains them with an AvailableNow file stream through the full ingest
 gate a training-data pipeline runs at the edge:
 
 1. ``curate_stream`` — bounded-state exact dedup (re-deliveries),
-   quality gate, PII redaction (streaming/curation.py);
+   quality gate, vocabulary-OOV gate (fit OFFLINE via
+   ``build_vocabulary`` on a trusted reference corpus — the q102
+   scoring as an ingest tier), PII redaction (streaming/curation.py);
 2. ``admission_batch_fn`` — per-micro-batch near-dup check against a
    static corpus band index (streaming/admission.py, the operator
    q76 certifies);
@@ -36,6 +38,9 @@ from serverless_podcast_etl_spark.session import get_spark  # noqa: E402
 from serverless_podcast_etl_spark.streaming.admission import (  # noqa: E402
     admission_batch_fn,
 )
+from serverless_podcast_etl_spark.functions.textstats import (  # noqa: E402
+    build_vocabulary,
+)
 from serverless_podcast_etl_spark.streaming.curation import (  # noqa: E402
     curate_stream,
 )
@@ -62,15 +67,29 @@ def main() -> None:
         "doc_id long, text_redacted string",
     )
 
-    # stage two arrival files: a re-delivery, junk, a corpus clone and
-    # genuinely new material
+    # the OOV tier's vocabulary is fit OFFLINE on a trusted reference
+    # corpus (a stream cannot fit a global vocabulary online) — here
+    # the stored corpus plus one in-domain reference document, so
+    # genuinely fresh in-domain material scores low-OOV while garbled
+    # text scores ~1.0
+    reference = corpus.select(
+        F.col("text_redacted").alias("text")
+    ).union(spark.createDataFrame([(fresh,)], "text string"))
+    vocabulary = build_vocabulary(reference, "text", vocab_size=64)
+
+    # stage two arrival files: a re-delivery, junk, garbled text, a
+    # corpus clone and genuinely new material
     src = os.path.join(root, "arrivals")
     os.makedirs(src, exist_ok=True)
     schema = "doc_id long, ts timestamp, text string"
+    garbled = ("zqv xklop brrn vwqt jjfo pltm qqrs wvzx mnnb ghrt "
+               "skpo dlvn werb ploq")  # survives the quality gate,
+    #                                    ~1.0 OOV vs the vocabulary
     batch1 = [(101, t0, fresh), (102, t0, "too short")]
     batch2 = [
         (103, t0 + dt.timedelta(minutes=1), fresh),       # re-delivery
         (104, t0 + dt.timedelta(minutes=1), good + " !"),  # corpus clone
+        (105, t0 + dt.timedelta(minutes=1), garbled),      # OOV-gated
     ]
     for rows in (batch1, batch2):
         spark.createDataFrame(rows, schema).coalesce(1).write.mode(
@@ -101,7 +120,10 @@ def main() -> None:
     )
 
     stream = spark.readStream.schema(schema).parquet(src)
-    curated = curate_stream(stream, "text", "doc_id", ts_col="ts")
+    curated = curate_stream(
+        stream, "text", "doc_id", ts_col="ts",
+        vocabulary=vocabulary, max_oov_rate=0.5,
+    )
     q = (
         curated.writeStream.foreachBatch(gate)
         .option("checkpointLocation", os.path.join(root, "ckpt"))
@@ -112,6 +134,8 @@ def main() -> None:
 
     print(f"admitted: {sorted(admitted_log)}")
     print(f"rejected (near-dup of corpus): {sorted(rejected_log)}")
+    gated_out = {105} - set(admitted_log) - set(rejected_log)
+    print(f"OOV-gated before admission: {sorted(gated_out)}")
     print(f"warehouse rows: {spark.read.parquet(store).count()}")
     spark.stop()
 

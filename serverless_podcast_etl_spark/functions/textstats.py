@@ -620,14 +620,16 @@ def oov_columns(
     already-tokenized array column — shared by ``vocab_oov_scores``'
     plan-literal path and the streaming curation gate (stateless, so
     they apply to micro-batches unchanged; the vocabulary ships as an
-    InSet inside the plan).  Caller guarantees non-empty token arrays
-    (the batch scorer filters size>0; the streaming gate sits behind
-    its min_tokens threshold)."""
+    InSet inside the plan).  Empty token arrays yield NULL
+    ``oov_rate`` (``try_divide`` — no ANSI DIVIDE_BY_ZERO even under
+    ``curate_stream(min_tokens=0)``), which any ``<=`` threshold
+    filter drops: a token-less document carries no vocabulary
+    evidence, matching the batch scorer's ``size > 0`` domain."""
     oov = F.size(F.filter(tokens, lambda t: ~t.isin(*vocabulary)))
     return {
         "oov_tokens": oov.cast("long"),
         "oov_rate": F.round(
-            oov.cast("double") / F.size(tokens), 6
+            F.try_divide(oov.cast("double"), F.size(tokens)), 6
         ),
     }
 

@@ -4342,6 +4342,17 @@ CATALOG: dict[str, QueryDef] = {
 #: Remaining backlog after this rotation: q35, q54, q90 — scheduled
 #: for the r11 drain.
 #:
+#: Round-11 rotation (r10 VERDICT "do this" #1): the full remaining
+#: drain minus two — q104 span-level decontamination strip + q101
+#: selection coverage audit (the two production-relevant r10
+#: flagships) plus the oldest debt q35 embedding LSH near-dup, q54
+#: embedding quantization, q90 token-share cap — rotated INTO the
+#: window; q81/q83/q86/q92/q100 rotated out (all first-time
+#: driver-green in CORRECTNESS_r10, per the rotation rule; family
+#: coverage noted at the frozenset entries below).  Remaining backlog
+#: after this rotation: exactly q102/q103 — pinned as the r12
+#: rotation.
+#:
 #: Round-9 rotation (r8 VERDICT "do this" #1/#2): the four round-8
 #: flagships — q97 near-dup ensemble, q98 applied ensemble dedup,
 #: q99 incremental corpus refresh (the three most production-relevant
@@ -4382,11 +4393,9 @@ DRIVER_OVERFLOW: frozenset[str] = frozenset(
         "q27_lsh_ann_topk",
         "q28_simhash_neardup",
         "q34_ivf_ann_topk",
-        "q35_embedding_lsh_neardup",
         "q36_ann_topk_vectorized",
         "q42_text_normalize",
         "q46_set_ops",
-        "q54_embedding_quantization",
         "q60_ann_recall",
         "q63_url_domains",
         "q64_language_id_eval",
@@ -4399,10 +4408,6 @@ DRIVER_OVERFLOW: frozenset[str] = frozenset(
         "q76_incremental_neardup",
         "q77_digest_sample",
         "q78_stratified_digest_sample",
-        # remaining r6 additions — rotation backlog (q81/q83/q86/q92
-        # rotated in r10; q85 rotated in r9; q90 token-share cap is
-        # the last of the family, scheduled for the r11 drain).
-        "q90_top_share_per_source",
         # r8 rotations-out for the q79/q80/q91/q93/q94 rotation-in
         # (driver-green in r7; families keep green siblings — see the
         # round-8 note above)
@@ -4430,14 +4435,23 @@ DRIVER_OVERFLOW: frozenset[str] = frozenset(
         "q97_neardup_ensemble",
         "q98_ensemble_dedup",
         "q99_incremental_refresh",
-        # r10 additions start in overflow, replica-certified, per the
-        # standing convention (q101 selection coverage audit, q102
-        # vocabulary OOV scoring, q103 cluster-balanced sampling,
-        # q104 span-level decontamination strip)
-        "q101_target_coverage_audit",
+        # r11 rotations-out for the q35/q54/q90/q101/q104 rotation-in
+        # (driver-green in CORRECTNESS_r10 first, per the rotation
+        # rule; families keep green window siblings: q81/q86 banded
+        # cross-source machinery → q21/q30 banded pairs stay
+        # certified, q83 fraction decontamination → q50/q69, q92
+        # quantile bins → q52/q59 selection stats, q100 affinity
+        # selection → q101's audit re-runs the identical fit+score in
+        # the window itself)
+        "q81_cross_source_neardup_matrix",
+        "q83_contamination_fractions",
+        "q86_corpus_report_card",
+        "q92_quantile_bins",
+        "q100_target_importance_select",
+        # r10 additions q102/q103 remain the certification backlog —
+        # pinned as the r12 rotation (NOTES r11 drain plan)
         "q102_vocab_oov_scores",
         "q103_cluster_balanced_sample",
-        "q104_strip_contamination",
     }
 )
 

@@ -32,28 +32,38 @@ EXPECTED_PRIORITY_ROWS_ONLY = {
 }
 
 
-#: the round-10 rotation (r9 VERDICT #1): backlog flagships in, the
-#: r9-certified five out — pinned so a catalog edit cannot silently
-#: undo the rotation before the driver certifies it.
-ROTATED_IN_R10 = {
+#: the round-11 rotation (r10 VERDICT #1): the certification-backlog
+#: drain — the two r10 flagships (q104 span-strip, q101 coverage
+#: audit) plus the oldest debt (q35/q54/q90) in, the r10-certified
+#: five out — pinned so a catalog edit cannot silently undo the
+#: rotation before the driver certifies it.  Remaining backlog after
+#: this rotation: exactly q102/q103 (the pinned r12 rotation).
+ROTATED_IN_R11 = {
+    "q35_embedding_lsh_neardup",
+    "q54_embedding_quantization",
+    "q90_top_share_per_source",
+    "q101_target_coverage_audit",
+    "q104_strip_contamination",
+}
+ROTATED_OUT_R11 = {
     "q81_cross_source_neardup_matrix",
     "q83_contamination_fractions",
     "q86_corpus_report_card",
     "q92_quantile_bins",
     "q100_target_importance_select",
 }
-ROTATED_OUT_R10 = {
-    "q85_snapshot_diff",
-    "q96_funnel_steps",
-    "q97_neardup_ensemble",
-    "q98_ensemble_dedup",
-    "q99_incremental_refresh",
+#: the only never-driver-certified oracle-backed entries left — r12
+#: rotates these in and the backlog is drained.
+R12_BACKLOG = {
+    "q102_vocab_oov_scores",
+    "q103_cluster_balanced_sample",
 }
 
 
-def test_round10_rotation_membership():
-    assert ROTATED_IN_R10.isdisjoint(DRIVER_OVERFLOW)
-    assert ROTATED_OUT_R10 <= DRIVER_OVERFLOW
+def test_round11_rotation_membership():
+    assert ROTATED_IN_R11.isdisjoint(DRIVER_OVERFLOW)
+    assert ROTATED_OUT_R11 <= DRIVER_OVERFLOW
+    assert R12_BACKLOG <= DRIVER_OVERFLOW
 
 
 def test_priority_window_is_exactly_50():

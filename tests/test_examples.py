@@ -40,6 +40,9 @@ def test_curation_demo_runs_end_to_end():
 def test_streaming_ingest_demo_runs_end_to_end(tmp_path):
     stdout = _run("streaming_ingest_demo.py", str(tmp_path / "work"))
     assert "warehouse rows: 1" in stdout, stdout
+    # the garbled doc 105 is dropped by the vocabulary-OOV tier —
+    # never reaching the admission gate's admitted/rejected sinks
+    assert "OOV-gated before admission: [105]" in stdout, stdout
 
 
 def test_podcast_pipeline_demo_runs(tmp_path):
