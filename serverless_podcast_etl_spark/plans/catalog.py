@@ -24,6 +24,8 @@ from ..functions import cleaning, dates, hashing, pii, text, textstats, urls
 from ..functions.textstats import LANG_MARKERS, STOPWORDS
 from ..operators import (
     aggregates,
+    chunking,
+    corpus_stats,
     dedup,
     funnels,
     joins,
@@ -3883,6 +3885,136 @@ FROM kept ORDER BY doc_id
 """
 
 
+
+
+def q105_token_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding token-window chunking (window 64, stride 48) — long
+    documents into overlapping training sequences; the token-exact
+    generalization of the reference's character chunker
+    (lambdas/chunk_transcript/lambda_function.py).  Pure in-row +
+    one posexplode: zero shuffles at any corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    return chunking.chunk_token_windows(
+        docs, text_col="text", id_col="doc_id", window=64, stride=48
+    )
+
+
+def _chunks_sql(window: int = 64, stride: int = 48) -> str:
+    return f"""
+WITH t AS ({_TOKS_CTE}),
+d AS (SELECT doc_id, t, len(t) AS n FROM t WHERE len(t) > 0),
+c AS (SELECT doc_id, t,
+        unnest(range(0, 1 + CAST(floor((greatest(n - {window}, 0)
+              + {stride - 1}) / {stride}) AS BIGINT))) AS i
+      FROM d)
+SELECT doc_id, i AS chunk_index, i*{stride} AS start_token,
+       CAST(len(list_slice(t, i*{stride} + 1, i*{stride} + {window}))
+            AS BIGINT) AS chunk_tokens,
+       array_to_string(list_slice(t, i*{stride} + 1,
+                                  i*{stride} + {window}), ' ')
+         AS chunk_text
+FROM c
+"""
+
+
+_Q105_SQL = _chunks_sql()
+
+
+def q106_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc novelty: fraction of its distinct 3-gram shingles with
+    corpus document-frequency exactly 1 — original content vs
+    boilerplate (the inverse signal of q66/q71 duplication)."""
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_stats.ngram_novelty_scores(
+        docs, text_col="text", id_col="doc_id", n=3
+    )
+
+
+_Q106_SQL = f"""
+WITH sh AS ({_shingle_cte(3)}),
+dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS novel_grams,
+       round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS novelty_rate
+FROM sh JOIN dfc USING (shingle)
+GROUP BY doc_id
+"""
+
+
+def q107_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source total-variation distance from the corpus-wide token
+    distribution — the outlier-source detector read before setting
+    mixture weights (exact-integer sums, one final division)."""
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_stats.source_divergence(
+        docs, text_col="text", id_col="doc_id", source_col="source"
+    )
+
+
+_Q107_SQL = """
+WITH tok AS (
+  SELECT source, unnest(list_filter(regexp_split_to_array(lower(text),
+         '\\s+'), x -> x <> '')) AS token
+  FROM documents
+),
+st AS (SELECT source, token, count(*) AS c_st FROM tok GROUP BY 1, 2),
+tot AS (SELECT token, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1),
+per_source AS (
+  SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s,
+         count(*) AS n_distinct
+  FROM st GROUP BY 1
+),
+grand AS (SELECT CAST(sum(c_st) AS BIGINT) AS n FROM st),
+j AS (
+  SELECT s.source, p.n_s, p.n_distinct,
+         CAST(sum(abs(s.c_st * g.n - t.c_t * p.n_s)) AS BIGINT) AS s_sum,
+         CAST(sum(t.c_t) AS BIGINT) AS t_mass,
+         max(g.n) AS n
+  FROM st s JOIN tot t USING (token) JOIN per_source p USING (source),
+       grand g
+  GROUP BY 1, 2, 3
+)
+SELECT source, n_s AS n_tokens, n_distinct AS n_distinct_tokens,
+       round(0.5 * (CAST(s_sum AS DOUBLE) / CAST(n_s * n AS DOUBLE)
+             + 1.0 - CAST(t_mass AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+         AS tv_divergence
+FROM j
+ORDER BY tv_divergence DESC, source
+"""
+
+
+def q108_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 bigram collocations by lift (the log-free monotone twin
+    of PMI) with min pair count 5 — corpus phrase mining."""
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_stats.collocation_lift(
+        docs, text_col="text", id_col="doc_id", min_count=5, top_k=50
+    )
+
+
+_Q108_SQL = f"""
+WITH t AS ({_TOKS_CTE}),
+bi AS (
+  SELECT t[i] AS w1, t[i+1] AS w2, count(*) AS pair_count
+  FROM (SELECT t, unnest(range(1, len(t))) AS i FROM t)
+  GROUP BY 1, 2 HAVING count(*) >= 5
+),
+toks AS (SELECT unnest(t) AS w FROM t),
+uni AS (SELECT w, count(*) AS c FROM toks GROUP BY 1),
+grand AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks)
+SELECT b.w1 AS word1, b.w2 AS word2,
+       CAST(b.pair_count AS BIGINT) AS pair_count,
+       round(CAST(b.pair_count * g.n AS DOUBLE)
+             / CAST(u1.c * u2.c AS DOUBLE), 6) AS lift
+FROM bi b JOIN uni u1 ON u1.w = b.w1 JOIN uni u2 ON u2.w = b.w2, grand g
+ORDER BY lift DESC, word1, word2
+LIMIT 50
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "q01_pricing_summary": QueryDef(q01_pricing_summary, _Q01_SQL, "filter+agg+sort (A1/A3)"),
     "q02_event_type_counts": QueryDef(q02_event_type_counts, _Q02_SQL, "groupBy count desc (A1/O1)"),
@@ -4232,6 +4364,26 @@ CATALOG: dict[str, QueryDef] = {
         _strip_contamination_sql(),
         "span-level eval-set decontamination (strip, keep the doc)",
     ),
+    "q105_token_window_chunks": QueryDef(
+        q105_token_window_chunks,
+        _Q105_SQL,
+        "sliding token-window chunking (overlapping train sequences)",
+    ),
+    "q106_ngram_novelty": QueryDef(
+        q106_ngram_novelty,
+        _Q106_SQL,
+        "per-doc n-gram novelty (df==1 fraction)",
+    ),
+    "q107_source_divergence": QueryDef(
+        q107_source_divergence,
+        _Q107_SQL,
+        "per-source total-variation divergence from the corpus",
+    ),
+    "q108_collocations": QueryDef(
+        q108_collocations,
+        _Q108_SQL,
+        "top-k bigram collocations by lift (rational PMI twin)",
+    ),
 }
 
 
@@ -4452,6 +4604,13 @@ DRIVER_OVERFLOW: frozenset[str] = frozenset(
         # pinned as the r12 rotation (NOTES r11 drain plan)
         "q102_vocab_oov_scores",
         "q103_cluster_balanced_sample",
+        # r11 additions start in overflow, replica-certified, per the
+        # standing convention (q105 token-window chunking, q106 n-gram
+        # novelty, q107 source TV-divergence, q108 collocation lift)
+        "q105_token_window_chunks",
+        "q106_ngram_novelty",
+        "q107_source_divergence",
+        "q108_collocations",
     }
 )
 

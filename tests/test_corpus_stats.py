@@ -1,0 +1,281 @@
+"""q105–q108 (r11): token-window chunking, n-gram novelty, source
+TV-divergence, collocation lift.  Cross-engine exactness is certified
+by the catalog oracle; these tests pin the SEMANTICS, each with a
+hypothesis differential against a plain-Python reimplementation."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from serverless_podcast_etl_spark.operators.chunking import (
+    chunk_token_windows,
+)
+from serverless_podcast_etl_spark.operators.corpus_stats import (
+    collocation_lift,
+    ngram_novelty_scores,
+    source_divergence,
+)
+
+# -- shared plain-Python twins ---------------------------------------------
+
+
+def _py_tokens(text: str) -> list[str]:
+    return [t for t in text.lower().split() if t]
+
+
+def _py_chunks(text: str, window: int, stride: int):
+    toks = _py_tokens(text)
+    if not toks:
+        return []
+    n = len(toks)
+    n_chunks = 1 + max(0, math.ceil((n - window) / stride))
+    out = []
+    for i in range(n_chunks):
+        start = i * stride
+        chunk = toks[start : start + window]
+        out.append((i, start, len(chunk), " ".join(chunk)))
+    return out
+
+
+def _docs(spark, texts, extra=None):
+    rows = [(i + 1, t) for i, t in enumerate(texts)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# -- q105 chunking ----------------------------------------------------------
+
+
+def test_chunking_overlap_and_tail(spark):
+    # 7 tokens, window 4, stride 2 → starts 0,2,4 (last covers tail)
+    out = chunk_token_windows(
+        _docs(spark, ["a b c d e f g"]), "text", "doc_id",
+        window=4, stride=2,
+    ).orderBy("chunk_index").collect()
+    got = [
+        (r["chunk_index"], r["start_token"], r["chunk_tokens"], r["chunk_text"])
+        for r in out
+    ]
+    assert got == [
+        (0, 0, 4, "a b c d"),
+        (1, 2, 4, "c d e f"),
+        (2, 4, 3, "e f g"),
+    ]
+
+
+def test_chunking_short_doc_is_one_chunk_and_empty_doc_is_none(spark):
+    out = chunk_token_windows(
+        _docs(spark, ["x y", "   "]), "text", "doc_id", window=8, stride=4
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["doc_id"] == 1
+    assert out[0]["chunk_text"] == "x y"
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab cd", min_size=0, max_size=60), min_size=1, max_size=5
+    ),
+    window=st.integers(min_value=1, max_value=6),
+    stride=st.integers(min_value=1, max_value=6),
+)
+def test_chunking_matches_python(spark, texts, window, stride):
+    got = {
+        (r["doc_id"], r["chunk_index"], r["start_token"], r["chunk_tokens"], r["chunk_text"])
+        for r in chunk_token_windows(
+            _docs(spark, texts), "text", "doc_id", window=window, stride=stride
+        ).collect()
+    }
+    want = {
+        (i + 1, ci, start, n, text)
+        for i, t in enumerate(texts)
+        for (ci, start, n, text) in _py_chunks(t, window, stride)
+    }
+    assert got == want
+
+
+# -- q106 novelty -----------------------------------------------------------
+
+
+def test_novelty_separates_unique_from_shared(spark):
+    # docs 1 and 2 share every 2-gram (identical text); doc 3 is unique
+    df = _docs(spark, ["p q r s", "p q r s", "u v w x"])
+    out = {
+        r["doc_id"]: (r["n_grams"], r["novel_grams"], r["novelty_rate"])
+        for r in ngram_novelty_scores(df, "text", "doc_id", n=2).collect()
+    }
+    assert out[1] == (3, 0, 0.0)
+    assert out[2] == (3, 0, 0.0)
+    assert out[3] == (3, 3, 1.0)
+
+
+def _py_novelty(texts, n):
+    grams = {
+        i + 1: {
+            tuple(toks[j : j + n])
+            for j in range(len(toks) - n + 1)
+        }
+        for i, t in enumerate(texts)
+        for toks in [_py_tokens(t)]
+    }
+    df = Counter(g for s in grams.values() for g in s)
+    return {
+        i: (
+            len(s),
+            sum(1 for g in s if df[g] == 1),
+            round(sum(1 for g in s if df[g] == 1) / len(s), 6),
+        )
+        for i, s in grams.items()
+        if s
+    }
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="xy z", min_size=0, max_size=40), min_size=1, max_size=6
+    ),
+    n=st.integers(min_value=1, max_value=3),
+)
+def test_novelty_matches_python(spark, texts, n):
+    got = {
+        r["doc_id"]: (r["n_grams"], r["novel_grams"], r["novelty_rate"])
+        for r in ngram_novelty_scores(
+            _docs(spark, texts), "text", "doc_id", n=n
+        ).collect()
+    }
+    assert got == _py_novelty(texts, n)
+
+
+# -- q107 source divergence -------------------------------------------------
+
+
+def _src_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_divergence_zero_for_identical_distributions(spark):
+    df = _src_docs(
+        spark,
+        [(1, "a a b", "s1"), (2, "a a b", "s2")],
+    )
+    out = source_divergence(df, "text", "doc_id", "source").collect()
+    assert {r["source"] for r in out} == {"s1", "s2"}
+    for r in out:
+        assert r["tv_divergence"] == 0.0
+        assert r["n_tokens"] == 3
+        assert r["n_distinct_tokens"] == 2
+
+
+def test_divergence_disjoint_vocabularies(spark):
+    # two equal-mass sources with disjoint vocab: p_s vs global differs
+    # by 0.5 on every token → TV = 0.5 for both
+    df = _src_docs(spark, [(1, "a a", "s1"), (2, "b b", "s2")])
+    out = source_divergence(df, "text", "doc_id", "source").collect()
+    for r in out:
+        assert r["tv_divergence"] == 0.5
+
+
+def _py_divergence(rows):
+    per: dict[str, Counter] = {}
+    for _i, text, src in rows:
+        per.setdefault(src, Counter()).update(_py_tokens(text))
+    per = {s: c for s, c in per.items() if c}
+    glob = Counter()
+    for c in per.values():
+        glob.update(c)
+    n = sum(glob.values())
+    out = {}
+    for s, c in per.items():
+        ns = sum(c.values())
+        tv = 0.5 * sum(
+            abs(c.get(t, 0) / ns - glob[t] / n) for t in glob
+        )
+        out[s] = (ns, len(c), round(tv, 6))
+    return out
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.just(0),
+            st.text(alphabet="pq r", min_size=1, max_size=30),
+            st.sampled_from(["s1", "s2", "s3"]),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_divergence_matches_python(spark, rows):
+    rows = [(i + 1, t, s) for i, (_z, t, s) in enumerate(rows)]
+    if not any(_py_tokens(t) for _i, t, _s in rows):
+        return
+    got = {
+        r["source"]: (r["n_tokens"], r["n_distinct_tokens"], r["tv_divergence"])
+        for r in source_divergence(
+            _src_docs(spark, rows), "text", "doc_id", "source"
+        ).collect()
+    }
+    want = _py_divergence(rows)
+    assert set(got) == set(want)
+    for s in want:
+        assert got[s][0] == want[s][0]
+        assert got[s][1] == want[s][1]
+        assert abs(got[s][2] - want[s][2]) <= 1e-6
+
+
+# -- q108 collocation lift ---------------------------------------------------
+
+
+def test_collocation_planted_pair_ranks_first(spark):
+    # "new york" always co-occurs; filler words are independent
+    texts = ["new york %s" % w for w in ["aa bb", "bb cc", "cc aa", "aa cc"]]
+    out = collocation_lift(
+        _docs(spark, texts), "text", "doc_id", min_count=2, top_k=3
+    ).collect()
+    assert (out[0]["word1"], out[0]["word2"]) == ("new", "york")
+    assert out[0]["pair_count"] == 4
+
+
+def _py_lift(texts, min_count, top_k):
+    uni = Counter()
+    bi = Counter()
+    for t in texts:
+        toks = _py_tokens(t)
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+    n = sum(uni.values())
+    rows = [
+        (w1, w2, c, round(c * n / (uni[w1] * uni[w2]), 6))
+        for (w1, w2), c in bi.items()
+        if c >= min_count
+    ]
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    return rows[:top_k]
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="mn o", min_size=0, max_size=30), min_size=1, max_size=6
+    ),
+    min_count=st.integers(min_value=1, max_value=3),
+)
+def test_collocation_matches_python(spark, texts, min_count):
+    got = [
+        (r["word1"], r["word2"], r["pair_count"], r["lift"])
+        for r in collocation_lift(
+            _docs(spark, texts), "text", "doc_id",
+            min_count=min_count, top_k=100,
+        ).collect()
+    ]
+    want = _py_lift(texts, min_count, 100)
+    # the Spark sort is (lift DESC, word1, word2) — compare as sets
+    # plus the top row (ties inside equal lift keep both orders equal
+    # under the same tie-break, so full-list equality holds)
+    assert got == want

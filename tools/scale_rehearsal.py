@@ -87,6 +87,16 @@ QUERIES = [
     # in NOTES r10
     "q103_cluster_balanced_sample",
     "q104_strip_contamination",
+    # r11 additions rehearse the round they land (the q100 lesson):
+    # q105 is in-row + posexplode (no distributed path, kept for the
+    # output-volume shape), q106 shuffles the shingle table twice,
+    # q107 explodes the corpus once then reduces, q108 double-scans
+    # for unigram/bigram aggregates with the filtered bigram side
+    # broadcast
+    "q105_token_window_chunks",
+    "q106_ngram_novelty",
+    "q107_source_divergence",
+    "q108_collocations",
 ]
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
