@@ -180,12 +180,14 @@ EXCLUDED = {
     # r11 additions, deferred to the r12 anchor batch: the freeze
     # discipline (NOTES "freeze discipline" bullet) forbids headline
     # additions without a re-freeze and batches ALL pending additions
-    # into ONE freeze — all four enter HEADLINE with r12's freeze
+    # into ONE freeze — all six enter HEADLINE with r12's freeze
     # (standalone sf0.1 timings recorded in NOTES r11 meanwhile).
     "q105_token_window_chunks",
     "q106_ngram_novelty",
     "q107_source_divergence",
     "q108_collocations",
+    "q109_vocab_coverage",
+    "q110_containment_neardup",
 }
 
 

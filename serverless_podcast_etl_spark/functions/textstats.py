@@ -613,6 +613,53 @@ def build_vocabulary(
     ]
 
 
+def vocab_coverage_curve(
+    df: DataFrame, text_col: str, top_n: int = 100
+) -> DataFrame:
+    """(rank, token, token_count, cum_fraction) for the corpus's
+    ``top_n`` most frequent tokens — the token-coverage curve a
+    tokenizer/vocabulary designer reads to size V ("how many types
+    cover 95% of the token mass?").  Deterministic order: (count DESC,
+    token ASC), the ``build_vocabulary`` tie-break.
+
+    Shape: one corpus explode → hash-aggregate token counts →
+    TakeOrdered ``top_n`` (per-partition top + one merge; no global
+    sort) → running sum over the BOUNDED top_n rows (single-partition
+    window, but over ≤ top_n rows by construction — the ≤1024-row
+    exemption every bounded table in the repo uses).  The unigram
+    table is localCheckpoint'ed at its fan-out (the total-mass
+    aggregate and the top-n both consume it — ADVICE 18), so the
+    corpus is exploded exactly once.
+    """
+    from pyspark.sql import Window
+
+    uni = (
+        df.select(F.explode(word_tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("token_count"))
+        .localCheckpoint(eager=True)
+    )
+    total = uni.agg(F.sum("token_count").alias("n")).collect()[0]["n"] or 0
+    top = uni.orderBy(F.desc("token_count"), "token").limit(top_n)
+    w = (
+        Window.orderBy(F.desc("token_count"), "token")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return top.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("token_count"), "token"))
+        .cast("long")
+        .alias("rank"),
+        "token",
+        F.col("token_count").cast("long").alias("token_count"),
+        F.round(
+            F.sum("token_count").over(w).cast("double")
+            / F.lit(float(total)),
+            6,
+        ).alias("cum_fraction"),
+    )
+
+
 def oov_columns(
     tokens: Column, vocabulary: list[str]
 ) -> dict[str, Column]:

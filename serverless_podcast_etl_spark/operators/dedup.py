@@ -168,6 +168,84 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = 50,
+) -> DataFrame:
+    """Asymmetric near-dup pairs by n-gram CONTAINMENT — the
+    doc-inside-doc detector Jaccard structurally misses.
+
+    containment(A,B) = |A∩B| / min-side size, emitted per direction
+    (``containment_a`` = |A∩B|/|A|, ``containment_b`` = |A∩B|/|B|)
+    and filtered on the max of the two: a short quote or article fully
+    embedded in a long page scores ~1.0 here while its Jaccard is
+    ≈ |A|/|B| ≈ 0 — which is also why candidates come from the
+    ``ngram_jaccard_pairs`` shingle self-join (perfect recall for any
+    pair sharing a shingle) and NOT from MinHash banding, whose
+    collision probability tracks JACCARD and would drop exactly the
+    asymmetric pairs this operator exists to find.
+
+    ``max_doc_freq`` (default ON, unlike the Jaccard form: containment
+    candidates skew toward boilerplate by construction) caps the
+    per-shingle join fan-out at Σ min(df,cap)² — corpus-linear; both
+    numerator and denominators are computed over the capped space
+    (self-consistent, oracle-expressible).
+    """
+    sh = shingles(df, text_col, id_col, n=n)
+    if max_doc_freq is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle", "left_semi")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sz_a = sizes.select(
+        F.col(id_col).alias("id_a"), F.col("n_shingles").alias("sz_a")
+    )
+    sz_b = sizes.select(
+        F.col(id_col).alias("id_b"), F.col("n_shingles").alias("sz_b")
+    )
+    return (
+        shared.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn(
+            "containment_a", F.round(F.col("n_shared") / F.col("sz_a"), 4)
+        )
+        .withColumn(
+            "containment_b", F.round(F.col("n_shared") / F.col("sz_b"), 4)
+        )
+        .withColumn(
+            "containment",
+            F.round(
+                F.greatest(
+                    F.col("n_shared") / F.col("sz_a"),
+                    F.col("n_shared") / F.col("sz_b"),
+                ),
+                4,
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select(
+            "id_a", "id_b", "n_shared",
+            "containment_a", "containment_b", "containment",
+        )
+    )
+
+
 def _once(df: DataFrame, id_col: str, expr, name: str) -> DataFrame:
     """Materialize an expensive per-row expression exactly once.
 

@@ -4015,6 +4015,70 @@ LIMIT 50
 """
 
 
+def q109_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-coverage curve: the top-100 corpus tokens with the
+    cumulative fraction of total token mass they cover — the V-sizing
+    read of a tokenizer/vocabulary designer (complements q102's OOV
+    scoring against a CHOSEN V)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.vocab_coverage_curve(docs, text_col="text", top_n=100)
+
+
+_Q109_SQL = f"""
+WITH t AS ({_TOKS_CTE}),
+toks AS (SELECT unnest(t) AS token FROM t),
+uni AS (SELECT token, count(*) AS token_count FROM toks GROUP BY 1),
+total AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+top AS (SELECT token, token_count FROM uni
+        ORDER BY token_count DESC, token LIMIT 100)
+SELECT row_number() OVER (ORDER BY token_count DESC, token) AS rank,
+       token,
+       CAST(token_count AS BIGINT) AS token_count,
+       round(CAST(sum(token_count) OVER (ORDER BY token_count DESC, token)
+                  AS DOUBLE) / CAST(t.n AS DOUBLE), 6) AS cum_fraction
+FROM top, total t
+"""
+
+
+def q110_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup pairs (doc-inside-doc) over
+    df-capped 3-gram shingles — the quote-inclusion detector Jaccard
+    (q19/q30) structurally misses."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.containment_pairs(
+        docs, text_col="text", id_col="doc_id",
+        n=3, threshold=0.5, max_doc_freq=50,
+    )
+
+
+def _containment_sql(
+    n: int = 3, threshold: float = 0.5, cap: int = 50
+) -> str:
+    return f"""
+WITH sh0 AS ({_shingle_cte(n)}),
+keep AS (SELECT shingle FROM sh0 GROUP BY shingle
+         HAVING count(*) <= {cap}),
+sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_shared,
+       round(n_shared / sa.n, 4) AS containment_a,
+       round(n_shared / sb.n, 4) AS containment_b,
+       round(greatest(n_shared / sa.n, n_shared / sb.n), 4) AS containment
+FROM shared
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(greatest(n_shared / sa.n, n_shared / sb.n), 4) >= {threshold}
+"""
+
+
+_Q110_SQL = _containment_sql()
+
+
 CATALOG: dict[str, QueryDef] = {
     "q01_pricing_summary": QueryDef(q01_pricing_summary, _Q01_SQL, "filter+agg+sort (A1/A3)"),
     "q02_event_type_counts": QueryDef(q02_event_type_counts, _Q02_SQL, "groupBy count desc (A1/O1)"),
@@ -4384,6 +4448,16 @@ CATALOG: dict[str, QueryDef] = {
         _Q108_SQL,
         "top-k bigram collocations by lift (rational PMI twin)",
     ),
+    "q109_vocab_coverage": QueryDef(
+        q109_vocab_coverage,
+        _Q109_SQL,
+        "token-coverage curve of the top-100 vocabulary",
+    ),
+    "q110_containment_neardup": QueryDef(
+        q110_containment_neardup,
+        _Q110_SQL,
+        "asymmetric containment near-dup (doc-inside-doc)",
+    ),
 }
 
 
@@ -4611,6 +4685,8 @@ DRIVER_OVERFLOW: frozenset[str] = frozenset(
         "q106_ngram_novelty",
         "q107_source_divergence",
         "q108_collocations",
+        "q109_vocab_coverage",
+        "q110_containment_neardup",
     }
 )
 

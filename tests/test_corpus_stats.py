@@ -1,5 +1,6 @@
-"""q105–q108 (r11): token-window chunking, n-gram novelty, source
-TV-divergence, collocation lift.  Cross-engine exactness is certified
+"""q105–q110 (r11): token-window chunking, n-gram novelty, source
+TV-divergence, collocation lift, vocab coverage curve, containment
+near-dup.  Cross-engine exactness is certified
 by the catalog oracle; these tests pin the SEMANTICS, each with a
 hypothesis differential against a plain-Python reimplementation."""
 
@@ -279,3 +280,156 @@ def test_collocation_matches_python(spark, texts, min_count):
     # plus the top row (ties inside equal lift keep both orders equal
     # under the same tie-break, so full-list equality holds)
     assert got == want
+
+
+# -- q109 vocab coverage curve ------------------------------------------------
+
+
+def test_vocab_coverage_curve_order_and_fractions(spark):
+    from serverless_podcast_etl_spark.functions.textstats import (
+        vocab_coverage_curve,
+    )
+
+    # counts: a=4, b=2, c=2, d=1, e=1 (ties broken token-ASC)
+    df = _docs(spark, ["a a b c", "a b c d", "a e"])
+    out = vocab_coverage_curve(df, "text", top_n=3).orderBy("rank").collect()
+    got = [
+        (r["rank"], r["token"], r["token_count"], r["cum_fraction"])
+        for r in out
+    ]
+    assert got == [
+        (1, "a", 4, 0.4),
+        (2, "b", 2, 0.6),
+        (3, "c", 2, 0.8),
+    ]
+
+
+def _py_coverage(texts, top_n):
+    uni = Counter()
+    for t in texts:
+        uni.update(_py_tokens(t))
+    total = sum(uni.values())
+    rows = sorted(uni.items(), key=lambda kv: (-kv[1], kv[0]))[:top_n]
+    out, cum = [], 0
+    for i, (tok, c) in enumerate(rows, start=1):
+        cum += c
+        out.append((i, tok, c, round(cum / total, 6)))
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="fg h", min_size=1, max_size=30), min_size=1, max_size=5
+    ),
+    top_n=st.integers(min_value=1, max_value=6),
+)
+def test_vocab_coverage_matches_python(spark, texts, top_n):
+    from serverless_podcast_etl_spark.functions.textstats import (
+        vocab_coverage_curve,
+    )
+
+    if not any(_py_tokens(t) for t in texts):
+        return
+    got = [
+        (r["rank"], r["token"], r["token_count"], r["cum_fraction"])
+        for r in vocab_coverage_curve(_docs(spark, texts), "text", top_n=top_n)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == _py_coverage(texts, top_n)
+
+
+# -- q110 containment near-dup ------------------------------------------------
+
+
+def test_containment_catches_doc_inside_doc(spark):
+    from serverless_podcast_etl_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta"
+    long = short + " " + " ".join(f"w{i} x{i} y{i}" for i in range(20))
+    df = _docs(spark, [short, long])
+    got = containment_pairs(
+        df, "text", "doc_id", n=3, threshold=0.5, max_doc_freq=None
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["containment_a"] == 1.0  # every shingle of the short doc
+    assert r["containment"] == 1.0
+    # the symmetric form misses it: Jaccard ~ |A|/|B| << 0.5
+    assert (
+        ngram_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.5).count()
+        == 0
+    )
+
+
+def test_containment_df_cap_removes_boilerplate_pairs(spark):
+    from serverless_podcast_etl_spark.operators.dedup import containment_pairs
+
+    # every doc shares one boilerplate shingle; no real containment
+    texts = [f"common boiler plate unique{i} only{i} here{i}" for i in range(5)]
+    df = _docs(spark, texts)
+    uncapped = containment_pairs(
+        df, "text", "doc_id", n=3, threshold=0.2, max_doc_freq=None
+    ).count()
+    capped = containment_pairs(
+        df, "text", "doc_id", n=3, threshold=0.2, max_doc_freq=2
+    ).count()
+    assert uncapped > 0
+    assert capped == 0
+
+
+def _py_containment(texts, n, threshold, cap):
+    sets = {}
+    for i, t in enumerate(texts, start=1):
+        toks = _py_tokens(t)
+        s = {tuple(toks[j : j + n]) for j in range(len(toks) - n + 1)}
+        if s:
+            sets[i] = s
+    if cap is not None:
+        df = Counter(g for s in sets.values() for g in s)
+        sets = {
+            i: {g for g in s if df[g] <= cap} for i, s in sets.items()
+        }
+        sets = {i: s for i, s in sets.items() if s}
+    out = []
+    ids = sorted(sets)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            shared = len(sets[a] & sets[b])
+            if not shared:
+                continue
+            ca = round(shared / len(sets[a]), 4)
+            cb = round(shared / len(sets[b]), 4)
+            cm = round(max(shared / len(sets[a]), shared / len(sets[b])), 4)
+            if cm >= threshold:
+                out.append((a, b, shared, ca, cb, cm))
+    return sorted(out)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="uv w", min_size=0, max_size=40), min_size=2, max_size=5
+    ),
+    cap=st.sampled_from([None, 2, 3]),
+)
+def test_containment_matches_python(spark, texts, cap):
+    from serverless_podcast_etl_spark.operators.dedup import containment_pairs
+
+    got = sorted(
+        (
+            r["id_a"], r["id_b"], r["n_shared"],
+            r["containment_a"], r["containment_b"], r["containment"],
+        )
+        for r in containment_pairs(
+            _docs(spark, texts), "text", "doc_id",
+            n=2, threshold=0.3, max_doc_freq=cap,
+        ).collect()
+    )
+    assert got == _py_containment(texts, 2, 0.3, cap)

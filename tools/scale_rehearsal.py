@@ -97,6 +97,12 @@ QUERIES = [
     "q106_ngram_novelty",
     "q107_source_divergence",
     "q108_collocations",
+    # q110's df-capped containment join is the q19 candidate shape at
+    # 10x — the quadratic-bound proof matters more here than anywhere
+    # (q109 is TakeOrdered over a bounded table; rehearsed for the
+    # explode-once shape)
+    "q109_vocab_coverage",
+    "q110_containment_neardup",
 ]
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
