@@ -35,6 +35,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from serverless_podcast_etl_spark.functions import textstats  # noqa: E402
 from serverless_podcast_etl_spark.operators import (  # noqa: E402
+    chunking,
     dedup,
     selection,
 )
@@ -317,6 +318,24 @@ def main() -> None:
         for r in shards.groupBy("shard").count().collect()
     }
     print(f"shard sizes (balanced to within one row): {sizes}")
+
+    # 9b. sliding token-window chunking (q105, r11) — the final
+    #     pretraining step: each shard's documents become overlapping
+    #     fixed-size training sequences (in-row + one posexplode,
+    #     zero shuffles — runs after the shuffle/shard so chunk order
+    #     inherits the deterministic training order)
+    seqs = chunking.chunk_token_windows(
+        shards.join(
+            train.select(F.col("doc_id").cast("string").alias("sdoc"), "text"),
+            F.split(F.col("mix_id"), "#")[0] == F.col("sdoc"),
+        ).select("mix_id", "text"),
+        text_col="text",
+        id_col="mix_id",
+        window=64,
+        stride=48,
+    )
+    n_seqs = seqs.count()
+    print(f"training sequences (window 64 / stride 48): {n_seqs}")
 
     # The r8 closing loop runs as its OWN job with a fresh session —
     # the way production schedules it (adjudication/refresh are

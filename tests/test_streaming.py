@@ -633,3 +633,52 @@ def test_curate_stream_vocab_oov_tier_matches_batch(spark, tmp_path):
     }
     for r in got:
         assert (r["oov_tokens"], r["oov_rate"]) == q102[r["doc_id"]]
+
+
+def test_chunk_token_windows_streams_match_batch(spark, tmp_path):
+    """The r11 chunker is stateless (in-row sequence + posexplode), so
+    it applies to a streaming frame unchanged — chunks from the
+    drained stream equal the batch operator's rows exactly."""
+    import os
+
+    from serverless_podcast_etl_spark.operators.chunking import (
+        chunk_token_windows,
+    )
+
+    rows = [
+        (1, "a b c d e f g h i j k"),
+        (2, "one two three"),
+        (3, "   "),
+    ]
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(rows[:2], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(rows[2:], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    chunked = chunk_token_windows(
+        stream, "text", "doc_id", window=4, stride=3
+    )
+    assert chunked.isStreaming
+    got: list = []
+    q = (
+        chunked.writeStream.foreachBatch(
+            lambda df, _e: got.extend(df.collect())
+        )
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    batch = chunk_token_windows(
+        spark.read.parquet(src), "text", "doc_id", window=4, stride=3
+    ).collect()
+    key = lambda r: tuple(sorted(r.asDict().items()))  # noqa: E731
+    assert len(got) > 0
+    assert sorted(map(key, batch)) == sorted(map(key, got))
