@@ -180,7 +180,7 @@ EXCLUDED = {
     # r11 additions, deferred to the r12 anchor batch: the freeze
     # discipline (NOTES "freeze discipline" bullet) forbids headline
     # additions without a re-freeze and batches ALL pending additions
-    # into ONE freeze — all six enter HEADLINE with r12's freeze
+    # into ONE freeze — all eight enter HEADLINE with r12's freeze
     # (standalone sf0.1 timings recorded in NOTES r11 meanwhile).
     "q105_token_window_chunks",
     "q106_ngram_novelty",
@@ -188,6 +188,8 @@ EXCLUDED = {
     "q108_collocations",
     "q109_vocab_coverage",
     "q110_containment_neardup",
+    "q111_embedding_norm_outliers",
+    "q112_tokenizer_fertility",
 }
 
 

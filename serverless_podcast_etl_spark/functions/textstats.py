@@ -660,6 +660,63 @@ def vocab_coverage_curve(
     )
 
 
+def tokenizer_fertility_stats(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+) -> DataFrame:
+    """(group, n_docs, n_tokens, n_chars, n_bytes, chars_per_token,
+    bytes_per_token) per group (typically language) — the tokenizer
+    fertility read of a multilingual corpus: how many characters/bytes
+    one whitespace token costs per language decides vocabulary and
+    sampling budgets before any model sees the data.
+
+    All sums are exact BIGINT (chars via ``length``, bytes via
+    ``octet_length`` — the DuckDB twin uses ``length``/``strlen``,
+    fact 10); the two ratios are single ``try_divide``s of those sums
+    (an all-token-less group reads NULL, matching the oracle's
+    ``nullif``), so the oracle hashes exactly.  One in-row scan, one tiny
+    groupBy(group) shuffle.
+    """
+    toks = word_tokens(F.col(text_col))
+    per_doc = df.select(
+        F.col(group_col).alias("grp"),
+        F.size(toks).cast("long").alias("_nt"),
+        F.length(F.col(text_col)).cast("long").alias("_nc"),
+        F.octet_length(F.col(text_col)).cast("long").alias("_nb"),
+    )
+    return (
+        per_doc.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_nt").cast("long").alias("n_tokens"),
+            F.sum("_nc").cast("long").alias("n_chars"),
+            F.sum("_nb").cast("long").alias("n_bytes"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            "n_bytes",
+            F.round(
+                F.try_divide(
+                    F.col("n_chars").cast("double"),
+                    F.col("n_tokens").cast("double"),
+                ),
+                6,
+            ).alias("chars_per_token"),
+            F.round(
+                F.try_divide(
+                    F.col("n_bytes").cast("double"),
+                    F.col("n_tokens").cast("double"),
+                ),
+                6,
+            ).alias("bytes_per_token"),
+        )
+    )
+
+
 def oov_columns(
     tokens: Column, vocabulary: list[str]
 ) -> dict[str, Column]:

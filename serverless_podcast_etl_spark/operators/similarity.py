@@ -1122,3 +1122,56 @@ def cluster_balanced_sample(
             F.col("rank_in_cell").cast("int").alias("rank_in_cell"),
         )
     )
+
+
+def embedding_norm_outliers(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    k: float = 3.0,
+) -> DataFrame:
+    """(id, norm, deviation, is_outlier) per vector — the
+    corrupt-embedding detector run before any ANN/dedup stage
+    consumes a vector column (truncated writes, zeroed rows and
+    wrong-scale batches all land far from the corpus norm).
+
+    Robust statistics on purpose: flag = |norm − median| > k·MAD.
+    Median and MAD are ORDER-INDEPENDENT (exact sorted-rank
+    interpolation in both engines), where a mean/std would sum
+    doubles in engine-dependent order and break the oracle hash —
+    and they tolerate the very outliers being hunted.  Norms are
+    in-row (hoisted fold, NOTES fact 16), rounded to 6 dp before any
+    statistic so both engines rank identical values.
+
+    Shape: one vector scan computes norms (localCheckpoint'ed — the
+    two percentile aggregations and the flag projection all read it;
+    ADVICE 18), then two single-row collects ship median and MAD back
+    as plan literals.  Nothing but the norms table is ever shuffled,
+    and only into two single-value aggregations.
+    """
+    norms = _as_double(df, vec_col).select(
+        F.col(id_col),
+        F.round(_norm(F.col(vec_col)), 6).alias("norm"),
+    ).localCheckpoint(eager=True)
+    med = norms.agg(
+        F.percentile(F.col("norm"), F.lit(0.5)).alias("m")
+    ).collect()[0]["m"]
+    med = float(med) if med is not None else 0.0
+    devs = norms.select(
+        F.col(id_col),
+        "norm",
+        F.round(F.abs(F.col("norm") - F.lit(med)), 6).alias("deviation"),
+    )
+    mad = devs.agg(
+        F.percentile(F.col("deviation"), F.lit(0.5)).alias("m")
+    ).collect()[0]["m"]
+    mad = float(mad) if mad is not None else 0.0
+    return devs.select(
+        F.col(id_col),
+        "norm",
+        "deviation",
+        F.when(F.col("deviation") > F.lit(k * mad), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_outlier"),
+    )

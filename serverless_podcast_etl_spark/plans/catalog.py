@@ -4079,6 +4079,86 @@ WHERE round(greatest(n_shared / sa.n, n_shared / sb.n), 4) >= {threshold}
 _Q110_SQL = _containment_sql()
 
 
+def q111_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-embedding detection: |norm - median| > 3*MAD flags.
+    Median/MAD are order-independent (exact sorted-rank interpolation
+    in both engines) where mean/std would sum doubles in
+    engine-dependent order.  Three corrupted clones (vector x10, the
+    q23 scaled-clone pattern) are appended in-query so the flag path
+    certifies on non-empty output; the x10 multiply happens AFTER the
+    double cast on BOTH sides, so the engines scale identical values."""
+    emb = _t(spark, sf_dir, "embeddings")
+    corrupted = emb.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: x * F.lit(10.0),
+        ).alias("embedding"),
+    )
+    return similarity.embedding_norm_outliers(
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        .unionByName(corrupted),
+        id_col="vec_id",
+    )
+
+
+_Q111_SQL = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> x * 10.0)
+  FROM embeddings WHERE vec_id < 3
+),
+n AS (SELECT vec_id,
+             round(sqrt(list_dot_product(v, v)), 6) AS norm FROM e),
+m AS (SELECT median(norm) AS med FROM n),
+d AS (SELECT vec_id, norm, round(abs(norm - m.med), 6) AS deviation
+      FROM n, m),
+md AS (SELECT median(deviation) AS mad FROM d)
+SELECT vec_id, norm, deviation,
+       CAST(CASE WHEN deviation > 3.0 * md.mad THEN 1 ELSE 0 END
+            AS BIGINT) AS is_outlier
+FROM d, md
+"""
+
+
+def q112_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language: chars/bytes per whitespace
+    token — the multilingual budget read (exact integer sums, two
+    final try_divides)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.tokenizer_fertility_stats(
+        docs, text_col="text", group_col="lang"
+    )
+
+
+_Q112_SQL = """
+WITH t AS (
+  SELECT lang,
+         len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+             x -> x <> '')) AS nt,
+         length(text) AS nc,
+         strlen(text) AS nb
+  FROM documents
+),
+g AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(nt) AS BIGINT) AS n_tokens,
+         CAST(sum(nc) AS BIGINT) AS n_chars,
+         CAST(sum(nb) AS BIGINT) AS n_bytes
+  FROM t GROUP BY lang
+)
+SELECT lang, n_docs, n_tokens, n_chars, n_bytes,
+       round(CAST(n_chars AS DOUBLE)
+             / nullif(CAST(n_tokens AS DOUBLE), 0), 6) AS chars_per_token,
+       round(CAST(n_bytes AS DOUBLE)
+             / nullif(CAST(n_tokens AS DOUBLE), 0), 6) AS bytes_per_token
+FROM g
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "q01_pricing_summary": QueryDef(q01_pricing_summary, _Q01_SQL, "filter+agg+sort (A1/A3)"),
     "q02_event_type_counts": QueryDef(q02_event_type_counts, _Q02_SQL, "groupBy count desc (A1/O1)"),
@@ -4458,6 +4538,16 @@ CATALOG: dict[str, QueryDef] = {
         _Q110_SQL,
         "asymmetric containment near-dup (doc-inside-doc)",
     ),
+    "q111_embedding_norm_outliers": QueryDef(
+        q111_embedding_norm_outliers,
+        _Q111_SQL,
+        "corrupt-embedding detection (median/MAD norm outliers)",
+    ),
+    "q112_tokenizer_fertility": QueryDef(
+        q112_tokenizer_fertility,
+        _Q112_SQL,
+        "tokenizer fertility by language (chars/bytes per token)",
+    ),
 }
 
 
@@ -4687,6 +4777,8 @@ DRIVER_OVERFLOW: frozenset[str] = frozenset(
         "q108_collocations",
         "q109_vocab_coverage",
         "q110_containment_neardup",
+        "q111_embedding_norm_outliers",
+        "q112_tokenizer_fertility",
     }
 )
 

@@ -433,3 +433,74 @@ def test_containment_matches_python(spark, texts, cap):
         ).collect()
     )
     assert got == _py_containment(texts, 2, 0.3, cap)
+
+
+# -- q111 embedding norm outliers ---------------------------------------------
+
+
+def test_norm_outliers_flag_corrupted_vectors(spark):
+    from serverless_podcast_etl_spark.operators.similarity import (
+        embedding_norm_outliers,
+    )
+
+    rows = [(i, [1.0, 0.0, float(i) / 100.0]) for i in range(1, 20)]
+    rows += [(100, [25.0, 0.0, 0.0]), (101, [0.0, 0.0, 0.0])]  # corrupt
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in embedding_norm_outliers(df, "vec_id").collect()}
+    assert len(out) == 21
+    assert out[100]["is_outlier"] == 1   # 25x-norm row
+    assert out[101]["is_outlier"] == 1   # zeroed row
+    flagged = [i for i, r in out.items() if r["is_outlier"] == 1]
+    assert set(flagged) == {100, 101}
+
+
+def test_norm_outliers_uniform_corpus_flags_nothing(spark):
+    from serverless_podcast_etl_spark.operators.similarity import (
+        embedding_norm_outliers,
+    )
+
+    rows = [(i, [3.0, 4.0]) for i in range(10)]  # all norm 5.0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = embedding_norm_outliers(df, "vec_id").collect()
+    assert all(r["norm"] == 5.0 for r in out)
+    assert all(r["is_outlier"] == 0 for r in out)
+
+
+# -- q112 tokenizer fertility -------------------------------------------------
+
+
+def test_fertility_counts_per_group(spark):
+    from serverless_podcast_etl_spark.functions.textstats import (
+        tokenizer_fertility_stats,
+    )
+
+    # "aé" is 2 chars / 3 utf-8 bytes — bytes_per_token > chars_per_token
+    rows = [
+        (1, "aa bb", "en"),     # 2 toks, 5 chars, 5 bytes
+        (2, "cc", "en"),        # 1 tok, 2 chars, 2 bytes
+        (3, "aé", "fr"),   # 1 tok, 2 chars, 3 bytes
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        r["lang"]: r
+        for r in tokenizer_fertility_stats(df, "text", "lang").collect()
+    }
+    en, fr = out["en"], out["fr"]
+    assert (en["n_docs"], en["n_tokens"], en["n_chars"], en["n_bytes"]) == (2, 3, 7, 7)
+    assert en["chars_per_token"] == round(7 / 3, 6)
+    assert (fr["n_docs"], fr["n_tokens"], fr["n_chars"], fr["n_bytes"]) == (1, 1, 2, 3)
+    assert fr["bytes_per_token"] == 3.0
+    assert fr["chars_per_token"] == 2.0
+
+
+def test_fertility_tokenless_group_reads_null_ratios(spark):
+    from serverless_podcast_etl_spark.functions.textstats import (
+        tokenizer_fertility_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "   ", "zz")], "doc_id long, text string, lang string"
+    )
+    r = tokenizer_fertility_stats(df, "text", "lang").collect()[0]
+    assert r["n_tokens"] == 0
+    assert r["chars_per_token"] is None and r["bytes_per_token"] is None

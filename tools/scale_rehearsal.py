@@ -103,6 +103,11 @@ QUERIES = [
     # explode-once shape)
     "q109_vocab_coverage",
     "q110_containment_neardup",
+    # q111's two percentile aggregations read one checkpointed norms
+    # table; q112 is one in-row scan + tiny groupBy — rehearsed for
+    # the explode/checkpoint shapes
+    "q111_embedding_norm_outliers",
+    "q112_tokenizer_fertility",
 ]
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
