@@ -79,3 +79,52 @@ def chunk_token_windows(
         F.size(chunk).cast("long").alias("chunk_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+def duplicate_chunk_rate(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 32,
+) -> DataFrame:
+    """(id, n_chunks, dup_chunks, dup_chunk_rate) per document: the
+    fraction of its NON-overlapping ``window``-token blocks whose
+    exact content recurs anywhere in the corpus — block-granular
+    boilerplate measurement (the token-window form of C4's
+    line-dedup signal; q66/q71 find the spans, this scores documents
+    by how much of them is duplicated material).
+
+    Built as a composition of two certified stages: the q105 chunker
+    at ``stride == window`` (non-overlapping — overlapping windows
+    would alias each other within one document) and the q18 exact
+    content-hash groupBy.  The df count is over ALL chunk occurrences
+    (cross-document AND within-document repeats both make a block
+    non-unique — a page repeating its own nav block is boilerplate
+    too).  Shape: chunker (in-row + posexplode) → md5 per chunk →
+    one shuffle on the hash for occurrence counts → join back on the
+    hash (exchange-reusable) → one tiny doc-level re-aggregate.
+    """
+    chunks = chunk_token_windows(
+        df, text_col=text_col, id_col=id_col, window=window, stride=window
+    ).select(
+        F.col(id_col), F.md5(F.encode(F.col("chunk_text"), "utf-8")).alias("_h")
+    )
+    occ = chunks.groupBy("_h").agg(F.count(F.lit(1)).alias("_occ"))
+    return (
+        chunks.join(occ, "_h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("_occ") > 1, 1).otherwise(0)).alias(
+                "dup_chunks"
+            ),
+        )
+        .select(
+            id_col,
+            F.col("n_chunks").cast("long").alias("n_chunks"),
+            F.col("dup_chunks").cast("long").alias("dup_chunks"),
+            F.round(
+                F.col("dup_chunks").cast("double") / F.col("n_chunks"), 6
+            ).alias("dup_chunk_rate"),
+        )
+    )

@@ -4159,6 +4159,37 @@ FROM g
 """
 
 
+def q113_duplicate_chunk_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-granular boilerplate score: fraction of each doc's
+    non-overlapping 8-token blocks recurring anywhere in the corpus
+    (q105 chunker at stride==window composed with the q18 content-hash
+    groupBy).  Window 8 on the templated testdata so shared template
+    blocks actually collide (64-token blocks are all unique there)."""
+    docs = _t(spark, sf_dir, "documents")
+    return chunking.duplicate_chunk_rate(
+        docs, text_col="text", id_col="doc_id", window=8
+    )
+
+
+def _dup_chunk_sql(window: int = 8) -> str:
+    return f"""
+WITH c AS ({_chunks_sql(window, window)}),
+h AS (SELECT doc_id, md5(chunk_text) AS h FROM c),
+occ AS (SELECT h, count(*) AS occ FROM h GROUP BY 1)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS dup_chunks,
+       round(CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS dup_chunk_rate
+FROM h JOIN occ USING (h)
+GROUP BY doc_id
+"""
+
+
+_Q113_SQL = _dup_chunk_sql()
+
+
 CATALOG: dict[str, QueryDef] = {
     "q01_pricing_summary": QueryDef(q01_pricing_summary, _Q01_SQL, "filter+agg+sort (A1/A3)"),
     "q02_event_type_counts": QueryDef(q02_event_type_counts, _Q02_SQL, "groupBy count desc (A1/O1)"),
@@ -4548,6 +4579,11 @@ CATALOG: dict[str, QueryDef] = {
         _Q112_SQL,
         "tokenizer fertility by language (chars/bytes per token)",
     ),
+    "q113_duplicate_chunk_rate": QueryDef(
+        q113_duplicate_chunk_rate,
+        _Q113_SQL,
+        "per-doc duplicated-block fraction (chunk-level dedup signal)",
+    ),
 }
 
 
@@ -4779,6 +4815,7 @@ DRIVER_OVERFLOW: frozenset[str] = frozenset(
         "q110_containment_neardup",
         "q111_embedding_norm_outliers",
         "q112_tokenizer_fertility",
+        "q113_duplicate_chunk_rate",
     }
 )
 

@@ -504,3 +504,73 @@ def test_fertility_tokenless_group_reads_null_ratios(spark):
     r = tokenizer_fertility_stats(df, "text", "lang").collect()[0]
     assert r["n_tokens"] == 0
     assert r["chars_per_token"] is None and r["bytes_per_token"] is None
+
+
+# -- q113 duplicate chunk rate ------------------------------------------------
+
+
+def test_duplicate_chunk_rate_flags_shared_blocks(spark):
+    from serverless_podcast_etl_spark.operators.chunking import (
+        duplicate_chunk_rate,
+    )
+
+    shared = "n1 n2 n3 n4"
+    rows = [
+        (1, shared + " a1 a2 a3 a4"),   # block 1 shared, block 2 unique
+        (2, shared + " b1 b2 b3 b4"),   # block 1 shared, block 2 unique
+        (3, "c1 c2 c3 c4 c1 c2 c3 c4"),  # self-repeating block
+        (4, "d1 d2 d3 d4"),             # fully unique
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_chunks"], r["dup_chunks"], r["dup_chunk_rate"])
+        for r in duplicate_chunk_rate(df, "text", "doc_id", window=4).collect()
+    }
+    assert out[1] == (2, 1, 0.5)
+    assert out[2] == (2, 1, 0.5)
+    assert out[3] == (2, 2, 1.0)   # within-doc repeat counts too
+    assert out[4] == (1, 0, 0.0)
+
+
+def _py_dup_chunk(texts, window):
+    from collections import Counter as C
+
+    blocks = {}
+    for i, t in enumerate(texts, start=1):
+        toks = _py_tokens(t)
+        if not toks:
+            continue
+        blocks[i] = [
+            " ".join(toks[j : j + window])
+            for j in range(0, len(toks), window)
+        ]
+    occ = C(b for bs in blocks.values() for b in bs)
+    return {
+        i: (
+            len(bs),
+            sum(1 for b in bs if occ[b] > 1),
+            round(sum(1 for b in bs if occ[b] > 1) / len(bs), 6),
+        )
+        for i, bs in blocks.items()
+    }
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="jk l", min_size=0, max_size=30), min_size=1, max_size=6
+    ),
+    window=st.integers(min_value=1, max_value=4),
+)
+def test_duplicate_chunk_rate_matches_python(spark, texts, window):
+    from serverless_podcast_etl_spark.operators.chunking import (
+        duplicate_chunk_rate,
+    )
+
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["dup_chunks"], r["dup_chunk_rate"])
+        for r in duplicate_chunk_rate(
+            _docs(spark, texts), "text", "doc_id", window=window
+        ).collect()
+    }
+    assert got == _py_dup_chunk(texts, window)

@@ -108,6 +108,9 @@ QUERIES = [
     # the explode/checkpoint shapes
     "q111_embedding_norm_outliers",
     "q112_tokenizer_fertility",
+    # q113 composes q105's chunker with the q18 hash groupBy — the
+    # chunk-hash shuffle is the distributed path to rehearse
+    "q113_duplicate_chunk_rate",
 ]
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
