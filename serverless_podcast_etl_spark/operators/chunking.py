@@ -2,8 +2,8 @@
 fixed-size training sequences.
 
 The standard pretraining / RAG preprocessing step the reference's
-transcript chunker (`lambdas/chunk_transcript`, fixed-size CHARACTER
-chunks for parallel transcription) only approximates: split each
+fixed-size chunker (`/root/reference/src/lambda_3.py:91-114` — 10 MB
+BYTE chunks for parallel transcription) only approximates: split each
 document into windows of ``window`` TOKENS advancing by ``stride``
 tokens, so consecutive chunks overlap by ``window - stride`` tokens
 and no token is lost at a boundary (the tail chunk may be shorter

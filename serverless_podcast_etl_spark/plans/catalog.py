@@ -3890,8 +3890,8 @@ FROM kept ORDER BY doc_id
 def q105_token_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding token-window chunking (window 64, stride 48) — long
     documents into overlapping training sequences; the token-exact
-    generalization of the reference's character chunker
-    (lambdas/chunk_transcript/lambda_function.py).  Pure in-row +
+    generalization of the reference's fixed-size byte chunker
+    (S9; src/lambda_3.py:91-114).  Pure in-row +
     one posexplode: zero shuffles at any corpus size."""
     docs = _t(spark, sf_dir, "documents")
     return chunking.chunk_token_windows(
