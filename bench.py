@@ -180,7 +180,7 @@ EXCLUDED = {
     # r11 additions, deferred to the r12 anchor batch: the freeze
     # discipline (NOTES "freeze discipline" bullet) forbids headline
     # additions without a re-freeze and batches ALL pending additions
-    # into ONE freeze — all nine enter HEADLINE with r12's freeze
+    # into ONE freeze — all ten enter HEADLINE with r12's freeze
     # (standalone sf0.1 timings recorded in NOTES r11 meanwhile).
     "q105_token_window_chunks",
     "q106_ngram_novelty",
@@ -191,6 +191,7 @@ EXCLUDED = {
     "q111_embedding_norm_outliers",
     "q112_tokenizer_fertility",
     "q113_duplicate_chunk_rate",
+    "q114_source_quality_profile",
 }
 
 

@@ -717,6 +717,67 @@ def tokenizer_fertility_stats(
     )
 
 
+def source_quality_profile(
+    df: DataFrame,
+    text_col: str,
+    source_col: str,
+    metric: str = "stopword_ratio",
+    k: float = 3.0,
+) -> DataFrame:
+    """(source, n_docs, median_<metric>, mad_<metric>, n_outliers) per
+    source — the per-domain quality-drift detector: a crawl source
+    whose quality distribution shifts (template change, parser
+    breakage, spam influx) moves its median or grows its outlier count
+    long before corpus-wide aggregates notice.
+
+    Robust per-group statistics, same reasoning as
+    ``embedding_norm_outliers``: grouped median and MAD are
+    order-independent (exact sorted-rank interpolation in both
+    engines), so the DuckDB twin hashes exactly, and they tolerate the
+    outliers being counted.  Documents whose metric is NULL (token-less
+    under ``try_divide``) carry no evidence and are excluded.
+
+    Shape: ONE corpus scan computes (source, metric) in-row and is
+    localCheckpoint'ed at its fan-out (three consumers: per-source
+    median, deviation join, per-source MAD — ADVICE 18); everything
+    after is arithmetic over per-source tables (≤ #sources rows,
+    broadcast into the doc-level joins).
+    """
+    q = quality_columns(text_col)
+    if metric not in q:
+        raise ValueError(f"unknown quality metric {metric!r}")
+    vals = df.select(
+        F.col(source_col).alias("source"), q[metric].alias("_v")
+    ).filter(F.col("_v").isNotNull()).localCheckpoint(eager=True)
+    med = vals.groupBy("source").agg(
+        F.percentile(F.col("_v"), F.lit(0.5)).alias("_med"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    devs = vals.join(F.broadcast(med), "source").select(
+        "source",
+        "n_docs",
+        "_med",
+        F.round(F.abs(F.col("_v") - F.col("_med")), 6).alias("_dev"),
+    )
+    mad = devs.groupBy("source").agg(
+        F.percentile(F.col("_dev"), F.lit(0.5)).alias("_mad")
+    )
+    return (
+        devs.join(F.broadcast(mad), "source")
+        .groupBy("source")
+        .agg(
+            F.first("n_docs").cast("long").alias("n_docs"),
+            F.round(F.first("_med"), 6).alias(f"median_{metric}"),
+            F.round(F.first("_mad"), 6).alias(f"mad_{metric}"),
+            F.sum(
+                F.when(F.col("_dev") > F.lit(k) * F.col("_mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+
+
 def oov_columns(
     tokens: Column, vocabulary: list[str]
 ) -> dict[str, Column]:

@@ -4190,6 +4190,39 @@ GROUP BY doc_id
 _Q113_SQL = _dup_chunk_sql()
 
 
+def q114_source_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source robust quality profile (grouped median/MAD of the
+    stopword ratio + per-source outlier counts) — the per-domain
+    drift detector a curation pipeline watches across crawls."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.source_quality_profile(
+        docs, text_col="text", source_col="source",
+        metric="stopword_ratio", k=3.0,
+    )
+
+
+_Q114_SQL = f"""
+WITH s AS ({_Q16_SQL}),
+f AS (SELECT d.source, s.stopword_ratio AS v
+      FROM s JOIN documents d USING (doc_id)
+      WHERE s.stopword_ratio IS NOT NULL),
+m AS (SELECT source, median(v) AS med, count(*) AS n_docs
+      FROM f GROUP BY 1),
+dv AS (SELECT f.source, m.n_docs, m.med,
+              round(abs(f.v - m.med), 6) AS dev
+       FROM f JOIN m USING (source)),
+md AS (SELECT source, median(dev) AS mad FROM dv GROUP BY 1)
+SELECT dv.source,
+       CAST(max(dv.n_docs) AS BIGINT) AS n_docs,
+       round(max(dv.med), 6) AS median_stopword_ratio,
+       round(max(md.mad), 6) AS mad_stopword_ratio,
+       CAST(sum(CASE WHEN dv.dev > 3.0 * md.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dv JOIN md USING (source)
+GROUP BY dv.source
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "q01_pricing_summary": QueryDef(q01_pricing_summary, _Q01_SQL, "filter+agg+sort (A1/A3)"),
     "q02_event_type_counts": QueryDef(q02_event_type_counts, _Q02_SQL, "groupBy count desc (A1/O1)"),
@@ -4584,6 +4617,11 @@ CATALOG: dict[str, QueryDef] = {
         _Q113_SQL,
         "per-doc duplicated-block fraction (chunk-level dedup signal)",
     ),
+    "q114_source_quality_profile": QueryDef(
+        q114_source_quality_profile,
+        _Q114_SQL,
+        "per-source robust quality profile (median/MAD drift detector)",
+    ),
 }
 
 
@@ -4816,6 +4854,7 @@ DRIVER_OVERFLOW: frozenset[str] = frozenset(
         "q111_embedding_norm_outliers",
         "q112_tokenizer_fertility",
         "q113_duplicate_chunk_rate",
+        "q114_source_quality_profile",
     }
 )
 

@@ -574,3 +574,100 @@ def test_duplicate_chunk_rate_matches_python(spark, texts, window):
         ).collect()
     }
     assert got == _py_dup_chunk(texts, window)
+
+
+# -- q114 source quality profile ----------------------------------------------
+
+
+def test_source_profile_flags_the_drifted_doc(spark):
+    from serverless_podcast_etl_spark.functions.textstats import (
+        source_quality_profile,
+    )
+
+    normal = "the cat sat on the mat and the dog ran to the hill"
+    spam = "buy buy buy buy buy buy buy buy buy buy buy buy"  # 0 stopwords
+    rows = [(i, normal + f" w{i}", "s1") for i in range(1, 10)]
+    rows += [(99, spam, "s1")]
+    rows += [(200 + i, normal + f" v{i}", "s2") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r["source"]: r
+        for r in source_quality_profile(df, "text", "source").collect()
+    }
+    assert out["s1"]["n_docs"] == 10
+    assert out["s1"]["n_outliers"] == 1    # the spam doc
+    assert out["s2"]["n_outliers"] == 0
+    assert out["s2"]["mad_stopword_ratio"] == 0.0  # identical ratios
+
+
+def test_source_profile_excludes_tokenless_docs(spark):
+    from serverless_podcast_etl_spark.functions.textstats import (
+        source_quality_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat", "s1"), (2, "   ", "s1")],
+        "doc_id long, text string, source string",
+    )
+    r = source_quality_profile(df, "text", "source").collect()[0]
+    assert r["n_docs"] == 1  # the whitespace-only doc carries no evidence
+
+
+def _py_profile(rows, k=3.0):
+    import statistics as _st
+
+    per = {}
+    for _i, text, src in rows:
+        toks = _py_tokens(text)
+        if not toks:
+            continue
+        stop = sum(1 for t in toks if t in {
+            "the", "a", "an", "of", "and", "to", "in", "is", "it", "for"})
+        per.setdefault(src, []).append(round(stop / len(toks), 4))
+    out = {}
+    for s, vs in per.items():
+        med = _st.median(vs)
+        devs = [round(abs(v - med), 6) for v in vs]
+        mad = _st.median(devs)
+        out[s] = (
+            len(vs), round(med, 6), round(mad, 6),
+            sum(1 for d in devs if d > k * mad),
+        )
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.just(0),
+            st.lists(
+                st.sampled_from(["the", "and", "cat", "dog", "xy"]),
+                min_size=1, max_size=8,
+            ).map(" ".join),
+            st.sampled_from(["s1", "s2"]),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_source_profile_matches_python(spark, rows):
+    from serverless_podcast_etl_spark.functions.textstats import (
+        source_quality_profile,
+    )
+
+    rows = [(i + 1, t, s) for i, (_z, t, s) in enumerate(rows)]
+    got = {
+        r["source"]: (
+            r["n_docs"], r["median_stopword_ratio"],
+            r["mad_stopword_ratio"], r["n_outliers"],
+        )
+        for r in source_quality_profile(
+            spark.createDataFrame(
+                rows, "doc_id long, text string, source string"
+            ),
+            "text",
+            "source",
+        ).collect()
+    }
+    assert got == _py_profile(rows)

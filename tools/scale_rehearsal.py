@@ -111,6 +111,8 @@ QUERIES = [
     # q113 composes q105's chunker with the q18 hash groupBy — the
     # chunk-hash shuffle is the distributed path to rehearse
     "q113_duplicate_chunk_rate",
+    # q114's one checkpointed scan + broadcast per-source joins
+    "q114_source_quality_profile",
 ]
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
