@@ -48,3 +48,10 @@ def test_streaming_ingest_demo_runs_end_to_end(tmp_path):
 def test_podcast_pipeline_demo_runs(tmp_path):
     stdout = _run("podcast_pipeline_demo.py", str(tmp_path / "wh"))
     assert stdout.strip(), "demo produced no output"
+
+
+def test_corpus_report_demo_runs():
+    stdout = _run("corpus_report_demo.py")
+    assert "corpus report complete" in stdout, stdout
+    assert "coverage 90%:" in stdout, stdout
+    assert "embedding norm outliers:" in stdout, stdout
