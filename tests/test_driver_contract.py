@@ -52,8 +52,10 @@ ROTATED_OUT_R11 = {
     "q92_quantile_bins",
     "q100_target_importance_select",
 }
-#: the only never-driver-certified oracle-backed entries left — r12
-#: rotates these in and the backlog is drained.
+#: the last of the r10 backlog — pinned for the r12 rotation (the r11
+#: additions q105–q114 join the drain behind them: NOTES r11 schedules
+#: r12 = these two + q110/q106/q107, r13 = q105/q108/q109/q111/q112,
+#: r14 = q113/q114).
 R12_BACKLOG = {
     "q102_vocab_oov_scores",
     "q103_cluster_balanced_sample",
