@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.text import word_tokens
+from .dedup import _once
 from .scale import ensure_parallelism
 
 
@@ -49,14 +51,13 @@ def chunk_token_windows(
     """
     if window < 1 or stride < 1:
         raise ValueError("window and stride must be >= 1")
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
-    )
-    # bind the token array once (Generate barrier): the slice below is
-    # evaluated per chunk and must read a bound attribute, not re-run
-    # the split/filter per window
-    bound = ensure_parallelism(df).select(
-        F.col(id_col), F.explode(F.array(toks)).alias("_t")
+    # bind the token array once (dedup._once Generate barrier): the
+    # slice below is evaluated per chunk and must read a bound
+    # attribute, not re-run the tokenizer per window.  word_tokens is
+    # the single-sourced whitespace tokenizer (r8 ADVICE) so chunk
+    # boundaries cannot drift from textstats/corpus_stats tokenization.
+    bound = _once(
+        ensure_parallelism(df), id_col, word_tokens(F.col(text_col)), "_t"
     ).filter(F.size("_t") > 0)
     n = F.size("_t")
     n_chunks = 1 + F.floor(

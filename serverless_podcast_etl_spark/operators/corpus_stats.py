@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.text import word_tokens
 from . import dedup
 from .scale import ensure_parallelism
 
@@ -97,26 +98,33 @@ def source_divergence(
         TV(s) = ½ · ( S / (N_s·N)  +  1 − T_s/N )
         S     = Σ_present |c_st·N − c_t·N_s|          (exact BIGINT)
 
-    — no sparse token×source union is ever materialized.  The corpus
-    is exploded once; everything after the (source, token) count is
-    arithmetic over that (small) table: re-aggregate by token for
-    global counts, shuffle-join back on token, broadcast the
+    — no sparse token×source union is ever materialized.  The
+    (source, token) count table is localCheckpointed eagerly (it feeds
+    the totals collect AND the returned plan — ADVICE fact 18), so the
+    corpus explode + groupBy runs exactly once; everything after it is
+    arithmetic over that (small) checkpointed table: re-aggregate by
+    token for global counts, shuffle-join back on token, broadcast the
     per-source totals (≤ #sources rows), final tiny groupBy(source).
+    The eager checkpoint makes this operator batch-only (a streaming
+    divergence monitor belongs in streaming/curation.py, not here) and
+    pins the totals to the same snapshot the main plan reads.
     The only divisions are the two in the final expression — the sums
     feeding them are exact integers, so the oracle hashes bit-equal.
     BIGINT bound: c_st·N ≤ N_s·N (see module docstring).
     """
     tok = ensure_parallelism(df).select(
         F.col(source_col).alias("source"),
-        F.explode(
-            F.filter(
-                F.split(F.lower(F.col(text_col)), r"\s+"),
-                lambda t: t != "",
-            )
-        ).alias("token"),
+        F.explode(word_tokens(F.col(text_col))).alias("token"),
     )
-    st = tok.groupBy("source", "token").agg(
-        F.count(F.lit(1)).alias("c_st")
+    # checkpoint at the fan-out (ADVICE 18): st feeds the bounded
+    # totals collect below AND the returned plan — without the eager
+    # checkpoint the corpus explode + (source, token) groupBy runs
+    # twice, and the collected totals could diverge from the plan's
+    # snapshot under non-deterministic upstream.
+    st = (
+        tok.groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c_st"))
+        .localCheckpoint(eager=True)
     )
     tot = st.groupBy("token").agg(F.sum("c_st").alias("c_t"))
     # ONE bounded collect (≤ #distinct sources rows — the operator
@@ -192,17 +200,21 @@ def collocation_lift(
 
     lift = c_xy·N / (c_x·c_y) with N = total token count (the
     standard single-stream lift convention).  Rows below
-    ``min_count`` pair occurrences are cut BEFORE any join, so the
-    surviving bigram table is tiny and broadcasts into the unigram
-    table twice — the (large) unigram aggregate is never shuffled
-    beyond its own groupBy.  Deterministic output: ordered by
-    (lift DESC, word1, word2), limited to ``top_k``.
+    ``min_count`` pair occurrences are cut BEFORE any join and that
+    filtered bigram table carries the only broadcast hint; the
+    bi×uni1 join output is corpus-dependent in size (vocabulary ×
+    min_count), so it is deliberately NOT force-broadcast — AQE
+    re-plans the second join as broadcast at runtime when the
+    survivor set is small, and a pathological low-``min_count``
+    corpus degrades to a shuffle join instead of a driver OOM.
+    Deterministic output: ordered by (lift DESC, word1, word2),
+    limited to ``top_k``.
     """
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
-    )
-    bound = ensure_parallelism(df).select(
-        F.col(id_col), F.explode(F.array(toks)).alias("_t")
+    bound = dedup._once(
+        ensure_parallelism(df),
+        id_col,
+        word_tokens(F.col(text_col)),
+        "_t",
     )
     uni = (
         bound.select(F.explode("_t").alias("w"))
@@ -236,12 +248,16 @@ def collocation_lift(
     uni2 = uni.select(
         F.col("w").alias("w2"), F.col("c").alias("c2")
     )
-    # both joins keep the filtered bigram side broadcast (the second
-    # hint re-marks the first join's small output) — the unigram
-    # table is never shuffled beyond its own groupBy
-    first = F.broadcast(F.broadcast(bi).join(uni1, "w1"))
+    # only the min_count-filtered bigram side carries a broadcast
+    # hint; the bi×uni1 join output is NOT re-hinted — its size is
+    # corpus-dependent (vocabulary × min_count), and forcing it
+    # driver-side risks OOM at a low min_count.  AQE re-plans the
+    # second join as broadcast at runtime when the survivor set is
+    # actually small; either way the (large) unigram table is never
+    # shuffled beyond its own groupBy.
     return (
-        first
+        F.broadcast(bi)
+        .join(uni1, "w1")
         .join(uni2, "w2")
         .select(
             F.col("w1").alias("word1"),

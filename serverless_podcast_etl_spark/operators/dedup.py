@@ -194,6 +194,18 @@ def containment_pairs(
     per-shingle join fan-out at Σ min(df,cap)² — corpus-linear; both
     numerator and denominators are computed over the capped space
     (self-consistent, oracle-expressible).
+
+    Sizing the cap for boilerplate-heavy corpora: the candidate join
+    is bounded by cap² × (number of distinct shingles at the cap), so
+    on a corpus where many shingles saturate the cap (template pages,
+    navigation blocks) the REAL bound is cap² × distinct-shingle
+    count, not Σ df².  Pick ``max_doc_freq`` ≈ the largest true
+    duplicate-cluster size you need to detect (a doc contained in d
+    copies needs its shingles to survive at df ≤ d) and no larger —
+    halving the cap quarters the worst-case join.  Shingles above the
+    cap carry no containment signal by the stop-shingle argument, so
+    raising it past the cluster-size bound only buys boilerplate
+    pairs.
     """
     sh = shingles(df, text_col, id_col, n=n)
     if max_doc_freq is not None:

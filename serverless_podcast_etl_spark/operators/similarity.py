@@ -1129,6 +1129,8 @@ def embedding_norm_outliers(
     id_col: str,
     vec_col: str = "embedding",
     k: float = 3.0,
+    exact: bool = True,
+    approx_accuracy: int = 10_000,
 ) -> DataFrame:
     """(id, norm, deviation, is_outlier) per vector — the
     corrupt-embedding detector run before any ANN/dedup stage
@@ -1148,23 +1150,35 @@ def embedding_norm_outliers(
     ADVICE 18), then two single-row collects ship median and MAD back
     as plan literals.  Nothing but the norms table is ever shuffled,
     and only into two single-value aggregations.
+
+    ``exact=True`` (the certified oracle form) uses ``F.percentile``,
+    which buffers EVERY norm in the aggregation buffer — an
+    executor-memory cliff on a billion-vector corpus (the q92
+    ``quantile_bins`` hazard class).  ``exact=False`` switches both
+    medians to ``percentile_approx`` (Greenwald–Khanna sketch, memory
+    bounded by ``approx_accuracy`` regardless of cardinality); the
+    flag threshold moves within sketch error of the median/MAD, which
+    a k·MAD outlier rule absorbs by design.  Ship ``exact=False`` at
+    scale.
     """
+
+    def _median(col: Column) -> Column:
+        if exact:
+            return F.percentile(col, F.lit(0.5))
+        return F.percentile_approx(col, F.lit(0.5), F.lit(approx_accuracy))
+
     norms = _as_double(df, vec_col).select(
         F.col(id_col),
         F.round(_norm(F.col(vec_col)), 6).alias("norm"),
     ).localCheckpoint(eager=True)
-    med = norms.agg(
-        F.percentile(F.col("norm"), F.lit(0.5)).alias("m")
-    ).collect()[0]["m"]
+    med = norms.agg(_median(F.col("norm")).alias("m")).collect()[0]["m"]
     med = float(med) if med is not None else 0.0
     devs = norms.select(
         F.col(id_col),
         "norm",
         F.round(F.abs(F.col("norm") - F.lit(med)), 6).alias("deviation"),
     )
-    mad = devs.agg(
-        F.percentile(F.col("deviation"), F.lit(0.5)).alias("m")
-    ).collect()[0]["m"]
+    mad = devs.agg(_median(F.col("deviation")).alias("m")).collect()[0]["m"]
     mad = float(mad) if mad is not None else 0.0
     return devs.select(
         F.col(id_col),

@@ -4838,19 +4838,26 @@ DRIVER_OVERFLOW: frozenset[str] = frozenset(
         "q86_corpus_report_card",
         "q92_quantile_bins",
         "q100_target_importance_select",
-        # r10 additions q102/q103 remain the certification backlog —
-        # pinned as the r12 rotation (NOTES r11 drain plan)
-        "q102_vocab_oov_scores",
-        "q103_cluster_balanced_sample",
-        # r11 additions start in overflow, replica-certified, per the
-        # standing convention (q105 token-window chunking, q106 n-gram
-        # novelty, q107 source TV-divergence, q108 collocation lift)
+        # r12 rotations-out for the q102/q103 + q110/q106/q107
+        # rotation-in (driver-green in CORRECTNESS_r11 first, per the
+        # rotation rule; families keep green window siblings: q35
+        # embedding LSH near-dup → q30/q21 banded pairs + q22/q55 ANN
+        # stay certified, q54 quantization → q22/q55 embedding
+        # machinery, q90 top-share → q52/q61 selection stats, q101
+        # coverage audit → q102/q103's selection siblings enter the
+        # window as its replacements, q104 span-strip → q50
+        # decontamination stays certified)
+        "q35_embedding_lsh_neardup",
+        "q54_embedding_quantization",
+        "q90_top_share_per_source",
+        "q101_target_coverage_audit",
+        "q104_strip_contamination",
+        # r11 additions not yet rotated in — the remaining
+        # certification backlog (NOTES r11 drain plan: r13 =
+        # q105/q108/q109/q111/q112, r14 = q113/q114)
         "q105_token_window_chunks",
-        "q106_ngram_novelty",
-        "q107_source_divergence",
         "q108_collocations",
         "q109_vocab_coverage",
-        "q110_containment_neardup",
         "q111_embedding_norm_outliers",
         "q112_tokenizer_fertility",
         "q113_duplicate_chunk_rate",

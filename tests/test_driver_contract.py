@@ -32,40 +32,45 @@ EXPECTED_PRIORITY_ROWS_ONLY = {
 }
 
 
-#: the round-11 rotation (r10 VERDICT #1): the certification-backlog
-#: drain — the two r10 flagships (q104 span-strip, q101 coverage
-#: audit) plus the oldest debt (q35/q54/q90) in, the r10-certified
-#: five out — pinned so a catalog edit cannot silently undo the
-#: rotation before the driver certifies it.  Remaining backlog after
-#: this rotation: exactly q102/q103 (the pinned r12 rotation).
-ROTATED_IN_R11 = {
+#: the round-12 rotation (r11 VERDICT #2, executed as pinned): the
+#: last r10 debt (q102/q103) plus the first three r11 additions
+#: (q110/q106/q107) in, the r11-certified five (all driver-green in
+#: CORRECTNESS_r11) out — pinned so a catalog edit cannot silently
+#: undo the rotation before the driver certifies it.
+ROTATED_IN_R12 = {
+    "q102_vocab_oov_scores",
+    "q103_cluster_balanced_sample",
+    "q106_ngram_novelty",
+    "q107_source_divergence",
+    "q110_containment_neardup",
+}
+ROTATED_OUT_R12 = {
     "q35_embedding_lsh_neardup",
     "q54_embedding_quantization",
     "q90_top_share_per_source",
     "q101_target_coverage_audit",
     "q104_strip_contamination",
 }
-ROTATED_OUT_R11 = {
-    "q81_cross_source_neardup_matrix",
-    "q83_contamination_fractions",
-    "q86_corpus_report_card",
-    "q92_quantile_bins",
-    "q100_target_importance_select",
+#: the remaining r11-addition backlog — pinned drain order (NOTES r11:
+#: r13 = q105/q108/q109/q111/q112, r14 = q113/q114).
+R13_BACKLOG = {
+    "q105_token_window_chunks",
+    "q108_collocations",
+    "q109_vocab_coverage",
+    "q111_embedding_norm_outliers",
+    "q112_tokenizer_fertility",
 }
-#: the last of the r10 backlog — pinned for the r12 rotation (the r11
-#: additions q105–q114 join the drain behind them: NOTES r11 schedules
-#: r12 = these two + q110/q106/q107, r13 = q105/q108/q109/q111/q112,
-#: r14 = q113/q114).
-R12_BACKLOG = {
-    "q102_vocab_oov_scores",
-    "q103_cluster_balanced_sample",
+R14_BACKLOG = {
+    "q113_duplicate_chunk_rate",
+    "q114_source_quality_profile",
 }
 
 
-def test_round11_rotation_membership():
-    assert ROTATED_IN_R11.isdisjoint(DRIVER_OVERFLOW)
-    assert ROTATED_OUT_R11 <= DRIVER_OVERFLOW
-    assert R12_BACKLOG <= DRIVER_OVERFLOW
+def test_round12_rotation_membership():
+    assert ROTATED_IN_R12.isdisjoint(DRIVER_OVERFLOW)
+    assert ROTATED_OUT_R12 <= DRIVER_OVERFLOW
+    assert R13_BACKLOG <= DRIVER_OVERFLOW
+    assert R14_BACKLOG <= DRIVER_OVERFLOW
 
 
 def test_priority_window_is_exactly_50():
