@@ -163,6 +163,19 @@ HEADLINE = [
     "q102_vocab_oov_scores",
     "q103_cluster_balanced_sample",
     "q104_strip_contamination",
+    # r11 additions, deferred from the r11 anchor per the freeze
+    # discipline, entered here with the r12 batched freeze (anchor
+    # grows 98 → 108 in ONE freeze)
+    "q105_token_window_chunks",
+    "q106_ngram_novelty",
+    "q107_source_divergence",
+    "q108_collocations",
+    "q109_vocab_coverage",
+    "q110_containment_neardup",
+    "q111_embedding_norm_outliers",
+    "q112_tokenizer_fertility",
+    "q113_duplicate_chunk_rate",
+    "q114_source_quality_profile",
 ]
 
 #: Every exclusion, with its reason in the header comment above —
@@ -177,21 +190,11 @@ EXCLUDED = {
     "q95_image_neardup",        # pixel-seam timing is codec-dependent (q29
                                 # rationale); its banded join is benched via
                                 # q21/q28's identical machinery
-    # r11 additions, deferred to the r12 anchor batch: the freeze
-    # discipline (NOTES "freeze discipline" bullet) forbids headline
-    # additions without a re-freeze and batches ALL pending additions
-    # into ONE freeze — all ten enter HEADLINE with r12's freeze
-    # (standalone sf0.1 timings recorded in NOTES r11 meanwhile).
-    "q105_token_window_chunks",
-    "q106_ngram_novelty",
-    "q107_source_divergence",
-    "q108_collocations",
-    "q109_vocab_coverage",
-    "q110_containment_neardup",
-    "q111_embedding_norm_outliers",
-    "q112_tokenizer_fertility",
-    "q113_duplicate_chunk_rate",
-    "q114_source_quality_profile",
+    # r12 additions, deferred to the r13 anchor batch per the freeze
+    # discipline (batch ALL headline additions into ONE re-freeze;
+    # standalone sf0.1 timings recorded in NOTES r12 meanwhile)
+    "q115_pps_token_sample",
+    "q116_encoding_anomalies",
 }
 
 
