@@ -111,6 +111,26 @@ def main() -> None:
     )
     print(f"after line cleaning: {docs.count()}")
 
+    # 0b. encoding-hygiene gate (q116, r12) — BEFORE any tokenizer:
+    #     U+FFFD/control/mojibake junk poisons shingles and lang-ID,
+    #     so it dies first; the synthetic corpus is clean, so this
+    #     gate should be a no-op here (asserted below)
+    enc_ok = (
+        textstats.encoding_anomaly_scores(
+            docs, text_col="text", id_col="doc_id", threshold=0.001
+        )
+        .filter(
+            (F.col("replacement_chars") == 0)
+            & (F.coalesce(F.col("anomaly_rate"), F.lit(0.0)) <= 0.001)
+        )
+        .select("doc_id")
+    )
+    n_before_enc = docs.count()
+    docs = docs.join(enc_ok, "doc_id", "left_semi")
+    n_after_enc = docs.count()
+    print(f"after encoding-hygiene gate: {n_after_enc}")
+    assert n_after_enc == n_before_enc, "synthetic corpus must be clean"
+
     # 1. cheap quality gate (q43) + vocabulary-OOV gate (q102, r10):
     #    the hard vocabulary-miss fraction catches garbled/off-corpus
     #    docs the ratio heuristics miss

@@ -717,6 +717,84 @@ def tokenizer_fertility_stats(
     )
 
 
+#: C0 controls except \t \n \r, DEL, and the C1 block — the bytes a
+#: broken decoder leaks into text.  Hex escapes only (no raw control
+#: chars in the pattern source): Java regex and RE2 both read \xhh as
+#: the U+00hh code point, so the same ASCII pattern text works in
+#: Spark and in the DuckDB oracle.
+CONTROL_CHAR_PATTERN = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]"
+#: the UTF-8-read-as-latin1 signature: a multi-byte lead byte C2/C3
+#: decoded as 'Â'/'Ã' followed by a continuation byte decoded into
+#: U+0080–U+00BF ('Ã©' where 'é' belongs, 'Â·' where '·' belongs).
+MOJIBAKE_PATTERN = r"[\xC2\xC3][\x80-\xBF]"
+
+
+def encoding_anomaly_columns(text: Column) -> dict[str, Column]:
+    """The in-row encoding-anomaly count expressions keyed by output
+    name — shared by ``encoding_anomaly_scores`` and any streaming
+    admission gate (stateless, micro-batch safe)."""
+    return {
+        "n_chars": F.length(text).cast("long"),
+        "replacement_chars": F.regexp_count(
+            text, F.lit("�")
+        ).cast("long"),
+        "control_chars": F.regexp_count(
+            text, F.lit(CONTROL_CHAR_PATTERN)
+        ).cast("long"),
+        "mojibake_pairs": F.regexp_count(
+            text, F.lit(MOJIBAKE_PATTERN)
+        ).cast("long"),
+    }
+
+
+def encoding_anomaly_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.001,
+) -> DataFrame:
+    """(id, n_chars, replacement_chars, control_chars, mojibake_pairs,
+    anomaly_rate, is_suspect) per document — the crawl-hygiene gate
+    run BEFORE tokenization/dedup: U+FFFD replacement characters
+    (a decoder already gave up), raw C0/C1 control characters (binary
+    junk or charset mislabeling), and UTF-8-as-latin1 mojibake
+    digraphs ('Ã©', 'â€™') each poison downstream shingles and
+    n-gram language-ID, and none of the existing quality signals
+    (q16/q38/q43 — length, punctuation, stopwords) sees them.
+
+    ``anomaly_rate`` = (replacement + control + mojibake) / chars,
+    NULL for empty text (``try_divide`` — no evidence);
+    ``is_suspect`` flags ANY replacement char (unconditional: U+FFFD
+    is never legitimate content) or a rounded rate above
+    ``threshold``.  Counts are exact integers from three
+    ``regexp_count`` scans; the rate is the single IEEE division,
+    rounded before the threshold compare so the oracle decides
+    identically.  Everything is in-row — no shuffle, no state,
+    trivially partition-parallel at any corpus size.
+    """
+    cols = encoding_anomaly_columns(F.col(text_col))
+    scored = df.select(F.col(id_col), *(c.alias(n) for n, c in cols.items()))
+    rate = F.round(
+        F.try_divide(
+            (
+                F.col("replacement_chars")
+                + F.col("control_chars")
+                + F.col("mojibake_pairs")
+            ).cast("double"),
+            F.col("n_chars").cast("double"),
+        ),
+        6,
+    )
+    return scored.withColumn("anomaly_rate", rate).withColumn(
+        "is_suspect",
+        (
+            (F.col("replacement_chars") > 0)
+            | (F.col("anomaly_rate") > F.lit(threshold))
+        )
+        .cast("long"),
+    )
+
+
 def source_quality_profile(
     df: DataFrame,
     text_col: str,

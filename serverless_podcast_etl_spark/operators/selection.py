@@ -282,6 +282,90 @@ def stratified_digest_sample(
     return df.filter(F.substring(digest, 1, 6) < bound)
 
 
+def pps_systematic_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: str = "pps",
+    offset_seed: int = 0,
+) -> DataFrame:
+    """Probability-proportional-to-size SYSTEMATIC sampling: draw
+    exactly ``k`` picks (with multiplicity) where each row's expected
+    pick count is exactly ``k·w/W`` — the weighted sampler a mixture
+    builder needs at scale ("sample 10M documents proportional to
+    token count from 10B") with none of the transcendental-float
+    hazards of exponential-key (Efraimidis–Spirakis) sampling: every
+    quantity here is exact BIGINT arithmetic, so the operator is
+    hash-exact against a SQL twin (NOTES fact 12 — ``ln``/``pow``
+    differ in the last ulp across engines and are kept out).
+
+    Construction: rows are laid on a weight line in the deterministic
+    ``md5(seed:id)`` order (the q84 shuffle order — systematic strides
+    over the RAW corpus order would correlate with source/time
+    clustering; the digest order is exchangeable), then ``k`` evenly
+    spaced points ``(t·W + o)/k``, t = 0..k−1, ``o = offset_seed mod
+    W``, are dropped on the line.  A row covering ``[s, e)`` on the
+    line is picked once per point inside its interval:
+
+        n_picks = ⌊(k·e − o − 1 + W)/W⌋ − ⌊(k·s − o − 1 + W)/W⌋
+
+    (the ``+W`` shift keeps both numerators non-negative so integer
+    division equals floor in BOTH engines; the two extra +1's cancel
+    in the difference).  Σ n_picks = k exactly, rows with
+    ``w ≥ W/k`` can be picked more than once (standard PPS-with-
+    replacement semantics — resolve multiplicity downstream or cap
+    weights first), and rows with non-positive weight carry no mass
+    and are dropped.
+
+    Scale shape: the weight line is the existing two-pass distributed
+    ``global_prefix_sum`` (range partition on the digest order, NO
+    single-partition window); ``W`` is one single-row collect off the
+    checkpointed cumsum; pick counting is in-row arithmetic.  BIGINT
+    bound: ``k·W`` must stay below 2^63 — at a 10^13-token corpus
+    that allows k up to ~10^5; beyond that widen the marked products
+    to decimal(38,0).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if offset_seed < 0:
+        raise ValueError("offset_seed must be >= 0")
+    key = F.md5(
+        F.encode(
+            F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string")),
+            "utf-8",
+        )
+    )
+    w = (
+        df.select(F.col(id_col), F.col(weight_col).cast("long").alias("_w"))
+        .filter(F.col("_w") > 0)
+        .withColumn("_key", key)
+    )
+    cum = global_prefix_sum(
+        w, "_w", [F.col("_key"), F.col(id_col)], out_col="_cum"
+    )
+    total = cum.agg(F.max("_cum").alias("_tot")).collect()[0]["_tot"]
+    if not total:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} {df.schema[id_col].dataType.simpleString()}, "
+                "weight long, n_picks long"
+        )
+    o = offset_seed % total
+    # k·e and k·s are the marked BIGINT products (see docstring bound)
+    n_e = f"({k} * _cum - {o} - 1 + {total})"
+    n_s = f"({k} * (_cum - _w) - {o} - 1 + {total})"
+    picks = F.expr(f"({n_e} div {total}) - ({n_s} div {total})")
+    return (
+        cum.withColumn("_picks", picks)
+        .filter(F.col("_picks") > 0)
+        .select(
+            F.col(id_col),
+            F.col("_w").alias("weight"),
+            F.col("_picks").cast("long").alias("n_picks"),
+        )
+    )
+
+
 def cap_per_group(
     df: DataFrame,
     group_col: str,

@@ -4223,6 +4223,111 @@ GROUP BY dv.source
 """
 
 
+def q115_pps_token_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPS systematic sample (selection.pps_systematic_sample): draw
+    exactly 200 picks proportional to per-doc token count, laid out in
+    the deterministic md5(seed:id) order — the exact-integer weighted
+    sampler (no ln/pow — NOTES fact 12), distributed via the q84
+    two-pass prefix sum.  Σ n_picks == 200 by construction."""
+    docs = _t(spark, sf_dir, "documents")
+    weighted = docs.select(
+        "doc_id", F.size(text.word_tokens(F.col("text"))).alias("n_tokens")
+    )
+    return selection.pps_systematic_sample(
+        weighted, id_col="doc_id", weight_col="n_tokens",
+        k=200, seed="pps", offset_seed=982451653,
+    )
+
+
+_Q115_SQL = f"""
+WITH t AS ({_TOKS_CTE}),
+w AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS weight FROM t WHERE len(t) > 0),
+c AS (SELECT doc_id, weight,
+        CAST(SUM(weight) OVER (
+          ORDER BY md5('pps:' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+        ) AS BIGINT) AS cum
+      FROM w),
+g AS (SELECT CAST(SUM(weight) AS BIGINT) AS tot FROM w),
+p AS (SELECT doc_id, weight, cum, tot, 982451653 % tot AS o FROM c, g)
+SELECT doc_id, weight,
+       CAST(((200 * cum - o - 1 + tot) // tot)
+          - ((200 * (cum - weight) - o - 1 + tot) // tot) AS BIGINT)
+         AS n_picks
+FROM p
+WHERE ((200 * cum - o - 1 + tot) // tot)
+    - ((200 * (cum - weight) - o - 1 + tot) // tot) > 0
+"""
+
+
+def q116_encoding_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-anomaly scoring (textstats.encoding_anomaly_scores):
+    U+FFFD replacement chars, C0/C1 control chars and UTF-8-as-latin1
+    mojibake digraphs per document — the crawl-hygiene gate none of
+    the q16/q38/q43 quality signals sees.  The synthetic corpus is
+    clean, so anomalies are injected deterministically in-query (the
+    q85 derived-snapshot pattern): doc_id % 7 → mojibake suffix,
+    % 11 → replacement char, % 13 → control chars; same expressions
+    in the oracle.  Pure in-row regexp counts — zero shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    corrupted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" cafÃ© naÃ¯ve"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" bad�byte"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0, F.lit(" ctl\x07\x1b"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return textstats.encoding_anomaly_scores(
+        corrupted, text_col="text", id_col="doc_id", threshold=0.001
+    )
+
+
+#: patterns interpolated from the SAME module constants the Spark side
+#: uses (hex escapes only — valid in both Java regex and RE2)
+_Q116_SQL = f"""
+WITH c AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0 THEN ' cafÃ© naÃ¯ve' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN ' bad' || chr(65533) || 'byte'
+                 ELSE '' END
+         || CASE WHEN doc_id % 13 = 0 THEN ' ctl' || chr(7) || chr(27)
+                 ELSE '' END AS text
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(regexp_extract_all(text, chr(65533))) AS BIGINT)
+           AS replacement_chars,
+         CAST(len(regexp_extract_all(text,
+              '{textstats.CONTROL_CHAR_PATTERN}')) AS BIGINT)
+           AS control_chars,
+         CAST(len(regexp_extract_all(text,
+              '{textstats.MOJIBAKE_PATTERN}')) AS BIGINT)
+           AS mojibake_pairs
+  FROM c
+),
+r AS (
+  SELECT *,
+         CASE WHEN n_chars = 0 THEN NULL
+              ELSE round((replacement_chars + control_chars
+                          + mojibake_pairs) * 1.0 / n_chars, 6)
+         END AS anomaly_rate
+  FROM s
+)
+SELECT doc_id, n_chars, replacement_chars, control_chars,
+       mojibake_pairs, anomaly_rate,
+       CAST(replacement_chars > 0 OR anomaly_rate > 0.001 AS BIGINT)
+         AS is_suspect
+FROM r
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "q01_pricing_summary": QueryDef(q01_pricing_summary, _Q01_SQL, "filter+agg+sort (A1/A3)"),
     "q02_event_type_counts": QueryDef(q02_event_type_counts, _Q02_SQL, "groupBy count desc (A1/O1)"),
@@ -4622,6 +4727,16 @@ CATALOG: dict[str, QueryDef] = {
         _Q114_SQL,
         "per-source robust quality profile (median/MAD drift detector)",
     ),
+    "q115_pps_token_sample": QueryDef(
+        q115_pps_token_sample,
+        _Q115_SQL,
+        "PPS systematic weighted sample (exact-integer, prefix-sum)",
+    ),
+    "q116_encoding_anomalies": QueryDef(
+        q116_encoding_anomalies,
+        _Q116_SQL,
+        "encoding-anomaly scores (U+FFFD / control chars / mojibake)",
+    ),
 }
 
 
@@ -4862,6 +4977,12 @@ DRIVER_OVERFLOW: frozenset[str] = frozenset(
         "q112_tokenizer_fertility",
         "q113_duplicate_chunk_rate",
         "q114_source_quality_profile",
+        # r12 additions start in overflow, replica-certified, per the
+        # standing convention (q115 PPS weighted sampling, q116
+        # encoding anomalies) — backlog at r12 end: 9 (7 r11 leftovers
+        # + these two), within the r11 VERDICT #4 bound
+        "q115_pps_token_sample",
+        "q116_encoding_anomalies",
     }
 )
 

@@ -17,7 +17,11 @@ from pyspark.sql import functions as F
 
 from ..functions.pii import pii_columns
 from ..functions.text import word_tokens
-from ..functions.textstats import oov_columns, quality_columns
+from ..functions.textstats import (
+    encoding_anomaly_columns,
+    oov_columns,
+    quality_columns,
+)
 from .dedup import stream_dedup_exact
 
 
@@ -33,6 +37,7 @@ def curate_stream(
     max_stopword_ratio: float = 0.6,
     vocabulary: list[str] | None = None,
     max_oov_rate: float = 0.5,
+    max_anomaly_rate: float | None = None,
 ) -> DataFrame:
     """Documents that survive dedup + quality gating, with their
     quality stats and the PII-redacted text attached.
@@ -49,6 +54,18 @@ def curate_stream(
     cannot fit a global vocabulary online) and ships as an InSet
     inside the plan, so the tier stays stateless and micro-batch-safe
     like the quality gate.
+
+    ``max_anomaly_rate`` (r12) adds the q116 encoding-hygiene tier
+    between dedup and the quality gate (mojibake/control junk should
+    die before the tokenizer ever sees it): ANY U+FFFD replacement
+    char drops the document unconditionally (a decoder already gave
+    up on it), as does a rounded anomaly rate above the threshold;
+    survivors carry the four count columns + ``anomaly_rate``.
+    Token-less/empty documents carry no anomaly evidence (NULL rate)
+    and pass this tier — the quality gate's ``min_chars`` is the
+    authority on emptiness.  Same in-row expressions as the batch
+    scorer (``textstats.encoding_anomaly_columns``), so stream ==
+    batch by construction.
     """
     d = stream
     if ts_col is not None:
@@ -58,6 +75,32 @@ def curate_stream(
         d = stream_dedup_exact(
             with_digest, keys=["_digest"], ts_col=ts_col, delay=dedup_delay
         ).drop("_digest")
+    if max_anomaly_rate is not None:
+        e = encoding_anomaly_columns(F.col(text_col))
+        rate = F.round(
+            F.try_divide(
+                (
+                    e["replacement_chars"]
+                    + e["control_chars"]
+                    + e["mojibake_pairs"]
+                ).cast("double"),
+                e["n_chars"].cast("double"),
+            ),
+            6,
+        )
+        # n_chars is omitted here — the quality gate below emits the
+        # identical expression under the same name
+        d = d.select(
+            "*",
+            *[c.alias(n) for n, c in e.items() if n != "n_chars"],
+            rate.alias("anomaly_rate"),
+        ).filter(
+            (F.col("replacement_chars") == 0)
+            & (
+                F.coalesce(F.col("anomaly_rate"), F.lit(0.0))
+                <= F.lit(max_anomaly_rate)
+            )
+        )
     q = quality_columns(text_col)
     gated = d.select(
         "*", *[c.alias(n) for n, c in q.items()]

@@ -52,7 +52,10 @@ ROTATED_OUT_R12 = {
     "q104_strip_contamination",
 }
 #: the remaining r11-addition backlog — pinned drain order (NOTES r11:
-#: r13 = q105/q108/q109/q111/q112, r14 = q113/q114).
+#: r13 = q105/q108/q109/q111/q112, r14 = q113/q114 + the two r12
+#: additions q115/q116, which start in overflow per the standing
+#: convention).  Backlog at r12 end: 9 = 7 r11 leftovers + 2 r12
+#: additions (within the r11 VERDICT #4 ≤9 bound).
 R13_BACKLOG = {
     "q105_token_window_chunks",
     "q108_collocations",
@@ -63,6 +66,8 @@ R13_BACKLOG = {
 R14_BACKLOG = {
     "q113_duplicate_chunk_rate",
     "q114_source_quality_profile",
+    "q115_pps_token_sample",
+    "q116_encoding_anomalies",
 }
 
 

@@ -682,3 +682,80 @@ def test_chunk_token_windows_streams_match_batch(spark, tmp_path):
     key = lambda r: tuple(sorted(r.asDict().items()))  # noqa: E731
     assert len(got) > 0
     assert sorted(map(key, batch)) == sorted(map(key, got))
+
+
+def test_curate_stream_encoding_tier_matches_batch(spark, tmp_path):
+    """The r12 encoding-hygiene tier: U+FFFD drops unconditionally,
+    mojibake-heavy text drops on rate, a lone control char in long
+    text survives below the threshold and carries its counts; the
+    same call on a batch frame produces identical rows, and the
+    counts agree with the batch q116 scorer's expressions."""
+    import os
+
+    from serverless_podcast_etl_spark.functions.textstats import (
+        encoding_anomaly_scores,
+    )
+    from serverless_podcast_etl_spark.streaming.curation import curate_stream
+
+    long_tail = ("the quick brown fox jumps over the lazy dog near "
+                 "the old stone bridge and the river bends away")
+    rows = [
+        (1, long_tail),                      # clean — survives
+        (2, long_tail + " bad � byte"),  # U+FFFD — dropped
+        (3, "cafÃ© naÃ¯ve rÃ©sumÃ© " * 8),   # mojibake-heavy — dropped
+        (4, long_tail + " \x07"),            # 1 ctl char / >100 — survives
+    ]
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(rows[:2], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(rows[2:], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    curated = curate_stream(
+        stream, "text", "doc_id",
+        min_chars=20, min_tokens=5, max_punct_ratio=0.5,
+        max_anomaly_rate=0.02,
+    )
+    assert curated.isStreaming
+    got: list = []
+    q = (
+        curated.writeStream.foreachBatch(
+            lambda df, _e: got.extend(df.collect())
+        )
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(r["doc_id"] for r in got) == [1, 4]
+    by_id = {r["doc_id"]: r for r in got}
+    assert by_id[4]["control_chars"] == 1
+    assert by_id[1]["anomaly_rate"] == 0.0
+    batch = curate_stream(
+        spark.read.parquet(src), "text", "doc_id",
+        min_chars=20, min_tokens=5, max_punct_ratio=0.5,
+        max_anomaly_rate=0.02,
+    ).collect()
+    key = lambda r: tuple(sorted(r.asDict().items()))  # noqa: E731
+    assert sorted(map(key, batch)) == sorted(map(key, got))
+    # tier counts == the batch q116 scorer's (shared expressions)
+    q116 = {
+        r["doc_id"]: (
+            r["replacement_chars"], r["control_chars"],
+            r["mojibake_pairs"], r["anomaly_rate"],
+        )
+        for r in encoding_anomaly_scores(
+            spark.read.parquet(src), "text", "doc_id"
+        ).collect()
+    }
+    for r in got:
+        assert (
+            r["replacement_chars"], r["control_chars"],
+            r["mojibake_pairs"], r["anomaly_rate"],
+        ) == q116[r["doc_id"]]

@@ -113,6 +113,12 @@ QUERIES = [
     "q113_duplicate_chunk_rate",
     # q114's one checkpointed scan + broadcast per-source joins
     "q114_source_quality_profile",
+    # r12 additions rehearse the round they land (the q100 lesson):
+    # q115's distributed two-pass prefix sum over the md5 order is
+    # the q84 shape plus in-row pick arithmetic; q116 is three in-row
+    # regexp scans (no distributed path, kept for the scan shape)
+    "q115_pps_token_sample",
+    "q116_encoding_anomalies",
 ]
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
