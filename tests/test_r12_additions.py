@@ -10,7 +10,6 @@ import re
 
 from hypothesis import given, settings
 from hypothesis import strategies as st
-from pyspark.sql import functions as F
 
 from serverless_podcast_etl_spark.functions.textstats import (
     CONTROL_CHAR_PATTERN,
@@ -194,3 +193,18 @@ def test_encoding_anomalies_match_python_re(spark, texts):
             assert r["anomaly_rate"] is None
         else:
             assert r["anomaly_rate"] == round(n_bad / len(t), 6)
+
+
+def test_pps_large_weights_no_overflow(spark):
+    # BIGINT bound exercise: billion-scale weights with k in the
+    # thousands — k*W ~ 4e12, well-formed long arithmetic end to end
+    rows = [(i, 10**9 + i * 7_919) for i in range(1, 30)]
+    k = 4_096
+    out = pps_systematic_sample(
+        _weighted(spark, rows), "doc_id", "wt",
+        k=k, seed="big", offset_seed=10**18,
+    ).collect()
+    assert sum(r["n_picks"] for r in out) == k
+    want = _py_pps(rows, k, "big", 10**18)
+    got = {r["doc_id"]: (r["weight"], r["n_picks"]) for r in out}
+    assert got == want
