@@ -8,9 +8,11 @@ drains them with an AvailableNow file stream through the full ingest
 gate a training-data pipeline runs at the edge:
 
 1. ``curate_stream`` — bounded-state exact dedup (re-deliveries),
-   quality gate, vocabulary-OOV gate (fit OFFLINE via
-   ``build_vocabulary`` on a trusted reference corpus — the q102
-   scoring as an ingest tier), PII redaction (streaming/curation.py);
+   encoding-hygiene gate (the q116 scoring as an ingest tier — U+FFFD
+   or mojibake-heavy text dies before any tokenizer), quality gate,
+   vocabulary-OOV gate (fit OFFLINE via ``build_vocabulary`` on a
+   trusted reference corpus — the q102 scoring as an ingest tier),
+   PII redaction (streaming/curation.py);
 2. ``admission_batch_fn`` — per-micro-batch near-dup check against a
    static corpus band index (streaming/admission.py, the operator
    q76 certifies);
@@ -86,10 +88,15 @@ def main() -> None:
                "skpo dlvn werb ploq")  # survives the quality gate,
     #                                    ~1.0 OOV vs the vocabulary
     batch1 = [(101, t0, fresh), (102, t0, "too short")]
+    # in-domain text a decoder partially gave up on: passes quality
+    # AND OOV, but carries a U+FFFD — the q116 encoding tier (r12)
+    # drops it unconditionally before any tokenizer-based gate
+    corrupt = fresh + " trailing �"
     batch2 = [
         (103, t0 + dt.timedelta(minutes=1), fresh),       # re-delivery
         (104, t0 + dt.timedelta(minutes=1), good + " !"),  # corpus clone
         (105, t0 + dt.timedelta(minutes=1), garbled),      # OOV-gated
+        (106, t0 + dt.timedelta(minutes=1), corrupt),      # encoding-gated
     ]
     for rows in (batch1, batch2):
         spark.createDataFrame(rows, schema).coalesce(1).write.mode(
@@ -123,6 +130,7 @@ def main() -> None:
     curated = curate_stream(
         stream, "text", "doc_id", ts_col="ts",
         vocabulary=vocabulary, max_oov_rate=0.5,
+        max_anomaly_rate=0.02,
     )
     q = (
         curated.writeStream.foreachBatch(gate)
@@ -136,6 +144,9 @@ def main() -> None:
     print(f"rejected (near-dup of corpus): {sorted(rejected_log)}")
     gated_out = {105} - set(admitted_log) - set(rejected_log)
     print(f"OOV-gated before admission: {sorted(gated_out)}")
+    enc_gated = {106} - set(admitted_log) - set(rejected_log)
+    print(f"encoding-gated before admission: {sorted(enc_gated)}")
+    assert enc_gated == {106}, "U+FFFD doc must die at the encoding tier"
     print(f"warehouse rows: {spark.read.parquet(store).count()}")
     spark.stop()
 
