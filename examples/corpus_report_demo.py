@@ -36,9 +36,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from serverless_podcast_etl_spark.functions import textstats  # noqa: E402
+from serverless_podcast_etl_spark.functions import text as text_fns  # noqa: E402
 from serverless_podcast_etl_spark.operators import (  # noqa: E402
     chunking,
     corpus_stats,
+    selection,
     similarity,
 )
 from serverless_podcast_etl_spark.session import get_spark  # noqa: E402
@@ -123,6 +125,29 @@ def main() -> None:
     out = similarity.embedding_norm_outliers(emb, id_col="vec_id")
     n_bad = out.filter(F.col("is_outlier") == 1).count()
     print(f"embedding norm outliers: {n_bad}/{out.count()}")
+
+    # 9. encoding hygiene (q116, r12) — U+FFFD / control / mojibake
+    enc = textstats.encoding_anomaly_scores(
+        docs, text_col="text", id_col="doc_id"
+    )
+    n_suspect = enc.filter(F.col("is_suspect") == 1).count()
+    print(f"encoding-suspect docs: {n_suspect}/{enc.count()}")
+
+    # 10. a PPS token-weighted audit sample (q115, r12) — exactly 50
+    #     picks proportional to token count, the inspection sample a
+    #     reviewer reads that over-represents the corpus's mass
+    weighted = docs.select(
+        "doc_id",
+        F.size(text_fns.word_tokens(F.col("text"))).alias("n_tokens"),
+    )
+    sample = selection.pps_systematic_sample(
+        weighted, id_col="doc_id", weight_col="n_tokens",
+        k=50, seed="report", offset_seed=7,
+    )
+    picked = sample.count()
+    total_picks = sample.agg(F.sum("n_picks")).collect()[0][0]
+    print(f"PPS audit sample: {picked} docs carrying {total_picks} picks")
+    assert total_picks == 50
 
     print("corpus report complete")
     spark.stop()

@@ -58,3 +58,7 @@ def test_corpus_report_demo_runs():
     assert "corpus report complete" in stdout, stdout
     assert "coverage 90%:" in stdout, stdout
     assert "embedding norm outliers:" in stdout, stdout
+    # r12 sections: the synthetic corpus is encoding-clean, and the
+    # PPS audit sample carries exactly its k picks
+    assert "encoding-suspect docs: 0/" in stdout, stdout
+    assert "carrying 50 picks" in stdout, stdout
