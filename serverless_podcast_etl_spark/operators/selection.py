@@ -45,15 +45,21 @@ def mark_materialized() -> None:
         _LAST_PERSISTED.pop().unpersist()
 
 
-def global_prefix_sum(
+def _global_prefix_sum_with_total(
     df: DataFrame,
     cost_col: str,
     order_cols: list[Column],
     out_col: str = "cum_cost",
     materialize: bool = True,
     num_partitions: int | None = None,
-) -> DataFrame:
-    """Inclusive running sum of ``cost_col`` in the total order given
+) -> tuple[DataFrame, int]:
+    """Implementation of ``global_prefix_sum`` (public wrapper below,
+    which carries no extra behavior) — returns ``(result, grand
+    total)`` because the bounded offsets pass computes the total as a
+    by-product; callers needing W (``pps_systematic_sample``) take it
+    from here instead of paying a full extra scan.
+
+    Inclusive running sum of ``cost_col`` in the total order given
     by ``order_cols`` (which must be a TOTAL order — include a unique
     tiebreak key, or the result is nondeterministic), computed without
     ever collapsing the data to one partition:
@@ -165,11 +171,35 @@ def global_prefix_sum(
     off = df.sparkSession.createDataFrame(
         offsets, "_pid int, _off long"
     )
-    return (
+    result = (
         local.join(F.broadcast(off), "_pid")
         .withColumn(out_col, (F.col("_local_cum") + F.col("_off")))
         .drop("_pid", "_local_cum", "_cost_l")
     )
+    # the offsets pass already summed every partition: acc is the
+    # grand total, free to callers who need it (pps sampling's W) —
+    # recovering it later via agg(max(cum)) would cost a FULL extra
+    # scan of the materialized sort at corpus scale
+    return result, acc
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    cost_col: str,
+    order_cols: list[Column],
+    out_col: str = "cum_cost",
+    materialize: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Inclusive distributed running sum — the public form.  Full
+    contract, scale shape, and the materialize/eviction warning: see
+    ``_global_prefix_sum_with_total`` directly above (this wrapper
+    only drops the grand-total by-product from the return)."""
+    df2, _total = _global_prefix_sum_with_total(
+        df, cost_col, order_cols, out_col=out_col,
+        materialize=materialize, num_partitions=num_partitions,
+    )
+    return df2
 
 
 def select_under_budget(
@@ -320,8 +350,9 @@ def pps_systematic_sample(
 
     Scale shape: the weight line is the existing two-pass distributed
     ``global_prefix_sum`` (range partition on the digest order, NO
-    single-partition window); ``W`` is one single-row collect off the
-    checkpointed cumsum; pick counting is in-row arithmetic.  BIGINT
+    single-partition window); ``W`` falls out of its bounded
+    per-partition offsets pass for FREE (no extra scan of the
+    materialized sort); pick counting is in-row arithmetic.  BIGINT
     bound: ``k·W`` must stay below 2^63 — at a 10^13-token corpus
     that allows k up to ~10^5; beyond that widen the marked products
     to decimal(38,0).
@@ -341,10 +372,9 @@ def pps_systematic_sample(
         .filter(F.col("_w") > 0)
         .withColumn("_key", key)
     )
-    cum = global_prefix_sum(
+    cum, total = _global_prefix_sum_with_total(
         w, "_w", [F.col("_key"), F.col(id_col)], out_col="_cum"
     )
-    total = cum.agg(F.max("_cum").alias("_tot")).collect()[0]["_tot"]
     if not total:
         return df.sparkSession.createDataFrame(
             [], f"{id_col} {df.schema[id_col].dataType.simpleString()}, "
