@@ -216,10 +216,16 @@ def collocation_lift(
         word_tokens(F.col(text_col)),
         "_t",
     )
+    # checkpoint the (vocab-sized) unigram aggregate at its fan-out
+    # (ADVICE 18, the same fix source_divergence got): it feeds the
+    # grand-total collect below AND both sides of the returned plan's
+    # joins — without it the tokenize+explode+groupBy re-runs as a
+    # separate job just to produce one number
     uni = (
         bound.select(F.explode("_t").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
     )
     m = F.size("_t") - 1
     pairs = F.when(
@@ -237,10 +243,9 @@ def collocation_lift(
         .agg(F.count(F.lit(1)).alias("pair_count"))
         .filter(F.col("pair_count") >= min_count)
     )
-    # the bound frame feeds the unigram agg, the bigram agg and the
-    # grand-total collect — three scan+tokenize passes of a frame
-    # whose upstream is a bare scan; checkpoint at the fan-out when
-    # composing this after an expensive cleaning chain (ADVICE 18)
+    # the bound frame now tokenizes exactly twice (unigram pass +
+    # bigram pass); the grand total reads the checkpointed unigram
+    # table, not the corpus
     grand = uni.agg(F.sum("c").alias("n")).collect()[0]["n"] or 0
     uni1 = uni.select(
         F.col("w").alias("w1"), F.col("c").alias("c1")
