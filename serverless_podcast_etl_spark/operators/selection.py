@@ -652,8 +652,40 @@ def _gram_buckets(
     return F.transform(grams, lambda h: h % F.lit(num_buckets))
 
 
+def _materialize_grams(
+    raw: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_buckets: int,
+    max_n: int,
+    target_predicate: Column | None = None,
+) -> DataFrame:
+    """``(id_col[, _t], _b array<long>)`` with the tokenize→md5→fold
+    hashing scan run ONCE and ``localCheckpoint(eager=True)``'d at its
+    fan-out (NOTES fact 18): the fit, the score pass, and the audit's
+    bucket-set passes all read the materialized rows instead of each
+    re-paying the corpus hashing scan — which dominates this family's
+    cost (the hash scan measured ~4× the post-hash aggregation at
+    bench scale).  Array form (one row per doc, grams colocated), so
+    both the explode consumers and the gram-ORDERED log-ratio fold can
+    read it.  The checkpoint makes the caller batch-only and trades a
+    corpus-linear intermediate (id + int array, typically smaller than
+    the text it replaces) for the repeated scans — callers that would
+    rather re-scan pass ``materialize=False`` and keep the pure
+    two-scan streaming shape."""
+    cols = [F.col(id_col)]
+    if target_predicate is not None:
+        cols.append(target_predicate.alias("_t"))
+    cols.append(_gram_buckets(text_col, num_buckets, max_n).alias("_b"))
+    return raw.select(*cols).localCheckpoint(eager=True)
+
+
 def _bucket_weights(
-    df: DataFrame, text_col: str, num_buckets: int, max_n: int
+    df: DataFrame | None,
+    text_col: str,
+    num_buckets: int,
+    max_n: int,
+    grams: DataFrame | None = None,
 ) -> tuple[list[int], int]:
     """Add-1-smoothed feature counts for one corpus: ``weights[b] =
     count_b + 1`` (length ``num_buckets``) and the smoothed total
@@ -661,16 +693,19 @@ def _bucket_weights(
     shuffle carries at most ``num_buckets`` rows per partition
     (map-side partial aggregation collapses the exploded grams), then
     one BOUNDED collect — rows ≤ num_buckets by construction, the
-    same driver-side-bounds class as ``global_prefix_sum``'s offsets."""
-    counts = (
-        df.select(
+    same driver-side-bounds class as ``global_prefix_sum``'s offsets.
+    ``grams`` (a ``_materialize_grams`` frame) replaces the hashing
+    scan with a read of the already-materialized buckets."""
+    if grams is not None:
+        src = grams.select(F.explode("_b").alias("_b"))
+    else:
+        src = df.select(
             F.explode(
                 _gram_buckets(text_col, num_buckets, max_n)
             ).alias("_b")
         )
-        .groupBy("_b")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .collect()
+    counts = (
+        src.groupBy("_b").agg(F.count(F.lit(1)).alias("_c")).collect()
     )
     weights = [1] * num_buckets
     total = num_buckets
@@ -681,26 +716,31 @@ def _bucket_weights(
 
 
 def _bucket_weights_joint(
-    raw: DataFrame,
-    target_predicate: Column,
+    raw: DataFrame | None,
+    target_predicate: Column | None,
     text_col: str,
     num_buckets: int,
     max_n: int,
+    grams: DataFrame | None = None,
 ) -> tuple[list[int], int, list[int], int]:
     """Both corpora's smoothed feature counts from ONE pass, for the
     common case where the target is a predicate-defined SUBSET of the
     raw corpus (curated language/domain/quality slice): one hashing
-    scan, one ≤num_buckets-row shuffle, one bounded collect — a raw
-    ``count(*)`` plus a conditional target count per bucket — instead
-    of hashing the corpus twice for two separate fits."""
-    counts = (
-        raw.select(
+    scan (or one read of the materialized ``grams`` frame, which must
+    carry the ``_t`` flag), one ≤num_buckets-row shuffle, one bounded
+    collect — a raw ``count(*)`` plus a conditional target count per
+    bucket — instead of hashing the corpus twice for two fits."""
+    if grams is not None:
+        src = grams.select("_t", F.explode("_b").alias("_b"))
+    else:
+        src = raw.select(
             target_predicate.alias("_t"),
             F.explode(
                 _gram_buckets(text_col, num_buckets, max_n)
             ).alias("_b"),
         )
-        .groupBy("_b")
+    counts = (
+        src.groupBy("_b")
         .agg(
             F.count(F.lit(1)).alias("_cr"),
             F.count_if(F.col("_t")).alias("_ct"),
@@ -717,6 +757,65 @@ def _bucket_weights_joint(
     return wt, tt, wr, tr
 
 
+def _weights_relation(
+    spark, wt: list[int], wr: list[int]
+) -> DataFrame:
+    """The two fitted weight tables as ONE broadcastable local
+    relation ``(_b, _wt, _wr)`` — ≤``num_buckets`` rows (a few KB),
+    the join side of the codegen score pass below."""
+    return spark.createDataFrame(
+        [(b, wt[b], wr[b]) for b in range(len(wt))],
+        "_b long, _wt long, _wr long",
+    )
+
+
+def _score_difference(
+    exploded: DataFrame,
+    id_col: str,
+    wdf: DataFrame,
+    tt: int,
+    tr: int,
+) -> DataFrame:
+    """The rational-difference score pass as WHOLE-STAGE-CODEGEN
+    relational ops: broadcast-hash-join each exploded gram against the
+    ≤num_buckets-row weight relation, then groupBy(id) with exact
+    integer sums.  Replaces the original per-gram ``F.aggregate`` fold
+    — higher-order functions are interpreted (NOTES fact 16) and the
+    fold measured ~5× the join+agg cost on the q100 bench shape.
+    Integer sums are order-free, so hash-agg reordering cannot move a
+    bit (the float-accumulating log-ratio form must keep the ordered
+    fold instead).  Every gram's bucket exists in the weight relation
+    (the fit counted these same grams, and smoothing fills the rest),
+    so the inner join drops nothing; docs with zero grams emit no
+    exploded row and hence no output row — the documented no-evidence
+    contract.  Scale shape: the join side is broadcast; the groupBy's
+    shuffle carries one partial-agg row per doc per partition (a doc's
+    grams are colocated by explode), so 100 TB of text folds to a
+    doc-count-bounded exchange."""
+    return (
+        exploded.join(F.broadcast(wdf), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum("_wt").alias("_a"),
+            F.sum("_wr").alias("_bsum"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            F.round(
+                (
+                    F.col("_a").cast("double") / F.lit(float(tt))
+                    - F.col("_bsum").cast("double") / F.lit(float(tr))
+                )
+                * F.lit(1_000_000.0)
+                / F.col("n_grams").cast("double"),
+                6,
+            ).alias("score"),
+        )
+    )
+
+
 def target_affinity_scores(
     raw: DataFrame,
     target: DataFrame | None,
@@ -726,6 +825,7 @@ def target_affinity_scores(
     max_n: int = 2,
     target_predicate: Column | None = None,
     weight_form: str = "difference",
+    materialize: bool = True,
 ) -> DataFrame:
     """Per-document target-distribution affinity over hashed n-gram
     features — the data-selection step of a pretraining pipeline
@@ -765,18 +865,30 @@ def target_affinity_scores(
     - ``target_predicate`` (a boolean Column over ``raw``'s rows, the
       common curated-subset case — a language/domain/quality slice):
       ONE hashing pass over raw with a conditional per-bucket target
-      count, so the whole operator hashes the corpus exactly twice
-      (fit + score).  ``target`` is ignored (pass ``None``).
+      count.  ``target`` is ignored (pass ``None``).
     - ``target`` as a separate frame (disjoint curated corpus): one
       fit pass per corpus.
 
-    Either way each fit is in-row hashing + a ≤``num_buckets``-row
-    shuffle + one bounded collect, and the score pass is PURELY
-    in-row — the two weight tables ship as array literals inside the
-    plan (~16 KB at the default 1024 buckets) feeding a single fold
-    over each document's gram array, so scoring 100 TB of raw text
-    is one scan with zero shuffle and zero joins.  Token-less
-    documents emit no row (no evidence — same domain contract as
+    Either way each fit is a ≤``num_buckets``-row shuffle + one
+    bounded collect.  ``materialize`` (default) runs raw's hashing
+    scan ONCE, ``localCheckpoint``ed at its fan-out (NOTES fact 18 —
+    the tokenize→md5 scan measured ~4× everything downstream of it,
+    and fit + score both consume it), so the whole operator hashes
+    the corpus exactly once at the cost of a corpus-linear
+    ``(id, int-array)`` intermediate — typically SMALLER than the
+    text it stands in for, and the checkpoint makes the call
+    batch-only.  ``materialize=False`` keeps the pure streaming
+    shape: zero intermediates, two hashing scans (fit + score).
+
+    The difference-form score pass is whole-stage-codegen relational
+    ops (``_score_difference``): each doc's grams broadcast-join the
+    ≤num_buckets-row weight relation and fold to one row per doc via
+    exact integer sums — order-free, so hash-agg reordering cannot
+    move a bit.  Scoring 100 TB is therefore one scan (or one read
+    of the materialized grams) + a doc-count-bounded exchange; the
+    log-ratio form keeps the gram-ordered in-row fold instead, since
+    its float accumulation is order-sensitive.  Token-less documents
+    emit no row (no evidence — same domain contract as
     ``minhash_signatures``).  Overflow: A ≤ n_grams · (T_t+1) must
     stay under 2^63 — with a billion-gram target corpus that caps
     documents at ~9e9 grams, far beyond any real document.
@@ -790,24 +902,60 @@ def target_affinity_scores(
             f"weight_form must be 'difference' or 'log_ratio', "
             f"got {weight_form!r}"
         )
+    if target is None and target_predicate is None:
+        raise ValueError("pass a target frame or a target_predicate")
+    grams = (
+        _materialize_grams(
+            raw, text_col, id_col, num_buckets, max_n, target_predicate
+        )
+        if materialize
+        else None
+    )
+    return _affinity_scores_impl(
+        raw, target, text_col, id_col, num_buckets, max_n,
+        target_predicate, weight_form, grams,
+    )
+
+
+def _affinity_scores_impl(
+    raw: DataFrame,
+    target: DataFrame | None,
+    text_col: str,
+    id_col: str,
+    num_buckets: int,
+    max_n: int,
+    target_predicate: Column | None,
+    weight_form: str,
+    grams: DataFrame | None,
+) -> DataFrame:
+    """``target_affinity_scores`` body with the (optionally
+    materialized) gram frame passed in, so ``target_coverage_audit``
+    can share ONE checkpointed hashing scan across the fit, the score
+    pass, and its own bucket-coverage passes."""
     if target_predicate is not None:
         wt, tt, wr, tr = _bucket_weights_joint(
-            raw, target_predicate, text_col, num_buckets, max_n
+            raw, target_predicate, text_col, num_buckets, max_n,
+            grams=grams,
         )
     else:
-        if target is None:
-            raise ValueError(
-                "pass a target frame or a target_predicate"
-            )
         wt, tt = _bucket_weights(target, text_col, num_buckets, max_n)
-        wr, tr = _bucket_weights(raw, text_col, num_buckets, max_n)
-    buckets = _gram_buckets(text_col, num_buckets, max_n)
+        wr, tr = _bucket_weights(
+            raw, text_col, num_buckets, max_n, grams=grams
+        )
+    if grams is not None:
+        arrays = grams.select(id_col, "_b")
+    else:
+        arrays = raw.select(
+            id_col,
+            _gram_buckets(text_col, num_buckets, max_n).alias("_b"),
+        )
     if weight_form == "log_ratio":
         # DSIR's exact per-feature weight, precomputed driver-side:
         # w[b] = log p_t(b) − log p_r(b) with the same add-1
         # smoothing; the score is the mean weight over the doc's
-        # grams.  One double fold per doc — same plan shape as the
-        # rational form, one weight array instead of two.
+        # grams.  One double fold per doc, in gram order — float
+        # accumulation is order-sensitive, so this form keeps the
+        # in-row fold rather than _score_difference's hash-agg.
         import math
 
         w = [
@@ -821,8 +969,7 @@ def target_affinity_scores(
             lambda acc, b: acc + F.element_at(w_lit, b.cast("int") + 1),
         )
         return (
-            raw.select(id_col, buckets.alias("_b"))
-            .filter(F.size("_b") > 0)
+            arrays.filter(F.size("_b") > 0)
             .select(
                 id_col,
                 F.size("_b").cast("long").alias("n_grams"),
@@ -836,50 +983,13 @@ def target_affinity_scores(
                 ).alias("score"),
             )
         )
-    wt_lit = F.lit(wt)
-    wr_lit = F.lit(wr)
-    # ONE fold computes both integer sums (struct accumulator) — the
-    # fold is interpreted (NOTES fact 16), so per-gram passes are the
-    # scoring cost driver; two separate aggregates measured ~25%
-    # slower on the q100 bench shape
-    fold = F.aggregate(
-        "_b",
-        F.struct(
-            F.lit(0).cast("long").alias("a"),
-            F.lit(0).cast("long").alias("b"),
-        ),
-        lambda acc, b: F.struct(
-            (acc["a"] + F.element_at(wt_lit, b.cast("int") + 1)).alias("a"),
-            (acc["b"] + F.element_at(wr_lit, b.cast("int") + 1)).alias("b"),
-        ),
-    )
-    scored = (
-        raw.select(id_col, buckets.alias("_b"))
-        .filter(F.size("_b") > 0)
-        .select(
-            id_col,
-            F.size("_b").cast("long").alias("n_grams"),
-            fold.alias("_ab"),
-        )
-        .select(
-            id_col,
-            "n_grams",
-            F.col("_ab")["a"].alias("_a"),
-            F.col("_ab")["b"].alias("_bsum"),
-        )
-    )
-    return scored.select(
+    wdf = _weights_relation(raw.sparkSession, wt, wr)
+    return _score_difference(
+        arrays.select(id_col, F.explode("_b").alias("_b")),
         id_col,
-        "n_grams",
-        F.round(
-            (
-                F.col("_a").cast("double") / F.lit(float(tt))
-                - F.col("_bsum").cast("double") / F.lit(float(tr))
-            )
-            * F.lit(1_000_000.0)
-            / F.col("n_grams").cast("double"),
-            6,
-        ).alias("score"),
+        wdf,
+        tt,
+        tr,
     )
 
 
@@ -894,6 +1004,7 @@ def target_coverage_audit(
     target_predicate: Column | None = None,
     seed: str = "seed0",
     selection_ids: DataFrame | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Selection-quality audit for ``select_by_target_affinity``: of
     the TARGET distribution's distinct hashed n-gram feature buckets,
@@ -910,8 +1021,8 @@ def target_coverage_audit(
     selected ids) skips the internal affinity re-fit and audits THAT
     selection instead — the form for pipelines that just ran
     ``select_by_target_affinity`` and hold the result (re-fitting
-    costs two corpus scans); the self-contained form re-derives the
-    top-k so the audit is one call from cold.
+    re-pays the corpus hashing scan); the self-contained form
+    re-derives the top-k so the audit is one call from cold.
 
     Output: one row per method (``affinity``, ``digest``) with
     ``covered_buckets``, ``target_buckets`` and ``coverage_pct``
@@ -920,52 +1031,74 @@ def target_coverage_audit(
     folds → ``% num_buckets``), so the audit measures the same
     features the selector optimizes.
 
-    Scale shape: the target's bucket set is ≤``num_buckets`` rows
-    after one distinct (materialized once — both methods read it);
-    each selection is k rows; each coverage pass is ONE corpus scan
-    with the k selected ids as a BROADCAST semi-join (the corpus is
-    never shuffled) folding into a ≤``num_buckets``-row distinct.
-    Driver memory is O(k + num_buckets); nothing here is quadratic.
+    Scale shape: in the self-contained form one ``localCheckpoint``'d
+    hashing scan (``_materialize_grams``, NOTES fact 18) feeds
+    EVERYTHING — the affinity fit, the score pass, the target bucket
+    set, and both coverage passes — so the corpus is tokenized and
+    md5-hashed exactly once (``materialize=False`` restores the
+    zero-intermediate shape: one hashing scan per pass).  The target's
+    bucket set is ≤``num_buckets`` rows after one distinct
+    (materialized once — both methods read it); each selection is k
+    rows; each coverage pass broadcasts the k selected ids into a
+    semi-join (the corpus is never shuffled) folding into a
+    ≤``num_buckets``-row distinct.  With ``selection_ids`` the full
+    corpus is NOT materialized regardless of ``materialize`` — only
+    the target and the k selected docs are hashed at all, which is
+    strictly cheaper.  Driver memory is O(k + num_buckets); nothing
+    here is quadratic.
     """
+    if target is None and target_predicate is None:
+        raise ValueError("pass a target frame or a target_predicate")
     buckets = _gram_buckets(text_col, num_buckets, max_n)
-    if target_predicate is not None:
-        tgt = raw.filter(target_predicate)
-    else:
-        if target is None:
-            raise ValueError("pass a target frame or a target_predicate")
-        tgt = target
-    # ≤num_buckets rows; materialized once so the two method branches
-    # don't each re-scan the target corpus
-    tb = (
-        tgt.select(F.explode(buckets).alias("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    grams = (
+        _materialize_grams(
+            raw, text_col, id_col, num_buckets, max_n, target_predicate
+        )
+        if materialize and selection_ids is None
+        else None
     )
+
+    # ≤num_buckets rows; materialized once so the two method branches
+    # don't each re-derive the target's bucket set
+    if grams is not None and target_predicate is not None:
+        tb_src = grams.filter("_t").select(
+            F.explode("_b").alias("b")
+        )
+    else:
+        tgt = (
+            raw.filter(target_predicate)
+            if target_predicate is not None
+            else target
+        )
+        tb_src = tgt.select(F.explode(buckets).alias("b"))
+    tb = tb_src.distinct().localCheckpoint(eager=True)
 
     if selection_ids is not None:
         sel_aff = selection_ids.select(id_col)
     else:
-        sel_aff = select_by_target_affinity(
-            raw,
-            target,
-            text_col,
-            id_col,
-            k=k,
-            num_buckets=num_buckets,
-            max_n=max_n,
-            target_predicate=target_predicate,
-        ).select(id_col)
+        sel_aff = (
+            _affinity_scores_impl(
+                raw, target, text_col, id_col, num_buckets, max_n,
+                target_predicate, "difference", grams,
+            )
+            .orderBy(F.col("score").desc(), F.col(id_col))
+            .limit(k)
+            .select(id_col)
+        )
     sel_dig = digest_sample(
         raw.select(id_col), id_col, n=k, seed=seed
     ).select(id_col)
 
     def _coverage_row(sel: DataFrame, method: str) -> DataFrame:
-        covered = (
-            raw.join(F.broadcast(sel), id_col, "left_semi")
-            .select(F.explode(buckets).alias("b"))
-            .distinct()
-            .withColumn("_hit", F.lit(1))
-        )
+        if grams is not None:
+            cov_src = grams.join(
+                F.broadcast(sel), id_col, "left_semi"
+            ).select(F.explode("_b").alias("b"))
+        else:
+            cov_src = raw.join(
+                F.broadcast(sel), id_col, "left_semi"
+            ).select(F.explode(buckets).alias("b"))
+        covered = cov_src.distinct().withColumn("_hit", F.lit(1))
         return (
             tb.join(F.broadcast(covered), "b", "left")
             .agg(
@@ -1003,6 +1136,7 @@ def select_by_target_affinity(
     max_n: int = 2,
     target_predicate: Column | None = None,
     weight_form: str = "difference",
+    materialize: bool = True,
 ) -> DataFrame:
     """Top-``k`` raw documents by target affinity (score DESC, then
     ``id_col`` ASC — the rounded score makes the order, and therefore
@@ -1014,6 +1148,7 @@ def select_by_target_affinity(
         num_buckets=num_buckets, max_n=max_n,
         target_predicate=target_predicate,
         weight_form=weight_form,
+        materialize=materialize,
     )
     return scores.orderBy(
         F.col("score").desc(), F.col(id_col)

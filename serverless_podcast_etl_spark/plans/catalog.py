@@ -3542,14 +3542,17 @@ def q100_target_importance_select(
     top 100 — the select-web-data-that-looks-like-the-target step of
     a pretraining pipeline.
 
-    Spark shape: ONE joint fit pass (the target is a subset of raw,
-    so a conditional per-bucket count fits both distributions from a
-    single hashing scan + ≤1024-row shuffle + bounded collect), then
-    a PURELY in-row scoring scan — the weight tables ride the plan as
-    ~8 KB array literals, so the 100 TB case is two corpus scans
-    total with zero joins — finished by orderBy+limit (TakeOrdered,
-    no global sort).  The
-    rational score form keeps every accumulation integer-exact (float
+    Spark shape: the tokenize→md5→fold hashing scan runs ONCE,
+    ``localCheckpoint``'d at its fan-out (NOTES fact 18 — the hash
+    scan measured ~4× everything downstream), feeding BOTH the joint
+    fit (the target is a subset of raw, so one conditional per-bucket
+    count + ≤1024-row shuffle + bounded collect fits both
+    distributions) and the score pass — whole-stage-codegen
+    broadcast-join against the ≤1024-row weight relation + one
+    doc-count-bounded exchange (the interpreted per-gram fold it
+    replaces measured ~5× slower, NOTES fact 16) — finished by
+    orderBy+limit (TakeOrdered, no global sort).  The rational score
+    form keeps every accumulation integer-exact AND order-free (float
     enters only via per-doc correctly-rounded IEEE ops), which is
     what makes this hash-exact against the DuckDB twin; see the
     operator docstring for the deliberate log-ratio deviation."""
@@ -3620,11 +3623,13 @@ def q101_target_coverage_audit(
     random check a curation run performs after every selection (the
     evaluation twin of q100, after DSIR's random-baseline comparisons).
 
-    Spark shape: target bucket set materialized once (≤1024 rows);
-    each method's coverage pass is one corpus scan with the 100
-    selected ids broadcast into a semi-join, folding to a ≤1024-row
-    distinct — the corpus is never shuffled, and every join side
-    beyond the corpus scan is bounded by k or num_buckets."""
+    Spark shape: ONE ``localCheckpoint``'d hashing scan feeds the
+    fit, the score pass, the target bucket set (≤1024 rows,
+    materialized once), and both coverage passes (the 100 selected
+    ids broadcast into a semi-join folding to a ≤1024-row distinct)
+    — the corpus is tokenized and md5-hashed exactly once, never
+    shuffled, and every join side beyond the corpus scan is bounded
+    by k or num_buckets."""
     docs = _t(spark, sf_dir, "documents")
     return selection.target_coverage_audit(
         docs,
