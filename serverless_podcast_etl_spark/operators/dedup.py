@@ -298,12 +298,42 @@ def minhash_signatures(
     collapsed into one shared ``""`` bucket — a hot quadratic
     candidate bucket of every short doc in the corpus.
     """
-    params = hashing.MINHASH_PARAMS[:num_hashes]
+    return _signatures_from_arrays(
+        _shingle_arrays(df, text_col, id_col, n, materialize=False),
+        id_col,
+        num_hashes,
+    )
+
+
+def _shingle_arrays(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    materialize: bool = True,
+) -> DataFrame:
+    """``(id, _h32s array<long>)`` — each doc's word-n-gram shingle
+    hashes behind the ``_once`` Generate barrier, shingle-less docs
+    dropped.  ``materialize`` ``localCheckpoint``s the frame at its
+    fan-out (NOTES fact 18) so signature, banding, and verify
+    consumers all read ONE executed tokenize→md5→fold scan; pass
+    ``False`` for lazy single-consumer/streaming compositions."""
     bound = _bound_token_hashes(df, text_col, id_col)
-    hashed = _once(
+    harr = _once(
         bound, id_col, hashing.shingle_hash_array(F.col("_th"), n), "_h32s"
     ).filter(F.size(F.col("_h32s")) > 0)
-    return hashed.select(
+    return harr.localCheckpoint(eager=True) if materialize else harr
+
+
+def _signatures_from_arrays(
+    harr: DataFrame, id_col: str, num_hashes: int
+) -> DataFrame:
+    """MinHash signature columns ``mh_i`` from a ``_shingle_arrays``
+    frame: per-function mins are cheap in-row arithmetic re-scans of
+    the hash array (min over duplicate shingles == min over distinct,
+    so no dedup pass)."""
+    params = hashing.MINHASH_PARAMS[:num_hashes]
+    return harr.select(
         F.col(id_col),
         *[
             F.array_min(
@@ -327,8 +357,16 @@ def minhash_bands(
     the persistent near-dup index of an incremental pipeline: written
     once (bucketed on (band, bucket) via ``sources.bucketed``), every
     future batch joins against it without re-signing the corpus."""
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, n=n, num_hashes=num_hashes)
+    return _bands_from_signatures(sig, id_col, num_hashes, bands)
+
+
+def _bands_from_signatures(
+    sig: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band, bucket) from a signature frame: each signature split
+    into ``bands`` concatenated-bucket keys via one Generate."""
+    rows_per_band = num_hashes // bands
     band_structs = F.array(
         *[
             F.struct(
@@ -360,6 +398,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     verify_threshold: float = 0.2,
     prune_verify: bool = False,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding + exact Jaccard verification.
 
@@ -369,6 +408,20 @@ def minhash_lsh_pairs(
     of O(n²)) → verified with exact shingle Jaccard computed ONLY for
     candidate pairs (the whole point of LSH: verification cost scales
     with candidates, never with all n² pairs).
+
+    ``materialize`` (default) ``localCheckpoint``s the per-doc
+    shingle-hash ARRAY frame once at its fan-out (NOTES fact 18): the
+    banding side and BOTH verify shingle sides read the materialized
+    arrays, the per-doc shingle-set sizes become an in-row
+    ``size(array_distinct(...))`` (no groupBy shuffle at all), and
+    the tokenize→md5 scan runs exactly once — where the lazy plan
+    re-ran it per differently-keyed consumer (the band self-join's
+    two sides dedupe via ReusedExchange, but the verify sides shuffle
+    on different keys and cannot).  Measured 1.92 → 1.00 s at sf0.1,
+    parity exact.  The checkpoint makes the call batch-only;
+    ``materialize=False`` keeps the original pure-lazy composition
+    (streaming-safe, e.g. under ``transformWithState``-free
+    foreachBatch callers that re-plan per micro-batch).
 
     ``prune_verify`` broadcast-semi-joins the shingle tables down to
     candidate doc ids before the (id, shingle) verify shuffle.  Default
@@ -381,9 +434,28 @@ def minhash_lsh_pairs(
     enable it (or Spark's runtime Bloom-filter join injection, the
     engine-native form of the same idea).
     """
-    banded = minhash_bands(
-        df, text_col, id_col, n=n, num_hashes=num_hashes, bands=bands
-    )
+    if materialize:
+        harr = _shingle_arrays(df, text_col, id_col, n)
+        banded = _bands_from_signatures(
+            _signatures_from_arrays(harr, id_col, num_hashes),
+            id_col, num_hashes, bands,
+        )
+        sh = harr.select(
+            F.col(id_col),
+            F.explode(F.array_distinct("_h32s")).alias("shingle"),
+        )
+        sizes = harr.select(
+            F.col(id_col),
+            F.size(F.array_distinct("_h32s")).alias("n_shingles"),
+        )
+    else:
+        banded = minhash_bands(
+            df, text_col, id_col, n=n, num_hashes=num_hashes, bands=bands
+        )
+        sh = shingles(df, text_col, id_col, n=n)
+        sizes = sh.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("n_shingles")
+        )
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
     candidates = (
@@ -396,8 +468,6 @@ def minhash_lsh_pairs(
     # Exact-Jaccard verify restricted to candidates: intersect shingle
     # sets pair-by-pair via two equi-joins (candidate × its shingles),
     # then |A∩B| / (|A|+|B|−|A∩B|).
-    sh = shingles(df, text_col, id_col, n=n)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
     if prune_verify:
