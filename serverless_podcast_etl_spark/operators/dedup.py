@@ -97,12 +97,18 @@ def shingles(
     token hashes folded pairwise — shingle strings never materialize;
     see functions/hashing.py).  All JVM-side; one explode feeding the
     downstream join, no string allocation per shingle.
+
+    Per-doc dedup is the in-row ``array_distinct`` — equivalent to
+    the relational ``.distinct()`` it replaces (a shingle can only
+    repeat WITHIN a doc; ids differ across docs) with zero exchange,
+    where the old form shuffled the whole exploded corpus (measured
+    ~0.9 s of the q110 shape at sf0.1).
     """
     hashed = _bound_token_hashes(df, text_col, id_col)
     grams = hashing.shingle_hash_array(F.col("_th"), n)
-    return (
-        hashed.select(F.col(id_col), F.explode(grams).alias(shingle_col))
-        .distinct()
+    return hashed.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(grams)).alias(shingle_col),
     )
 
 
@@ -113,6 +119,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.2,
     max_doc_freq: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs by word-n-gram Jaccard similarity.
 
@@ -130,8 +137,16 @@ def ngram_jaccard_pairs(
     corpus-linear.  Jaccard is then computed over the capped space on
     BOTH numerator and denominators (self-consistent and
     oracle-expressible).
+
+    ``materialize`` (default) ``localCheckpoint``s the shingle table
+    at its fan-out (NOTES fact 18 — the doc-freq cap, the size agg
+    and the self-join's exchange-shared side each re-ran the
+    tokenize→md5 scan): every consumer reads one executed scan.
+    Batch-only; pass ``False`` for lazy/streaming composition.
     """
     sh = shingles(df, text_col, id_col, n=n)
+    if materialize:
+        sh = sh.localCheckpoint(eager=True)
     if max_doc_freq is not None:
         keep = (
             sh.groupBy("shingle")
@@ -175,6 +190,7 @@ def containment_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_doc_freq: int | None = 50,
+    materialize: bool = True,
 ) -> DataFrame:
     """Asymmetric near-dup pairs by n-gram CONTAINMENT — the
     doc-inside-doc detector Jaccard structurally misses.
@@ -206,8 +222,16 @@ def containment_pairs(
     cap carry no containment signal by the stop-shingle argument, so
     raising it past the cluster-size bound only buys boilerplate
     pairs.
+
+    ``materialize`` (default) ``localCheckpoint``s the shingle table
+    at its fan-out, exactly as in ``ngram_jaccard_pairs`` (measured
+    3.10 → 1.98 s on the q110 shape at sf0.1 together with the
+    ``shingles`` distinct-shuffle removal); ``False`` keeps the lazy
+    composition.
     """
     sh = shingles(df, text_col, id_col, n=n)
+    if materialize:
+        sh = sh.localCheckpoint(eager=True)
     if max_doc_freq is not None:
         keep = (
             sh.groupBy("shingle")
