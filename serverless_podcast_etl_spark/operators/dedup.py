@@ -538,6 +538,7 @@ def incremental_neardup_admission(
     verify_threshold: float = 0.2,
     prune_verify: bool = False,
     corpus_bands: DataFrame | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Admission gate for incremental ingestion: for each NEW document,
     the count of verified near-duplicates already in the corpus —
@@ -575,27 +576,76 @@ def incremental_neardup_admission(
     extreme (corpus ≫ batch ≫ candidates), so cluster deployments of
     the incremental gate should enable it even though local bench
     scale measures it as overhead.
+
+    ``materialize`` (default) ``localCheckpoint``s each side's
+    shingle-hash arrays at their fan-out (banding + verify shingles +
+    sizes — NOTES fact 18), so the batch is hashed once, and the
+    corpus once instead of up to three times WHEN it is being signed
+    here anyway (``corpus_bands is None``); with a plugged index the
+    corpus side stays lazy — the production shape hashes only what
+    the verify joins touch, and a full-corpus checkpoint would defeat
+    exactly that.  Pass ``False`` for per-micro-batch callers (the
+    streaming admission gate re-plans every batch; re-checkpointing
+    the corpus per batch costs more than the repeated scans).
     """
-    nb = minhash_bands(
-        new_df, text_col, id_col, n=n, num_hashes=num_hashes, bands=bands
-    ).select(F.col(id_col).alias("_id_new"), "band", "bucket")
-    if corpus_bands is None:
-        corpus_bands = minhash_bands(
-            corpus_df, text_col, id_col, n=n, num_hashes=num_hashes,
-            bands=bands,
+    if materialize:
+        harr_new = _shingle_arrays(new_df, text_col, id_col, n)
+        nb = _bands_from_signatures(
+            _signatures_from_arrays(harr_new, id_col, num_hashes),
+            id_col, num_hashes, bands,
+        ).select(F.col(id_col).alias("_id_new"), "band", "bucket")
+        sh_new = harr_new.select(
+            F.col(id_col).alias("_id_new"),
+            F.explode(F.array_distinct("_h32s")).alias("shingle"),
         )
+        sz_new = harr_new.select(
+            F.col(id_col).alias("_id_new"),
+            F.size(F.array_distinct("_h32s")).alias("sz_n"),
+        )
+    else:
+        nb = minhash_bands(
+            new_df, text_col, id_col, n=n, num_hashes=num_hashes,
+            bands=bands,
+        ).select(F.col(id_col).alias("_id_new"), "band", "bucket")
+        sh_new = shingles(new_df, text_col, id_col, n=n).select(
+            F.col(id_col).alias("_id_new"), "shingle"
+        )
+        sz_new = sh_new.groupBy("_id_new").agg(
+            F.count(F.lit(1)).alias("sz_n")
+        )
+    harr_old = None
+    if corpus_bands is None:
+        if materialize:
+            harr_old = _shingle_arrays(corpus_df, text_col, id_col, n)
+            corpus_bands = _bands_from_signatures(
+                _signatures_from_arrays(harr_old, id_col, num_hashes),
+                id_col, num_hashes, bands,
+            )
+        else:
+            corpus_bands = minhash_bands(
+                corpus_df, text_col, id_col, n=n, num_hashes=num_hashes,
+                bands=bands,
+            )
     cb = corpus_bands.select(
         F.col(id_col).alias("_id_old"), "band", "bucket"
     )
     candidates = (
         nb.join(cb, ["band", "bucket"]).select("_id_new", "_id_old").distinct()
     )
-    sh_new = shingles(new_df, text_col, id_col, n=n).select(
-        F.col(id_col).alias("_id_new"), "shingle"
-    )
-    sh_old = shingles(corpus_df, text_col, id_col, n=n).select(
-        F.col(id_col).alias("_id_old"), "shingle"
-    )
+    if harr_old is not None:
+        sh_old = harr_old.select(
+            F.col(id_col).alias("_id_old"),
+            F.explode(F.array_distinct("_h32s")).alias("shingle"),
+        )
+        sz_old = harr_old.select(
+            F.col(id_col).alias("_id_old"),
+            F.size(F.array_distinct("_h32s")).alias("sz_o"),
+        )
+    else:
+        sh_old = shingles(corpus_df, text_col, id_col, n=n).select(
+            F.col(id_col).alias("_id_old"), "shingle"
+        )
+        sz_old = None
     if prune_verify:
         sh_old = sh_old.join(
             F.broadcast(candidates.select("_id_old").distinct()), "_id_old",
@@ -607,8 +657,10 @@ def incremental_neardup_admission(
         .groupBy("_id_new", "_id_old")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    sz_new = sh_new.groupBy("_id_new").agg(F.count(F.lit(1)).alias("sz_n"))
-    sz_old = sh_old.groupBy("_id_old").agg(F.count(F.lit(1)).alias("sz_o"))
+    if sz_old is None:
+        sz_old = sh_old.groupBy("_id_old").agg(
+            F.count(F.lit(1)).alias("sz_o")
+        )
     verified = (
         shared.join(sz_new, "_id_new")
         .join(sz_old, "_id_old")
@@ -2109,6 +2161,7 @@ def incremental_refresh(
     verify_threshold: float = 0.3,
     prune_verify: bool = False,
     corpus_bands: DataFrame | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Continuous-crawl corpus refresh — ``snapshot_diff`` composed
     with ``incremental_neardup_admission``, the end-to-end shape of a
@@ -2161,6 +2214,7 @@ def incremental_refresh(
         verify_threshold=verify_threshold,
         prune_verify=prune_verify,
         corpus_bands=corpus_bands,
+        materialize=materialize,
     )
     return adm.join(ingest_ids, id_col).select(
         id_col, "status", "n_matches", "admitted"

@@ -65,6 +65,9 @@ def admission_batch_fn(
             bands=bands,
             verify_threshold=verify_threshold,
             corpus_bands=corpus_bands,
+            # per-micro-batch re-planning: an eager corpus checkpoint
+            # every batch would cost more than the lazy repeated scans
+            materialize=False,
         )
         flagged = batch_df.join(gate, id_col)
         if rejected_sink is None:
