@@ -261,7 +261,8 @@ def main() -> None:
     # 6c. selection coverage audit (q101, r10) — did the targeted
     #     selection buy target-feature coverage over sampling blindly?
     #     The stage-6b selection is passed in (selection_ids), so the
-    #     audit skips its internal re-fit (two corpus scans saved)
+    #     audit skips its internal re-fit (the corpus hashing scan
+    #     saved) and hashes only the target slice + the 200 selected
     for r in selection.target_coverage_audit(
         audited,
         text_col="text",
