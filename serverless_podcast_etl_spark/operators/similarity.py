@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .scale import ensure_parallelism
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -670,8 +672,26 @@ def embedding_neardup_pairs(
     ``hyperplane_bucket`` assigns exactly ONE bucket per row (a
     single bit-signature, not multi-table bands), so a pair can only
     appear once.
+
+    The bucket self-join BROADCASTS its build side: ``bucket`` has at
+    most ``2^len(planes)`` distinct values, so a shuffle join would
+    land every candidate pair on ≤ that many reduce tasks no matter
+    the cluster (measured: the sf1 rehearsal corpus ran its 12M
+    interpreted per-pair dot products on 8 tasks — 27 s; broadcasting
+    the banded side keeps the probe side's full input partitioning
+    and the same stage measured 6.4 s, pair-identical).  The
+    broadcast is the whole banded table (id + vector + norm + bucket);
+    for a corpus too large for that, raise ``len(planes)`` — bucket
+    count should grow with the corpus anyway to keep per-bucket
+    candidate sets bounded, and past broadcast size the join degrades
+    to the old shuffle shape rather than failing (drop the hint via
+    ``spark.sql.autoBroadcastJoinThreshold`` if executor memory is
+    the binding constraint).  ``ensure_parallelism`` fans the probe
+    side out of single-row-group inputs first.
     """
-    d = _as_double(df, vec_col).withColumn("_nv", _norm(F.col(vec_col)))
+    d = _as_double(
+        ensure_parallelism(df), vec_col
+    ).withColumn("_nv", _norm(F.col(vec_col)))
     if planes is not None:
         banded = hyperplane_bucket(d, vec_col, planes)
         a = banded.select(
@@ -686,7 +706,9 @@ def embedding_neardup_pairs(
             F.col("_nv").alias("_nb"),
             "bucket",
         )
-        cand = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+        cand = a.join(F.broadcast(b), "bucket").filter(
+            F.col("id_a") < F.col("id_b")
+        )
     else:
         n = d.count()
         if n > exact_max_rows:
