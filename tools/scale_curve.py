@@ -66,18 +66,26 @@ SCALES = [
 ]
 
 #: Shape-invariant curve queries (table they stress in parens):
-#: q100 two full-corpus hashing scans (docs); q105 in-row chunker +
-#: posexplode (docs); q115 two-pass distributed prefix sum + range
-#: partition (docs); q84 two-pass range-shuffle shard (docs); q116
-#: three in-row regexp scans (docs); q111 checkpointed norm scan +
-#: exact percentile x2 (embeddings); q37 keyed tumbling windows
-#: (events); q40 user-keyed sessionization (events).
+#: q100 one materialized hashing scan + codegen score join (docs);
+#: q101 the audit sharing that scan across fit/score/coverage (docs);
+#: q105 in-row chunker + posexplode (docs); q115 two-pass distributed
+#: prefix sum + range partition (docs); q84 two-pass range-shuffle
+#: shard (docs); q116 three in-row regexp scans (docs); q110
+#: df-capped shingle self-join from one checkpointed shingle table
+#: (docs — replicated groups keep per-shingle df, and hence the
+#: candidate fan-out, fixed per 10x step); q76 batch-vs-corpus
+#: admission, one array scan per side (docs); q111 checkpointed norm
+#: scan + exact percentile x2 (embeddings); q37 keyed tumbling
+#: windows (events); q40 user-keyed sessionization (events).
 CURVE_QUERIES = [
     "q100_target_importance_select",
+    "q101_target_coverage_audit",
     "q105_token_window_chunks",
     "q115_pps_token_sample",
     "q84_deterministic_shuffle",
     "q116_encoding_anomalies",
+    "q110_containment_neardup",
+    "q76_incremental_neardup",
     "q111_embedding_norm_outliers",
     "q37_windowed_event_counts",
     "q40_sessionization",
