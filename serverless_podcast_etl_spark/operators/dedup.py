@@ -9,6 +9,25 @@ each scales as (corpus size × duplicate density), not corpus².
 
 Portable hashing (functions/hashing.py) keeps MinHash/SimHash
 signatures bit-identical between Spark and the DuckDB oracle.
+
+``materialize=True`` contract (every knob in this module, ADVICE
+r12): the default eagerly ``localCheckpoint``s the expensive hashing
+scan at its fan-out, which (a) runs a Spark job at
+DataFrame-CONSTRUCTION time, (b) truncates lineage — localCheckpoint
+blocks live on executor local storage, NOT a reliable store, so on a
+cluster with executor loss/preemption the blocks are unrecoverable
+and the job fails rather than recomputing (same trade
+``warehouse.py`` makes; use ``df.checkpoint()`` to a reliable dir if
+your cluster preempts), and (c) stops Catalyst pushing downstream
+filters/column pruning past the checkpoint into the source scan —
+irrelevant for these operators' own plans (every consumer below the
+fan-out reads ALL checkpointed columns, and the outputs are computed
+pair/score columns no source-level pushdown could reach), but a
+caller composing extra source-column predicates UNDER one of these
+operators should apply them to ``df`` first.  Pass
+``materialize=False`` for the lazy zero-side-effect composition
+(mandatory in streaming plans; parity-tested in
+tests/test_materialize_parity.py).
 """
 
 from __future__ import annotations
@@ -103,6 +122,18 @@ def shingles(
     repeat WITHIN a doc; ids differ across docs) with zero exchange,
     where the old form shuffled the whole exploded corpus (measured
     ~0.9 s of the q110 shape at sf0.1).
+
+    PRECONDITION (ADVICE r12): ``id_col`` must uniquely key the input
+    rows.  The old relational ``.distinct()`` silently collapsed
+    duplicate-id rows; the in-row form emits duplicate
+    ``(id, shingle)`` rows for them, inflating ``n_shingles`` and
+    shared-shingle counts downstream (intersections can then exceed
+    set sizes, skewing Jaccard/containment scores).  Every consumer
+    in this module — ``ngram_jaccard_pairs``, ``containment_pairs``,
+    ``incremental_neardup_admission``/``incremental_refresh`` and the
+    MinHash family via ``_bound_token_hashes`` — inherits this
+    contract; run ``exact_dedup``/``dedup_keep_first`` on the id
+    first if your corpus can carry duplicate ids.
     """
     hashed = _bound_token_hashes(df, text_col, id_col)
     grams = hashing.shingle_hash_array(F.col("_th"), n)

@@ -672,7 +672,13 @@ def _materialize_grams(
     corpus-linear intermediate (id + int array, typically smaller than
     the text it replaces) for the repeated scans — callers that would
     rather re-scan pass ``materialize=False`` and keep the pure
-    two-scan streaming shape."""
+    two-scan streaming shape.
+
+    Fault-tolerance/pushdown contract as dedup.py's module note
+    (ADVICE r12): the eager checkpoint runs a job at construction
+    time, its blocks are unrecoverable on executor loss (not a
+    reliable checkpoint), and no downstream pruning reaches past it
+    into the text scan — pre-filter the input instead."""
     cols = [F.col(id_col)]
     if target_predicate is not None:
         cols.append(target_predicate.alias("_t"))

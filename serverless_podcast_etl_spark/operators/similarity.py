@@ -652,6 +652,7 @@ def embedding_neardup_pairs(
     planes: list[list[float]] | None = None,
     threshold: float = 0.95,
     exact_max_rows: int = EXACT_NEARDUP_MAX_ROWS,
+    broadcast_candidates: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above a threshold.
 
@@ -673,21 +674,26 @@ def embedding_neardup_pairs(
     single bit-signature, not multi-table bands), so a pair can only
     appear once.
 
-    The bucket self-join BROADCASTS its build side: ``bucket`` has at
-    most ``2^len(planes)`` distinct values, so a shuffle join would
-    land every candidate pair on ≤ that many reduce tasks no matter
-    the cluster (measured: the sf1 rehearsal corpus ran its 12M
+    With ``broadcast_candidates=True`` (default) the bucket self-join
+    BROADCASTS its build side: ``bucket`` has at most
+    ``2^len(planes)`` distinct values, so a shuffle join would land
+    every candidate pair on ≤ that many reduce tasks no matter the
+    cluster (measured: the sf1 rehearsal corpus ran its 12M
     interpreted per-pair dot products on 8 tasks — 27 s; broadcasting
     the banded side keeps the probe side's full input partitioning
     and the same stage measured 6.4 s, pair-identical).  The
-    broadcast is the whole banded table (id + vector + norm + bucket);
-    for a corpus too large for that, raise ``len(planes)`` — bucket
-    count should grow with the corpus anyway to keep per-bucket
-    candidate sets bounded, and past broadcast size the join degrades
-    to the old shuffle shape rather than failing (drop the hint via
-    ``spark.sql.autoBroadcastJoinThreshold`` if executor memory is
-    the binding constraint).  ``ensure_parallelism`` fans the probe
-    side out of single-row-group inputs first.
+    broadcast is the whole banded table (id + vector + norm +
+    bucket).  NOTE the failure mode: an explicit ``F.broadcast`` hint
+    is honored regardless of ``spark.sql.autoBroadcastJoinThreshold``,
+    and a hinted build side over Spark's 8 GB broadcast cap (or over
+    driver/executor memory) THROWS rather than falling back to a
+    shuffle — raising ``len(planes)`` does not shrink the broadcast,
+    which is the whole table.  For an embedding corpus too large to
+    broadcast, pass ``broadcast_candidates=False`` to restore the
+    shuffle bucket-join (pair-identical output; parallelism then
+    capped at the bucket count — the cluster-scale trade the caller
+    makes explicitly).  ``ensure_parallelism`` fans the probe side
+    out of single-row-group inputs first either way.
     """
     d = _as_double(
         ensure_parallelism(df), vec_col
@@ -706,7 +712,8 @@ def embedding_neardup_pairs(
             F.col("_nv").alias("_nb"),
             "bucket",
         )
-        cand = a.join(F.broadcast(b), "bucket").filter(
+        build = F.broadcast(b) if broadcast_candidates else b
+        cand = a.join(build, "bucket").filter(
             F.col("id_a") < F.col("id_b")
         )
     else:

@@ -132,3 +132,31 @@ def test_coverage_audit_parity(corpus):
         corpus, target_predicate=corpus.lang == "en",
         materialize=False, **kw))
     assert a == b and len(a) == 2
+
+
+def test_embedding_neardup_broadcast_vs_shuffle_parity(spark):
+    """ADVICE r12: the LSH bucket self-join's broadcast hint gained an
+    opt-out (``broadcast_candidates=False`` restores the shuffle
+    bucket-join for corpora too large to broadcast).  Both plan shapes
+    must emit the identical pair set — same dual the materialize knobs
+    keep."""
+    import random
+
+    from serverless_podcast_etl_spark.operators import similarity
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(60):
+        base = [rng.uniform(-1, 1) for _ in range(8)]
+        rows.append((2 * i, base))
+        # near-dup partner for every even id → pairs above threshold
+        rows.append((2 * i + 1, [x + rng.uniform(-0.01, 0.01) for x in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    planes = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(4)]
+    kw = dict(id_col="vec_id", vec_col="embedding", planes=planes,
+              threshold=0.98)
+    bcast = _rows(similarity.embedding_neardup_pairs(
+        df, broadcast_candidates=True, **kw))
+    shuf = _rows(similarity.embedding_neardup_pairs(
+        df, broadcast_candidates=False, **kw))
+    assert bcast == shuf and bcast
