@@ -4972,14 +4972,26 @@ DRIVER_OVERFLOW: frozenset[str] = frozenset(
         "q90_top_share_per_source",
         "q101_target_coverage_audit",
         "q104_strip_contamination",
+        # r13 rotations-out for the q105/q108/q109/q111/q112
+        # rotation-in (driver-green in CORRECTNESS_r12 first, per the
+        # rotation rule; families keep green window siblings: q102
+        # vocab OOV scoring → q109 vocab coverage enters the window
+        # on the same vocab machinery and q51 tf-idf stays certified,
+        # q103 cluster-balanced sampling → q52 stratified sample +
+        # q59 mixture weights stay, q106 n-gram novelty → q108
+        # collocations enters on the same tokenize+n-gram machinery
+        # and q56 capped Jaccard stays, q107 source divergence →
+        # q111/q112 per-source stats enter + q57 repetition stats
+        # stays, q110 containment near-dup → q56 capped Jaccard +
+        # q30/q21 banded pairs stay certified)
+        "q102_vocab_oov_scores",
+        "q103_cluster_balanced_sample",
+        "q106_ngram_novelty",
+        "q107_source_divergence",
+        "q110_containment_neardup",
         # r11 additions not yet rotated in — the remaining
-        # certification backlog (NOTES r11 drain plan: r13 =
-        # q105/q108/q109/q111/q112, r14 = q113/q114)
-        "q105_token_window_chunks",
-        "q108_collocations",
-        "q109_vocab_coverage",
-        "q111_embedding_norm_outliers",
-        "q112_tokenizer_fertility",
+        # certification backlog (NOTES r11 drain plan: r14 =
+        # q113/q114)
         "q113_duplicate_chunk_rate",
         "q114_source_quality_profile",
         # r12 additions start in overflow, replica-certified, per the

@@ -32,37 +32,29 @@ EXPECTED_PRIORITY_ROWS_ONLY = {
 }
 
 
-#: the round-12 rotation (r11 VERDICT #2, executed as pinned): the
-#: last r10 debt (q102/q103) plus the first three r11 additions
-#: (q110/q106/q107) in, the r11-certified five (all driver-green in
-#: CORRECTNESS_r11) out — pinned so a catalog edit cannot silently
-#: undo the rotation before the driver certifies it.
-ROTATED_IN_R12 = {
-    "q102_vocab_oov_scores",
-    "q103_cluster_balanced_sample",
-    "q106_ngram_novelty",
-    "q107_source_divergence",
-    "q110_containment_neardup",
-}
-ROTATED_OUT_R12 = {
-    "q35_embedding_lsh_neardup",
-    "q54_embedding_quantization",
-    "q90_top_share_per_source",
-    "q101_target_coverage_audit",
-    "q104_strip_contamination",
-}
-#: the remaining r11-addition backlog — pinned drain order (NOTES r11:
-#: r13 = q105/q108/q109/q111/q112, r14 = q113/q114 + the two r12
-#: additions q115/q116, which start in overflow per the standing
-#: convention).  Backlog at r12 end: 9 = 7 r11 leftovers + 2 r12
-#: additions (within the r11 VERDICT #4 ≤9 bound).
-R13_BACKLOG = {
+#: the round-13 rotation (r12 VERDICT #1, executed as pinned): the
+#: five remaining r11-addition backlog entries in, the r12-certified
+#: five (all first-time driver hash-green in CORRECTNESS_r12) out —
+#: pinned so a catalog edit cannot silently undo the rotation before
+#: the driver certifies it.
+ROTATED_IN_R13 = {
     "q105_token_window_chunks",
     "q108_collocations",
     "q109_vocab_coverage",
     "q111_embedding_norm_outliers",
     "q112_tokenizer_fertility",
 }
+ROTATED_OUT_R13 = {
+    "q102_vocab_oov_scores",
+    "q103_cluster_balanced_sample",
+    "q106_ngram_novelty",
+    "q107_source_divergence",
+    "q110_containment_neardup",
+}
+#: the remaining certification backlog — pinned drain order (NOTES
+#: r11/r12: r14 = q113/q114 + the two r12 additions q115/q116, which
+#: started in overflow per the standing convention).  Backlog at r13
+#: end: 4 + any r13 additions (r12 VERDICT #3 bound: ≤4 + ≤5 new).
 R14_BACKLOG = {
     "q113_duplicate_chunk_rate",
     "q114_source_quality_profile",
@@ -71,10 +63,9 @@ R14_BACKLOG = {
 }
 
 
-def test_round12_rotation_membership():
-    assert ROTATED_IN_R12.isdisjoint(DRIVER_OVERFLOW)
-    assert ROTATED_OUT_R12 <= DRIVER_OVERFLOW
-    assert R13_BACKLOG <= DRIVER_OVERFLOW
+def test_round13_rotation_membership():
+    assert ROTATED_IN_R13.isdisjoint(DRIVER_OVERFLOW)
+    assert ROTATED_OUT_R13 <= DRIVER_OVERFLOW
     assert R14_BACKLOG <= DRIVER_OVERFLOW
 
 
