@@ -195,6 +195,9 @@ EXCLUDED = {
     # standalone sf0.1 timings recorded in NOTES r12 meanwhile)
     "q115_pps_token_sample",
     "q116_encoding_anomalies",
+    # r13 addition, deferred to the r14 anchor batch per the same
+    # discipline (standalone sf0.1 timing recorded in NOTES r13)
+    "q117_trained_ivf_ann",
 }
 
 

@@ -1218,3 +1218,250 @@ def embedding_norm_outliers(
         .cast("long")
         .alias("is_outlier"),
     )
+
+
+def _int_dist_to(vec: Column, centroid: list[int]) -> Column:
+    """Exact squared-L2 distance (BIGINT) between an int-code array
+    column and one literal centroid code array.  Integer arithmetic
+    end-to-end: the sequential fold is order-free, so the value is
+    bit-identical in Spark and the DuckDB oracle regardless of
+    evaluation order — the property that makes a TRAINED quantizer
+    oracle-exact where float k-means (q34's MLlib path) cannot be."""
+    lit_c = F.array(*[F.lit(int(x)).cast("long") for x in centroid])
+    return F.aggregate(
+        F.zip_with(
+            vec,
+            lit_c,
+            lambda a, b: (a.cast("long") - b) * (a.cast("long") - b),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _assign_trained_cluster(
+    vec: Column, centroids: list[list[int]]
+) -> Column:
+    """0-based nearest-centroid index by exact integer squared-L2,
+    ties to the LOWEST cluster index (``array_position`` returns the
+    FIRST occurrence of the min — the same total order as the oracle's
+    ``row_number() OVER (ORDER BY dist, cluster)``)."""
+    darr = F.array(*[_int_dist_to(vec, c) for c in centroids])
+    return (F.array_position(darr, F.array_min(darr)) - 1).cast("long")
+
+
+def train_kmeans_int8(
+    df: DataFrame | None,
+    id_col: str,
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    n_iter: int = 2,
+    seed: str = "km0",
+    codes: DataFrame | None = None,
+) -> list[list[int]]:
+    """Deterministic integer-lattice Lloyd k-means over the int8
+    quantized tier — the TRAINED coarse quantizer whose training is
+    reproducible across engines, partitionings and runs.
+
+    Three determinism choices make the codebook portable (and hence
+    the downstream ANN oracle-exact, graduating the IVF family from
+    q34's rows-only certification):
+
+    1. **Train on int8 codes** (``quantize_embeddings_int8``, the
+       q54-certified storage tier): all cross-row sums are exact
+       integer arithmetic — order-free, so Spark's partitioned
+       aggregation and DuckDB's serial one agree bit-for-bit.  Float
+       k-means sums in shuffle order and cannot hash across engines.
+    2. **Digest-seeded init**: the first ``n_clusters`` rows in
+       ``md5(seed:id)`` order (the q77/q84 reproducible-shuffle
+       idiom) are the initial centroids — no RNG state to replicate.
+    3. **Integer centroid updates**: each new centroid coordinate is
+       ``floor(sum/count)`` — exact floor division driver-side, and
+       exactly recoverable as ``floor(s/n)`` in SQL (the double
+       quotient's rounding error is far below the 1/n gap to the
+       nearest non-attained integer at any realistic count).  Codes
+       stay in [-127, 127] forever, so distances fit comfortably in
+       BIGINT.  Empty clusters keep their previous centroid.
+
+    Scale: assignment is in-row expression arithmetic against literal
+    centroids (zero shuffle, any corpus size); each Lloyd round is one
+    posexplode + hash-agg whose shuffle carries ≤ n_clusters·dim rows
+    after map-side partial aggregation, then a bounded collect of the
+    same size (the ``_bucket_weights`` class).  The codes frame is
+    localCheckpoint'd at its fan-out (init + every round read it; see
+    dedup.py's module note for the materialize contract) — pass a
+    pre-materialized ``codes`` frame ((id, q array<int>)) to share it
+    with the caller's own consumers, e.g. ``trained_ivf_topk``'s
+    corpus scoring pass.
+
+    ``n_iter`` is fixed (default 2): like ``train_ivf_centroids``
+    (max_iter=5 there), the coarse quantizer only has to partition
+    space consistently — measured recall is flat in the iteration
+    count — and a FIXED count is what lets the oracle unroll training
+    into CTEs.
+    """
+    if codes is None:
+        codes = (
+            quantize_embeddings_int8(ensure_parallelism(df), id_col, vec_col)
+            .select(F.col(id_col), F.col("q"))
+            .localCheckpoint(eager=True)
+        )
+    key = F.md5(
+        F.encode(
+            F.concat(
+                F.lit(seed), F.lit(":"), F.col(id_col).cast("string")
+            ),
+            "utf-8",
+        )
+    )
+    init_rows = codes.orderBy(key.asc()).limit(n_clusters).collect()
+    cents = [[int(x) for x in r["q"]] for r in init_rows]
+    for _ in range(n_iter):
+        assigned = codes.select(
+            _assign_trained_cluster(F.col("q"), cents).alias("cluster"),
+            F.posexplode("q").alias("pos", "val"),
+        )
+        rows = (
+            assigned.groupBy("cluster", "pos")
+            .agg(
+                F.sum(F.col("val").cast("long")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        by_cluster: dict[int, list[tuple[int, int, int]]] = {}
+        for r in rows:
+            by_cluster.setdefault(int(r["cluster"]), []).append(
+                (int(r["pos"]), int(r["s"]), int(r["n"]))
+            )
+        cents = [
+            [s // n for _, s, n in sorted(by_cluster[c])]
+            if c in by_cluster
+            else cents[c]  # empty cluster keeps its previous centroid
+            for c in range(n_clusters)
+        ]
+    return cents
+
+
+def trained_ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_clusters: int = 8,
+    n_iter: int = 2,
+    nprobe: int = 2,
+    seed: str = "km0",
+) -> DataFrame:
+    """IVF approximate top-k with a TRAINED (deterministic integer
+    k-means) coarse quantizer — the oracle-exact twin of q34's
+    MLlib-trained ``ivf_topk``.
+
+    Pipeline: train the codebook on the corpus codes
+    (``train_kmeans_int8``), invert the corpus by nearest centroid
+    (in-row argmin against literal centroids — zero shuffle), probe
+    each query's ``nprobe`` nearest cells, and score candidates with
+    int8 integer dot products rescaled by the per-vector norms (the
+    q55 scoring tier: scales cancel in the cosine).  Every step is
+    exact integer or deterministically-rounded arithmetic, so the
+    whole approximate index — training included — certifies against
+    an unrolled SQL oracle, not just a rows-only check.
+
+    Probing picks the nprobe centroid INDICES by (distance, index)
+    lexicographic ``array_sort`` over (dist, idx) structs — the same
+    total order as the oracle's ``row_number() OVER (ORDER BY dist,
+    cluster)``.
+
+    Scale: candidates ≈ |corpus|·nprobe/n_clusters per query; the
+    query side (tiny by contract) broadcasts into the cell equi-join,
+    corpus partitioning flows through; recall < 1 by construction.
+    Recall/cost is tunable at query time via ``nprobe`` without
+    re-hashing — the IVF property hyperplane LSH lacks.
+    """
+    qc = quantize_embeddings_int8(
+        ensure_parallelism(corpus), corpus_id, vec_col
+    ).select(
+        F.col(corpus_id).alias("neighbor_id"), F.col("q")
+    ).localCheckpoint(eager=True)
+    cents = train_kmeans_int8(
+        None,
+        corpus_id,
+        vec_col,
+        n_clusters=n_clusters,
+        n_iter=n_iter,
+        seed=seed,
+        codes=qc.select(F.col("neighbor_id").alias(corpus_id), "q"),
+    )
+    int_norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("q"), lambda x: (x * x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).cast("double")
+    )
+    # zero vectors train (all-zero codes are valid lattice points) but
+    # cannot score: cosine is undefined at norm 0, so they are dropped
+    # from both sides of the scoring join (ANSI division guard; the
+    # oracle carries the same nrm > 0 predicates)
+    c = qc.select(
+        "neighbor_id",
+        F.col("q").alias("_cq"),
+        int_norm.alias("_cn"),
+        _assign_trained_cluster(F.col("q"), cents).alias("cluster"),
+    ).filter(F.col("_cn") > 0)
+    probe_structs = F.array(
+        *[
+            F.struct(
+                _int_dist_to(F.col("q"), cent).alias("d"),
+                F.lit(i).cast("long").alias("i"),
+            )
+            for i, cent in enumerate(cents)
+        ]
+    )
+    q = (
+        quantize_embeddings_int8(queries, query_id, vec_col)
+        .select(
+            F.col(query_id).alias("query_id"),
+            F.col("q").alias("_qq"),
+            int_norm.alias("_qn"),
+            F.slice(F.array_sort(probe_structs), 1, nprobe).alias("_p"),
+        )
+        .filter(F.col("_qn") > 0)
+        .select(
+            "query_id",
+            "_qq",
+            "_qn",
+            F.explode(F.transform("_p", lambda s: s["i"])).alias("cluster"),
+        )
+    )
+    int_dot = F.aggregate(
+        F.zip_with(
+            F.col("_qq"), F.col("_cq"), lambda a, b: (a * b).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        c.join(F.broadcast(q), "cluster")  # queries ≪ corpus
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                int_dot.cast("double") / (F.col("_qn") * F.col("_cn")), 4
+            ),
+        )
+        # no dedup pass: a corpus row lives in exactly ONE cluster and
+        # the nprobe probe indices are distinct, so a (query, neighbor)
+        # pair can only appear once — one exchange fewer than ivf_topk
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -4333,6 +4333,110 @@ FROM r
 """
 
 
+def q117_trained_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a TRAINED deterministic integer k-means quantizer
+    (similarity.trained_ivf_topk) — the oracle-exact twin of q34's
+    MLlib-trained rows-only path (r12 VERDICT #4).  Training is
+    reproducible across engines (int8 codes ⇒ exact integer sums,
+    md5(seed:id) init, floor-division centroid updates), so the oracle
+    unrolls BOTH Lloyd rounds into CTEs and certifies the codebook,
+    the inverted lists, the nprobe probing and the int-dot scoring —
+    the full approximate index, not just its output shape."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return similarity.trained_ivf_topk(
+        queries_df, emb, query_id="vec_id", corpus_id="vec_id",
+        k=10, n_clusters=8, n_iter=2, nprobe=2, seed="km0",
+    )
+
+
+def _trained_ivf_sql(
+    n_clusters: int = 8,
+    n_iter: int = 2,
+    nprobe: int = 2,
+    k: int = 10,
+    seed: str = "km0",
+) -> str:
+    """Unrolled-training oracle for ``trained_ivf_topk``: one CTE pair
+    (assign + centroid update) per Lloyd round.  All arithmetic is
+    exact-integer-valued (int8 codes as DOUBLEs are exact up to 2^53;
+    the floor division's double quotient cannot cross an integer —
+    the 1/count gap exceeds the rounding error at any realistic
+    count), so the hash matches Spark bit-for-bit."""
+
+    def dist(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(list_zip({a}, {b}), "
+            f"p -> (p[1] - p[2]) * (p[1] - p[2])))"
+        )
+
+    iters = []
+    for i in range(1, n_iter + 1):
+        prev = f"cent{i - 1}"
+        iters.append(f"""
+asg{i} AS (
+  SELECT vec_id, qs, cluster FROM (
+    SELECT co.vec_id, co.qs, ce.cluster,
+           row_number() OVER (PARTITION BY co.vec_id
+             ORDER BY {dist('co.qs', 'ce.c')} ASC, ce.cluster ASC) AS rn
+    FROM codes co, {prev} ce) WHERE rn = 1),
+upd{i} AS (
+  SELECT cluster, j, CAST(floor(SUM(val) / COUNT(*)) AS BIGINT) AS cj
+  FROM (SELECT cluster, qs[j] AS val, j
+        FROM (SELECT cluster, qs, unnest(range(1, len(qs) + 1)) AS j
+              FROM asg{i}))
+  GROUP BY cluster, j),
+cent{i} AS (
+  SELECT p.cluster, COALESCE(u.c, p.c) AS c
+  FROM {prev} p LEFT JOIN
+    (SELECT cluster, list(cj ORDER BY j) AS c FROM upd{i}
+     GROUP BY cluster) u
+  USING (cluster))""")
+    final = f"cent{n_iter}"
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+s AS (SELECT vec_id, e,
+             list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+      FROM v),
+codes AS (SELECT vec_id,
+                 -- scale=0 guard: see q54
+                 list_transform(e, x -> CASE WHEN scale > 0
+                                             THEN round(x / scale)
+                                             ELSE 0 END) AS qs
+          FROM s),
+cent0 AS (
+  SELECT CAST(rn - 1 AS BIGINT) AS cluster, qs AS c FROM (
+    SELECT qs, row_number() OVER (
+      ORDER BY md5('{seed}' || ':' || CAST(vec_id AS VARCHAR)) ASC) AS rn
+    FROM codes) WHERE rn <= {n_clusters}),{','.join(iters)},
+cn AS (
+  SELECT vec_id, qs, cluster, sqrt(list_dot_product(qs, qs)) AS nrm
+  FROM (SELECT vec_id, qs, cluster FROM (
+          SELECT co.vec_id, co.qs, ce.cluster,
+                 row_number() OVER (PARTITION BY co.vec_id
+                   ORDER BY {dist('co.qs', 'ce.c')} ASC, ce.cluster ASC)
+                   AS rn
+          FROM codes co, {final} ce) WHERE rn = 1)),
+probe AS (
+  SELECT vec_id AS query_id, qs AS qq, nrm AS qn, cluster FROM (
+    SELECT co.vec_id, co.qs, co.nrm, ce.cluster,
+           row_number() OVER (PARTITION BY co.vec_id
+             ORDER BY {dist('co.qs', 'ce.c')} ASC, ce.cluster ASC) AS rn
+    FROM cn co, {final} ce
+    WHERE co.vec_id < 5 AND co.nrm > 0) WHERE rn <= {nprobe}),
+scored AS (
+  -- zero vectors train but cannot score (cosine undefined at norm 0)
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(p.qq, c.qs) / (p.qn * c.nrm), 4) AS cosine
+  FROM probe p JOIN cn c USING (cluster)
+  WHERE p.query_id <> c.vec_id AND c.nrm > 0)
+SELECT query_id, neighbor_id, cosine, rank
+FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        ORDER BY cosine DESC, neighbor_id) AS INT) AS rank FROM scored)
+WHERE rank <= {k}
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "q01_pricing_summary": QueryDef(q01_pricing_summary, _Q01_SQL, "filter+agg+sort (A1/A3)"),
     "q02_event_type_counts": QueryDef(q02_event_type_counts, _Q02_SQL, "groupBy count desc (A1/O1)"),
@@ -4742,6 +4846,11 @@ CATALOG: dict[str, QueryDef] = {
         _Q116_SQL,
         "encoding-anomaly scores (U+FFFD / control chars / mojibake)",
     ),
+    "q117_trained_ivf_ann": QueryDef(
+        q117_trained_ivf_ann,
+        _trained_ivf_sql(),
+        "IVF ANN with trained deterministic k-means quantizer",
+    ),
 }
 
 
@@ -5000,6 +5109,12 @@ DRIVER_OVERFLOW: frozenset[str] = frozenset(
         # + these two), within the r11 VERDICT #4 bound
         "q115_pps_token_sample",
         "q116_encoding_anomalies",
+        # r13 addition starts in overflow, replica-certified, per the
+        # standing convention (q117 trained-quantizer IVF ANN — the
+        # r12 VERDICT #4 pick; backlog at r13 end: 5 = 4 r14-pinned
+        # leftovers + this one, additions held to 1 of the ≤2
+        # allowance)
+        "q117_trained_ivf_ann",
     }
 )
 
