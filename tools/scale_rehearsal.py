@@ -119,6 +119,11 @@ QUERIES = [
     # regexp scans (no distributed path, kept for the scan shape)
     "q115_pps_token_sample",
     "q116_encoding_anomalies",
+    # r13 addition rehearses the round it lands (the q100 lesson):
+    # q117's two bounded-collect training rounds + the broadcast cell
+    # join are the distributed paths — training cost must stay flat
+    # per round at 10x docs
+    "q117_trained_ivf_ann",
 ]
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
