@@ -16,6 +16,12 @@ an asserted "bounded state, runs forever":
 * ``stream_dedup`` — ``dropDuplicatesWithinWatermark`` keyed dedup
   (``stream_dedup_exact``): the bounded-state exact-dedup tier,
   state ∝ distinct keys per delay window.
+* ``stateful_barrier`` (r13) — the ``applyInPandasWithState``
+  completion barrier (``stateful_chunk_barrier``): the custom-state
+  tier, the one streaming code path that round-trips rows through
+  Arrow/pandas per trigger.  Documents stand in as chunks (10 per
+  synthetic episode), so every input row passes through the state
+  update and 1/10th of groups emit per batch.
 
 Each run: parquet file source with ``maxFilesPerTrigger`` pinned so
 the job executes ~8 micro-batches (a real trigger cadence, not one
@@ -55,6 +61,9 @@ from serverless_podcast_etl_spark.streaming.curation import (  # noqa: E402
 from serverless_podcast_etl_spark.streaming.dedup import (  # noqa: E402
     stream_dedup_exact,
 )
+from serverless_podcast_etl_spark.streaming.stateful import (  # noqa: E402
+    stateful_chunk_barrier,
+)
 from serverless_podcast_etl_spark.streaming.windowed import (  # noqa: E402
     windowed_event_counts,
 )
@@ -87,7 +96,8 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
-def _run_stream(spark, src_dir, schema, transform, ckpt_root, label):
+def _run_stream(spark, src_dir, schema, transform, ckpt_root, label,
+                output_mode="append"):
     """availableNow run of ``transform(readStream)`` into a noop sink;
     returns wall seconds, input rows, micro-batch count."""
     n_files = len(glob.glob(os.path.join(src_dir, "part-*")))
@@ -103,7 +113,7 @@ def _run_stream(spark, src_dir, schema, transform, ckpt_root, label):
     q = (
         out.writeStream.format("noop")
         .option("checkpointLocation", ckpt)
-        .outputMode("append")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -178,12 +188,29 @@ def main() -> None:
                 delay="10 minutes",
             ),
         ),
+        # documents as synthetic chunk streams: 10 chunks per episode,
+        # so the barrier's state store sees every row and one emission
+        # per completed 10-row group (episodes straddling micro-batch
+        # boundaries exercise the cross-trigger state path)
+        "stateful_barrier": (
+            "documents.parquet",
+            DOCS_SCHEMA,
+            lambda s: stateful_chunk_barrier(
+                s.select(
+                    F.floor(F.col("doc_id") / 10).alias("episode_id"),
+                    (F.col("doc_id") % 10).cast("int").alias("chunk_num"),
+                    F.col("text").alias("transcript"),
+                    F.lit(10).cast("int").alias("num_chunks"),
+                )
+            ),
+            "update",  # applyInPandasWithState(Update) requires it
+        ),
     }
 
     report: dict = {"target_batches": TARGET_BATCHES, "surfaces": {}}
     ckpt_root = tempfile.mkdtemp(prefix="stream_rehearsal_")
     try:
-        for name, (table, schema, transform) in surfaces.items():
+        for name, (table, schema, transform, *mode) in surfaces.items():
             rows: dict = {}
             for lbl, d in SCALES:
                 # one warm pass (codegen + state-store init), then the
@@ -196,6 +223,7 @@ def main() -> None:
                         transform,
                         ckpt_root,
                         f"{name}-{lbl}-{attempt}",
+                        output_mode=mode[0] if mode else "append",
                     )
                 rows[lbl] = res
                 print(f"  {name}@{lbl}: {res}", file=sys.stderr)
