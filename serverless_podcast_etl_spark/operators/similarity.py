@@ -1245,9 +1245,58 @@ def _assign_trained_cluster(
     """0-based nearest-centroid index by exact integer squared-L2,
     ties to the LOWEST cluster index (``array_position`` returns the
     FIRST occurrence of the min — the same total order as the oracle's
-    ``row_number() OVER (ORDER BY dist, cluster)``)."""
+    ``row_number() OVER (ORDER BY dist, cluster)``).  The expression
+    tier; ``_nearest_trained_int`` is the Arrow/numpy twin used on the
+    hot paths (same exact integers, same tie order — parity pinned in
+    tests/test_r13_additions.py)."""
     darr = F.array(*[_int_dist_to(vec, c) for c in centroids])
     return (F.array_position(darr, F.array_min(darr)) - 1).cast("long")
+
+
+def _nearest_trained_int(
+    df: DataFrame,
+    centroids: list[list[int]],
+    code_col: str,
+    n: int,
+    out_col: str,
+) -> DataFrame:
+    """Array of the ``n`` nearest centroid indices by EXACT int64
+    squared-L2 (ascending distance, ties to the lower index) — the
+    Arrow-batched numpy twin of ``_assign_trained_cluster``.
+
+    Unlike ``_nearest_centroids`` (float BLAS — fine for q34's
+    approximate-by-contract candidates), every term here is int64:
+    ``‖v‖² − 2·v·c + ‖c‖²`` over ℤ is identical to ``Σ(v−c)²`` with
+    no rounding anywhere, and the stable argsort breaks ties toward
+    the lower index — so the kernel is BIT-IDENTICAL to the
+    interpreted expression fold while running one C-loop matmul per
+    Arrow batch instead of k·dim lambda evaluations per row (measured
+    4.4× on the whole q117 shape at sf1: 19.7 → 4.5 s warm, with the
+    two training scans and the corpus inversion all on the kernel;
+    NOTES fact 16)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cents = np.array(centroids, dtype=np.int64)  # (k, dim)
+    c_sq = (cents * cents).sum(axis=1)  # (k,)
+
+    def _nearest(v):
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.array(v.tolist(), dtype=np.int64)  # (rows, dim)
+        d2 = (
+            (mat * mat).sum(axis=1)[:, None]
+            - 2 * (mat @ cents.T)
+            + c_sq[None, :]
+        )
+        idx = np.argsort(d2, axis=1, kind="stable")[:, :n]
+        return pd.Series(list(idx))
+
+    _nearest.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return df.withColumn(
+        out_col, pandas_udf(_nearest, "array<long>")(F.col(code_col))
+    )
 
 
 def train_kmeans_int8(
@@ -1283,11 +1332,12 @@ def train_kmeans_int8(
        stay in [-127, 127] forever, so distances fit comfortably in
        BIGINT.  Empty clusters keep their previous centroid.
 
-    Scale: assignment is in-row expression arithmetic against literal
-    centroids (zero shuffle, any corpus size); each Lloyd round is one
-    posexplode + hash-agg whose shuffle carries ≤ n_clusters·dim rows
-    after map-side partial aggregation, then a bounded collect of the
-    same size (the ``_bucket_weights`` class).  The codes frame is
+    Scale: assignment is the exact-int64 Arrow/numpy kernel
+    (``_nearest_trained_int`` — zero shuffle, one C-loop matmul per
+    batch, bit-identical to the expression fold); each Lloyd round is
+    one posexplode + hash-agg whose shuffle carries ≤ n_clusters·dim
+    rows after map-side partial aggregation, then a bounded collect of
+    the same size (the ``_bucket_weights`` class).  The codes frame is
     localCheckpoint'd at its fan-out (init + every round read it; see
     dedup.py's module note for the materialize contract) — pass a
     pre-materialized ``codes`` frame ((id, q array<int>)) to share it
@@ -1317,8 +1367,8 @@ def train_kmeans_int8(
     init_rows = codes.orderBy(key.asc()).limit(n_clusters).collect()
     cents = [[int(x) for x in r["q"]] for r in init_rows]
     for _ in range(n_iter):
-        assigned = codes.select(
-            _assign_trained_cluster(F.col("q"), cents).alias("cluster"),
+        assigned = _nearest_trained_int(codes, cents, "q", 1, "_nc").select(
+            F.element_at("_nc", 1).alias("cluster"),
             F.posexplode("q").alias("pos", "val"),
         )
         rows = (
@@ -1361,18 +1411,18 @@ def trained_ivf_topk(
 
     Pipeline: train the codebook on the corpus codes
     (``train_kmeans_int8``), invert the corpus by nearest centroid
-    (in-row argmin against literal centroids — zero shuffle), probe
-    each query's ``nprobe`` nearest cells, and score candidates with
-    int8 integer dot products rescaled by the per-vector norms (the
-    q55 scoring tier: scales cancel in the cosine).  Every step is
-    exact integer or deterministically-rounded arithmetic, so the
-    whole approximate index — training included — certifies against
-    an unrolled SQL oracle, not just a rows-only check.
+    (the exact-int64 Arrow kernel — zero shuffle), probe each query's
+    ``nprobe`` nearest cells, and score candidates with int8 integer
+    dot products rescaled by the per-vector norms (the q55 scoring
+    tier: scales cancel in the cosine).  Every step is exact integer
+    or deterministically-rounded arithmetic, so the whole approximate
+    index — training included — certifies against an unrolled SQL
+    oracle, not just a rows-only check.
 
-    Probing picks the nprobe centroid INDICES by (distance, index)
-    lexicographic ``array_sort`` over (dist, idx) structs — the same
-    total order as the oracle's ``row_number() OVER (ORDER BY dist,
-    cluster)``.
+    Probing picks the nprobe centroid INDICES via the same kernel's
+    stable argsort (ascending distance, ties to the lower index) —
+    the same total order as the oracle's ``row_number() OVER
+    (ORDER BY dist, cluster)``.
 
     Scale: candidates ≈ |corpus|·nprobe/n_clusters per query; the
     query side (tiny by contract) broadcasts into the cell equi-join,
@@ -1405,35 +1455,32 @@ def trained_ivf_topk(
     # cannot score: cosine is undefined at norm 0, so they are dropped
     # from both sides of the scoring join (ANSI division guard; the
     # oracle carries the same nrm > 0 predicates)
-    c = qc.select(
+    c = _nearest_trained_int(qc, cents, "q", 1, "_nc").select(
         "neighbor_id",
         F.col("q").alias("_cq"),
         int_norm.alias("_cn"),
-        _assign_trained_cluster(F.col("q"), cents).alias("cluster"),
+        F.element_at("_nc", 1).alias("cluster"),
     ).filter(F.col("_cn") > 0)
-    probe_structs = F.array(
-        *[
-            F.struct(
-                _int_dist_to(F.col("q"), cent).alias("d"),
-                F.lit(i).cast("long").alias("i"),
-            )
-            for i, cent in enumerate(cents)
-        ]
-    )
     q = (
-        quantize_embeddings_int8(queries, query_id, vec_col)
+        _nearest_trained_int(
+            quantize_embeddings_int8(queries, query_id, vec_col),
+            cents,
+            "q",
+            nprobe,
+            "_p",
+        )
         .select(
             F.col(query_id).alias("query_id"),
             F.col("q").alias("_qq"),
             int_norm.alias("_qn"),
-            F.slice(F.array_sort(probe_structs), 1, nprobe).alias("_p"),
+            F.col("_p"),
         )
         .filter(F.col("_qn") > 0)
         .select(
             "query_id",
             "_qq",
             "_qn",
-            F.explode(F.transform("_p", lambda s: s["i"])).alias("cluster"),
+            F.explode("_p").alias("cluster"),
         )
     )
     int_dot = F.aggregate(

@@ -200,3 +200,37 @@ def test_trained_ivf_ranks_are_contiguous_per_query(spark):
     for ranks in per_query.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) <= 4
+
+
+def test_assignment_kernel_matches_expression_tier(spark):
+    """The exact-int64 Arrow kernel (_nearest_trained_int) must be
+    bit-identical to the interpreted expression fold
+    (_assign_trained_cluster) — same distances, same tie order —
+    including on ties (duplicate centroids) and all-zero codes."""
+    from pyspark.sql import functions as F
+
+    from serverless_podcast_etl_spark.operators.similarity import (
+        _assign_trained_cluster,
+        _nearest_trained_int,
+        quantize_embeddings_int8,
+    )
+
+    rows = [
+        (i, [float((i * 7) % 13 - 6), float((i * 5) % 9 - 4), float(i % 3)])
+        for i in range(40)
+    ] + [(100, [0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    codes = quantize_embeddings_int8(df, "vec_id").select("vec_id", "q")
+    # duplicate centroid (index 1 == index 2) forces tie-breaking
+    cents = [[-6, -4, 0], [3, 2, 1], [3, 2, 1], [0, 0, 2]]
+    expr = {
+        r["vec_id"]: r["c"]
+        for r in codes.select(
+            "vec_id", _assign_trained_cluster(F.col("q"), cents).alias("c")
+        ).collect()
+    }
+    kern = {
+        r["vec_id"]: r["_nc"][0]
+        for r in _nearest_trained_int(codes, cents, "q", 1, "_nc").collect()
+    }
+    assert expr == kern and len(expr) == 41
