@@ -176,6 +176,11 @@ HEADLINE = [
     "q112_tokenizer_fertility",
     "q113_duplicate_chunk_rate",
     "q114_source_quality_profile",
+    # r12 additions, deferred from the r12 anchor per the freeze
+    # discipline, entered here with the r13 batched freeze (anchor
+    # grows 108 → 110 in ONE freeze)
+    "q115_pps_token_sample",
+    "q116_encoding_anomalies",
 ]
 
 #: Every exclusion, with its reason in the header comment above —
@@ -190,13 +195,9 @@ EXCLUDED = {
     "q95_image_neardup",        # pixel-seam timing is codec-dependent (q29
                                 # rationale); its banded join is benched via
                                 # q21/q28's identical machinery
-    # r12 additions, deferred to the r13 anchor batch per the freeze
+    # r13 addition, deferred to the r14 anchor batch per the freeze
     # discipline (batch ALL headline additions into ONE re-freeze;
-    # standalone sf0.1 timings recorded in NOTES r12 meanwhile)
-    "q115_pps_token_sample",
-    "q116_encoding_anomalies",
-    # r13 addition, deferred to the r14 anchor batch per the same
-    # discipline (standalone sf0.1 timing recorded in NOTES r13)
+    # standalone sf0.1 timing recorded in NOTES r13 meanwhile)
     "q117_trained_ivf_ann",
 }
 
