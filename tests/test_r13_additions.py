@@ -234,3 +234,29 @@ def test_assignment_kernel_matches_expression_tier(spark):
         for r in _nearest_trained_int(codes, cents, "q", 1, "_nc").collect()
     }
     assert expr == kern and len(expr) == 41
+
+
+def test_trained_ivf_oracle_generator_at_alternate_params(spark):
+    """The catalog certifies _trained_ivf_sql at its fixed constants
+    (8 clusters / 2 rounds / nprobe 2 / k 10); this pins the GENERATOR
+    itself — a different unroll depth, cluster count, probe width and
+    seed must still hash-match the engine on the real sf0.001 table."""
+    from serverless_podcast_etl_spark.plans.catalog import (
+        _t,
+        _trained_ivf_sql,
+    )
+    from serverless_podcast_etl_spark.operators import similarity
+
+    from .oracle import compare
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = _t(spark, sf_dir, "embeddings")
+    df = similarity.trained_ivf_topk(
+        emb.filter(emb.vec_id < 5), emb, "vec_id", "vec_id",
+        k=5, n_clusters=3, n_iter=3, nprobe=1, seed="alt",
+    )
+    sql = _trained_ivf_sql(
+        n_clusters=3, n_iter=3, nprobe=1, k=5, seed="alt"
+    )
+    problems = compare(df, sql, sf_dir)
+    assert not problems, "; ".join(problems)

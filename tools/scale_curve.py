@@ -78,6 +78,9 @@ SCALES = [
 #: scan + exact percentile x2 (embeddings); q37 keyed tumbling
 #: windows (events); q40 user-keyed sessionization (events).
 CURVE_QUERIES = [
+    "q117_trained_ivf_ann",  # r13: 2 training collects + Arrow argmin
+    # kernel + broadcast cell join (embeddings) — training cost must
+    # stay corpus-linear per Lloyd round
     "q100_target_importance_select",
     "q101_target_coverage_audit",
     "q105_token_window_chunks",
