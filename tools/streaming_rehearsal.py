@@ -231,7 +231,16 @@ def main() -> None:
             report["surfaces"][name] = rows
     finally:
         shutil.rmtree(ckpt_root, ignore_errors=True)
-    print(json.dumps(report, indent=1))
+    payload = json.dumps(report, indent=1)
+    # JVM gc,alloc warnings print to STDOUT (NOTES fact 22) and can
+    # corrupt a redirected artifact; pass an output path to bypass
+    # stdout entirely, else the JSON still goes last to stdout.
+    if len(sys.argv) > 1:
+        with open(sys.argv[1], "w") as f:
+            f.write(payload + "\n")
+        print(f"wrote {sys.argv[1]}", file=sys.stderr)
+    else:
+        print(payload)
     spark.stop()
 
 
