@@ -1351,6 +1351,8 @@ def train_kmeans_int8(
     into CTEs.
     """
     if codes is None:
+        if df is None:
+            raise ValueError("train_kmeans_int8: pass df or codes")
         codes = (
             quantize_embeddings_int8(ensure_parallelism(df), id_col, vec_col)
             .select(F.col(id_col), F.col("q"))
@@ -1366,6 +1368,9 @@ def train_kmeans_int8(
     )
     init_rows = codes.orderBy(key.asc()).limit(n_clusters).collect()
     cents = [[int(x) for x in r["q"]] for r in init_rows]
+    # fewer rows than clusters: train with what exists — the oracle's
+    # `WHERE rn <= k` init CTE shrinks the same way, so parity holds
+    n_clusters = len(cents)
     for _ in range(n_iter):
         assigned = _nearest_trained_int(codes, cents, "q", 1, "_nc").select(
             F.element_at("_nc", 1).alias("cluster"),

@@ -52,7 +52,7 @@ def _py_train(rows, k, n_iter, seed):
             [sum(col) // len(g) for col in zip(*g)]
             if (g := groups.get(c))
             else cents[c]
-            for c in range(k)
+            for c in range(len(cents))  # k clamps to available rows
         ]
     return cents
 
@@ -260,3 +260,14 @@ def test_trained_ivf_oracle_generator_at_alternate_params(spark):
     )
     problems = compare(df, sql, sf_dir)
     assert not problems, "; ".join(problems)
+
+
+def test_more_clusters_than_rows_trains_with_what_exists(spark):
+    """n_clusters > corpus rows must clamp (the oracle's init CTE
+    shrinks the same way), not IndexError."""
+    rows = [(0, [1.0, 2.0]), (1, [-3.0, 4.0]), (2, [5.0, -6.0])]
+    cents = train_kmeans_int8(
+        _df(spark, rows), "vec_id", n_clusters=5, n_iter=2, seed="few"
+    )
+    assert len(cents) == 3
+    assert cents == _py_train(rows, 5, 2, "few")
