@@ -1435,41 +1435,108 @@ def trained_ivf_topk(
     Recall/cost is tunable at query time via ``nprobe`` without
     re-hashing — the IVF property hyperplane LSH lacks.
     """
-    qc = quantize_embeddings_int8(
-        ensure_parallelism(corpus), corpus_id, vec_col
-    ).select(
-        F.col(corpus_id).alias("neighbor_id"), F.col("q")
-    ).localCheckpoint(eager=True)
-    cents = train_kmeans_int8(
-        None,
+    index, cents = build_trained_ivf_index(
+        corpus,
         corpus_id,
-        vec_col,
+        vec_col=vec_col,
         n_clusters=n_clusters,
         n_iter=n_iter,
         seed=seed,
-        codes=qc.select(F.col("neighbor_id").alias(corpus_id), "q"),
     )
-    int_norm = F.sqrt(
+    # prune=False: the index is an in-memory frame here, so the
+    # partition-pruning isin (and its extra bounded collect) buys
+    # nothing — that path is for the persisted-index form
+    return trained_ivf_probe_topk(
+        queries, index, cents, query_id,
+        vec_col=vec_col, k=k, nprobe=nprobe, prune=False,
+    )
+
+
+def _int_norm(code_col: str = "q") -> Column:
+    """sqrt of the exact int64 self-dot of a code array — identical
+    in both engines (same long sum, same IEEE sqrt)."""
+    return F.sqrt(
         F.aggregate(
-            F.transform(F.col("q"), lambda x: (x * x).cast("long")),
+            F.transform(F.col(code_col), lambda x: (x * x).cast("long")),
             F.lit(0).cast("long"),
             lambda acc, v: acc + v,
         ).cast("double")
     )
-    # zero vectors train (all-zero codes are valid lattice points) but
-    # cannot score: cosine is undefined at norm 0, so they are dropped
-    # from both sides of the scoring join (ANSI division guard; the
-    # oracle carries the same nrm > 0 predicates)
-    c = _nearest_trained_int(qc, cents, "q", 1, "_nc").select(
+
+
+def build_trained_ivf_index(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    n_iter: int = 2,
+    seed: str = "km0",
+) -> tuple[DataFrame, list[list[int]]]:
+    """The persistable TRAINED inverted-file index: train the integer
+    codebook on the corpus (``train_kmeans_int8``), then emit one row
+    per vector — ``(neighbor_id, cluster, _cq array<int>, _cn)`` —
+    plus the codebook itself (plain int lists: store them next to the
+    index; they are the probe key).  The trained counterpart of
+    ``build_ivf_index``: build once, ``write.partitionBy("cluster")``,
+    probe per query batch with ``trained_ivf_probe_topk`` forever
+    after.  Because training is deterministic (NOTES fact 21), a lost
+    codebook is exactly re-derivable from the corpus — the index is
+    reproducible in a way an MLlib-trained one is not.
+
+    Zero-norm rows are dropped here (they can never score — cosine is
+    undefined at norm 0 — so persisting them only wastes probe IO);
+    they still participated in training via the codes frame.
+    """
+    qc = quantize_embeddings_int8(
+        ensure_parallelism(corpus), id_col, vec_col
+    ).select(
+        F.col(id_col).alias("neighbor_id"), F.col("q")
+    ).localCheckpoint(eager=True)
+    cents = train_kmeans_int8(
+        None,
+        id_col,
+        vec_col,
+        n_clusters=n_clusters,
+        n_iter=n_iter,
+        seed=seed,
+        codes=qc.select(F.col("neighbor_id").alias(id_col), "q"),
+    )
+    index = _nearest_trained_int(qc, cents, "q", 1, "_nc").select(
         "neighbor_id",
         F.col("q").alias("_cq"),
-        int_norm.alias("_cn"),
+        _int_norm("q").alias("_cn"),
         F.element_at("_nc", 1).alias("cluster"),
     ).filter(F.col("_cn") > 0)
+    return index, cents
+
+
+def trained_ivf_probe_topk(
+    queries: DataFrame,
+    index: DataFrame,
+    codebook: list[list[int]],
+    query_id: str,
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 2,
+    prune: bool = True,
+) -> DataFrame:
+    """ANN top-k against a ``build_trained_ivf_index`` table — the
+    production form: the corpus is never re-assigned; queries are
+    quantized, probe their ``nprobe`` nearest codebook cells (the
+    exact-int64 kernel's stable argsort — ties to the lower index),
+    and score int8 dot products only within probed cells.
+
+    ``prune=True`` collects the distinct probed cell ids — bounded by
+    ``len(codebook)``, not data volume — into a literal ``isin`` so a
+    ``partitionBy("cluster")`` index scan gets static partition
+    pruning (the q82 ``ivf_probe_topk`` contract, trained edition).
+    Query side broadcasts; the index is never shuffled; no dedup pass
+    (one cluster per corpus row, distinct probe indices).
+    """
     q = (
         _nearest_trained_int(
             quantize_embeddings_int8(queries, query_id, vec_col),
-            cents,
+            codebook,
             "q",
             nprobe,
             "_p",
@@ -1477,7 +1544,7 @@ def trained_ivf_topk(
         .select(
             F.col(query_id).alias("query_id"),
             F.col("q").alias("_qq"),
-            int_norm.alias("_qn"),
+            _int_norm("q").alias("_qn"),
             F.col("_p"),
         )
         .filter(F.col("_qn") > 0)
@@ -1488,6 +1555,11 @@ def trained_ivf_topk(
             F.explode("_p").alias("cluster"),
         )
     )
+    if prune:
+        cells = [
+            r["cluster"] for r in q.select("cluster").distinct().collect()
+        ]
+        index = index.filter(F.col("cluster").isin(cells))
     int_dot = F.aggregate(
         F.zip_with(
             F.col("_qq"), F.col("_cq"), lambda a, b: (a * b).cast("long")
@@ -1496,7 +1568,7 @@ def trained_ivf_topk(
         lambda acc, v: acc + v,
     )
     scored = (
-        c.join(F.broadcast(q), "cluster")  # queries ≪ corpus
+        index.join(F.broadcast(q), "cluster")  # queries ≪ corpus
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine",
@@ -1504,9 +1576,6 @@ def trained_ivf_topk(
                 int_dot.cast("double") / (F.col("_qn") * F.col("_cn")), 4
             ),
         )
-        # no dedup pass: a corpus row lives in exactly ONE cluster and
-        # the nprobe probe indices are distinct, so a (query, neighbor)
-        # pair can only appear once — one exchange fewer than ivf_topk
         .select("query_id", "neighbor_id", "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(

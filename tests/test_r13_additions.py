@@ -271,3 +271,47 @@ def test_more_clusters_than_rows_trains_with_what_exists(spark):
     )
     assert len(cents) == 3
     assert cents == _py_train(rows, 5, 2, "few")
+
+
+def test_trained_index_roundtrip_prune_and_parity(spark, tmp_path):
+    """The persisted trained index: write partitionBy(cluster), reload,
+    probe with pruning — results identical to the one-shot
+    trained_ivf_topk AND to probing the in-memory index, and the
+    pruned disk scan carries static PartitionFilters."""
+    from pyspark.sql import functions as F
+
+    from serverless_podcast_etl_spark.operators.similarity import (
+        build_trained_ivf_index,
+        trained_ivf_probe_topk,
+        trained_ivf_topk,
+    )
+    from serverless_podcast_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 4)
+    kw = dict(n_clusters=4, n_iter=2, seed="idx")
+
+    index, codebook = build_trained_ivf_index(emb, "vec_id", **kw)
+    path = str(tmp_path / "trained_ivf")
+    index.write.partitionBy("cluster").parquet(path)
+    disk_index = spark.read.parquet(path)
+
+    one_shot = trained_ivf_topk(
+        queries, emb, "vec_id", "vec_id", k=8, nprobe=2, **kw
+    )
+    mem = trained_ivf_probe_topk(
+        queries, index, codebook, "vec_id", k=8, nprobe=2
+    )
+    disk = trained_ivf_probe_topk(
+        queries, disk_index, codebook, "vec_id", k=8, nprobe=2
+    )
+    a = sorted(map(tuple, one_shot.collect()))
+    assert a == sorted(map(tuple, mem.collect()))
+    assert a == sorted(map(tuple, disk.collect()))
+    assert a  # non-vacuous
+
+    plan = disk._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cluster" in plan.split("PartitionFilters", 1)[1][:200]
