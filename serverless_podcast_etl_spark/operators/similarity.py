@@ -1278,6 +1278,15 @@ def _nearest_trained_int(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    if not centroids:
+        # np.array([]) is 1-D, so the (k, dim) reshape below would
+        # raise an opaque AxisError at closure-build time; fail with
+        # the actual problem instead (an empty corpus trains an empty
+        # codebook — see train_kmeans_int8)
+        raise ValueError(
+            "_nearest_trained_int: empty codebook (empty training "
+            "corpus?) — nothing to assign against"
+        )
     cents = np.array(centroids, dtype=np.int64)  # (k, dim)
     c_sq = (cents * cents).sum(axis=1)  # (k,)
 
@@ -1371,6 +1380,11 @@ def train_kmeans_int8(
     # fewer rows than clusters: train with what exists — the oracle's
     # `WHERE rn <= k` init CTE shrinks the same way, so parity holds
     n_clusters = len(cents)
+    if n_clusters == 0:
+        # empty corpus trains an empty codebook; skip the Lloyd loop
+        # (the assignment kernel rejects [] with a clear error, so a
+        # degenerate input surfaces HERE, not as a numpy AxisError)
+        return []
     for _ in range(n_iter):
         assigned = _nearest_trained_int(codes, cents, "q", 1, "_nc").select(
             F.element_at("_nc", 1).alias("cluster"),
@@ -1434,6 +1448,13 @@ def trained_ivf_topk(
     corpus partitioning flows through; recall < 1 by construction.
     Recall/cost is tunable at query time via ``nprobe`` without
     re-hashing — the IVF property hyperplane LSH lacks.
+
+    PRECONDITION (shared id space, the ``ivf_topk`` convention): the
+    self-match filter compares ``query_id`` to ``corpus_id`` AS
+    VALUES — correct when queries are drawn from the corpus (the
+    catalog shape); with independent id spaces a corpus neighbor that
+    coincidentally carries a query's id is silently dropped —
+    disambiguate ids (e.g. prefix one side) when tables differ.
     """
     index, cents = build_trained_ivf_index(
         corpus,
@@ -1501,6 +1522,11 @@ def build_trained_ivf_index(
         seed=seed,
         codes=qc.select(F.col("neighbor_id").alias(id_col), "q"),
     )
+    if not cents:
+        raise ValueError(
+            "build_trained_ivf_index: empty corpus — no codebook to "
+            "train (an index over nothing has no cells to probe)"
+        )
     index = _nearest_trained_int(qc, cents, "q", 1, "_nc").select(
         "neighbor_id",
         F.col("q").alias("_cq"),
@@ -1530,8 +1556,19 @@ def trained_ivf_probe_topk(
     ``len(codebook)``, not data volume — into a literal ``isin`` so a
     ``partitionBy("cluster")`` index scan gets static partition
     pruning (the q82 ``ivf_probe_topk`` contract, trained edition).
+    The probe frame is localCheckpoint'd at that fork (fact 18: it
+    feeds BOTH the cell collect and the scoring join — without the
+    pin the quantize + Arrow-kernel pipeline would run twice).
     Query side broadcasts; the index is never shuffled; no dedup pass
     (one cluster per corpus row, distinct probe indices).
+
+    PRECONDITION (shared id space, the ``ivf_probe_topk`` convention):
+    the self-match filter drops pairs where ``query_id`` equals
+    ``neighbor_id`` AS VALUES — correct when queries are drawn from
+    the indexed corpus (the catalog shape), but if the two tables have
+    independent id spaces, a corpus neighbor that coincidentally
+    carries a query's id is silently dropped.  Disambiguate ids
+    (e.g. prefix one side) when querying across tables.
     """
     q = (
         _nearest_trained_int(
@@ -1556,6 +1593,10 @@ def trained_ivf_probe_topk(
         )
     )
     if prune:
+        # fact 18: q fans out to the cell collect AND the scoring
+        # join — pin it so quantize + the Arrow kernel run once
+        # (queries are tiny by contract, so the pin is cheap)
+        q = q.localCheckpoint(eager=True)
         cells = [
             r["cluster"] for r in q.select("cluster").distinct().collect()
         ]

@@ -315,3 +315,23 @@ def test_trained_index_roundtrip_prune_and_parity(spark, tmp_path):
     plan = disk._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "cluster" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_empty_corpus_degenerates_with_clear_errors(spark):
+    """r13 ADVICE: an empty corpus must not surface as a numpy
+    AxisError from the assignment kernel's closure build — training
+    returns an empty codebook, the kernel and the index builder
+    reject [] with messages that name the actual problem."""
+    import pytest
+
+    from serverless_podcast_etl_spark.operators.similarity import (
+        _nearest_trained_int,
+        build_trained_ivf_index,
+    )
+
+    empty = _df(spark, [])
+    assert train_kmeans_int8(empty, "vec_id", n_clusters=3, seed="e") == []
+    with pytest.raises(ValueError, match="empty codebook"):
+        _nearest_trained_int(empty, [], "embedding", 1, "_nc")
+    with pytest.raises(ValueError, match="empty corpus"):
+        build_trained_ivf_index(empty, "vec_id", n_clusters=3, seed="e")
