@@ -5098,23 +5098,22 @@ DRIVER_OVERFLOW: frozenset[str] = frozenset(
         "q106_ngram_novelty",
         "q107_source_divergence",
         "q110_containment_neardup",
-        # r11 additions not yet rotated in — the remaining
-        # certification backlog (NOTES r11 drain plan: r14 =
-        # q113/q114)
-        "q113_duplicate_chunk_rate",
-        "q114_source_quality_profile",
-        # r12 additions start in overflow, replica-certified, per the
-        # standing convention (q115 PPS weighted sampling, q116
-        # encoding anomalies) — backlog at r12 end: 9 (7 r11 leftovers
-        # + these two), within the r11 VERDICT #4 bound
-        "q115_pps_token_sample",
-        "q116_encoding_anomalies",
-        # r13 addition starts in overflow, replica-certified, per the
-        # standing convention (q117 trained-quantizer IVF ANN — the
-        # r12 VERDICT #4 pick; backlog at r13 end: 5 = 4 r14-pinned
-        # leftovers + this one, additions held to 1 of the ≤2
-        # allowance)
-        "q117_trained_ivf_ann",
+        # r14 rotations-out for the q113/q114/q115/q116/q117
+        # rotation-in (driver-green in CORRECTNESS_r13 first, per the
+        # rotation rule; families keep green window siblings: q105
+        # token-window chunking → q113 duplicate-chunk rate enters on
+        # the same chunker, q108 collocations → q106/q107-certified
+        # n-gram machinery + q51 tf-idf stay, q109 vocab coverage →
+        # q112's replacement q114 profiles the same textstats tier and
+        # q51 stays, q111 norm outliers → q117 trained IVF enters on
+        # the same quantized-embedding machinery + q22/q55 stay, q112
+        # tokenizer fertility → q114 source quality profile enters on
+        # the same per-source textstats shape)
+        "q105_token_window_chunks",
+        "q108_collocations",
+        "q109_vocab_coverage",
+        "q111_embedding_norm_outliers",
+        "q112_tokenizer_fertility",
     }
 )
 

@@ -32,41 +32,33 @@ EXPECTED_PRIORITY_ROWS_ONLY = {
 }
 
 
-#: the round-13 rotation (r12 VERDICT #1, executed as pinned): the
-#: five remaining r11-addition backlog entries in, the r12-certified
-#: five (all first-time driver hash-green in CORRECTNESS_r12) out —
-#: pinned so a catalog edit cannot silently undo the rotation before
-#: the driver certifies it.
-ROTATED_IN_R13 = {
+#: the round-14 rotation (r13 VERDICT #1, executed as pinned): the
+#: full remaining backlog (q113/q114 + the two r12 additions + the
+#: r13 addition q117) in, the r13-certified five (all first-time
+#: driver hash-green in CORRECTNESS_r13) out — pinned so a catalog
+#: edit cannot silently undo the rotation before the driver certifies
+#: it.  This rotation drains the never-driver-certified backlog to 0
+#: for the first time since r4; from here every addition should enter
+#: the window within two rounds of landing (r13 VERDICT #7).
+ROTATED_IN_R14 = {
+    "q113_duplicate_chunk_rate",
+    "q114_source_quality_profile",
+    "q115_pps_token_sample",
+    "q116_encoding_anomalies",
+    "q117_trained_ivf_ann",
+}
+ROTATED_OUT_R14 = {
     "q105_token_window_chunks",
     "q108_collocations",
     "q109_vocab_coverage",
     "q111_embedding_norm_outliers",
     "q112_tokenizer_fertility",
 }
-ROTATED_OUT_R13 = {
-    "q102_vocab_oov_scores",
-    "q103_cluster_balanced_sample",
-    "q106_ngram_novelty",
-    "q107_source_divergence",
-    "q110_containment_neardup",
-}
-#: the remaining certification backlog — pinned drain order (NOTES
-#: r11/r12: r14 = q113/q114 + the two r12 additions q115/q116, which
-#: started in overflow per the standing convention).  Backlog at r13
-#: end: 4 + any r13 additions (r12 VERDICT #3 bound: ≤4 + ≤5 new).
-R14_BACKLOG = {
-    "q113_duplicate_chunk_rate",
-    "q114_source_quality_profile",
-    "q115_pps_token_sample",
-    "q116_encoding_anomalies",
-}
 
 
-def test_round13_rotation_membership():
-    assert ROTATED_IN_R13.isdisjoint(DRIVER_OVERFLOW)
-    assert ROTATED_OUT_R13 <= DRIVER_OVERFLOW
-    assert R14_BACKLOG <= DRIVER_OVERFLOW
+def test_round14_rotation_membership():
+    assert ROTATED_IN_R14.isdisjoint(DRIVER_OVERFLOW)
+    assert ROTATED_OUT_R14 <= DRIVER_OVERFLOW
 
 
 def test_priority_window_is_exactly_50():
