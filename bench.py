@@ -199,6 +199,9 @@ EXCLUDED = {
     # discipline (batch ALL headline additions into ONE re-freeze;
     # standalone sf0.1 timing recorded in NOTES r13 meanwhile)
     "q117_trained_ivf_ann",
+    # r14 addition, deferred to the r15 anchor batch per the freeze
+    # discipline (standalone sf0.1 timing recorded in NOTES r14)
+    "q118_persisted_trained_ivf",
 }
 
 

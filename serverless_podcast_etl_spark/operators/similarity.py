@@ -1627,3 +1627,294 @@ def trained_ivf_probe_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# -- trained-index lifecycle (r14): persist, verify, append, drift ------------
+#
+# The band-index family (dedup.write_band_index / append_to_band_index)
+# established the maintenance contract for persisted approximate
+# indexes: the parameters that make index rows comparable are STAMPED
+# at write time, and every later reader/appender verifies the stamp
+# before touching the table — an index silently mixing incompatible
+# rows returns wrong candidates forever.  The trained IVF's analogue
+# of the signature parameters is the CODEBOOK itself: rows assigned
+# under different codebooks must never share an index.  The stamp is a
+# JSON sidecar under an underscore-prefixed subdirectory (parquet
+# readers skip `_`-prefixed paths, so the data scan never sees it),
+# holding the codebook, its md5 digest, the training parameters, and
+# the per-cell baseline statistics the drift report compares against.
+
+_TRAINED_IVF_META = "_trained_ivf_meta"
+
+
+def _codebook_digest(codebook: list[list[int]]) -> str:
+    import hashlib
+    import json
+
+    return hashlib.md5(
+        json.dumps(codebook, separators=(",", ":")).encode()
+    ).hexdigest()
+
+
+def _own_centroid_sqdist(codebook: list[list[int]]) -> Column:
+    """Exact int64 squared-L2 from a row's ``_cq`` code to its OWN
+    assigned centroid: select the centroid by the row's ``cluster``
+    (1-based ``element_at``), then one dim-length zip fold — dim work
+    per row, not k·dim (the full-distance kernel is only needed when
+    the assignment is unknown)."""
+    cents = F.array(
+        *[
+            F.array(*[F.lit(int(x)).cast("long") for x in c])
+            for c in codebook
+        ]
+    )
+    own = F.element_at(cents, (F.col("cluster") + 1).cast("int"))
+    return F.aggregate(
+        F.zip_with(
+            F.col("_cq"),
+            own,
+            lambda a, b: (a.cast("long") - b) * (a.cast("long") - b),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _trained_cell_stats(
+    index: DataFrame, codebook: list[list[int]]
+) -> list[dict]:
+    """Per-cell (cluster) membership stats over an index frame:
+    exact row count and exact int64 sum of squared distances to the
+    assigned centroid — the order-free integers a drift report can
+    difference exactly.  Bounded collect: ≤ len(codebook) rows."""
+    rows = (
+        index.select("cluster", _own_centroid_sqdist(codebook).alias("d2"))
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("d2").alias("s"),
+        )
+        .collect()
+    )
+    return sorted(
+        (
+            {
+                "cluster": int(r["cluster"]),
+                "n": int(r["n"]),
+                "sum_sq_dist": int(r["s"]),
+            }
+            for r in rows
+        ),
+        key=lambda d: d["cluster"],
+    )
+
+
+def write_trained_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str,
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    n_iter: int = 2,
+    seed: str = "km0",
+) -> list[list[int]]:
+    """Train + persist the trained IVF index: ``build_trained_ivf_index``
+    written ``partitionBy("cluster")`` (static partition pruning at
+    probe — the q82 contract), plus the metadata sidecar that makes the
+    table maintainable: codebook, digest, training params, and the
+    per-cell baseline stats ``trained_ivf_drift_report`` compares
+    against.  Returns the codebook (it is also recoverable from the
+    sidecar via ``load_trained_ivf_index``, and — training being
+    deterministic — from the corpus itself).
+
+    The sidecar is written THROUGH Spark (a 1-row text write), not the
+    driver's local filesystem, so the index lives wherever the table
+    does (object store at 100 TB)."""
+    import json
+
+    index, cents = build_trained_ivf_index(
+        corpus,
+        id_col,
+        vec_col=vec_col,
+        n_clusters=n_clusters,
+        n_iter=n_iter,
+        seed=seed,
+    )
+    index.write.partitionBy("cluster").mode("overwrite").parquet(path)
+    spark = corpus.sparkSession
+    # baseline stats from the just-written files: one tiny scan, and
+    # the baseline reflects exactly what is on disk (zero-norm rows
+    # already dropped by the builder)
+    baseline = _trained_cell_stats(spark.read.parquet(path), cents)
+    meta = {
+        "codebook": cents,
+        "digest": _codebook_digest(cents),
+        "params": {
+            "n_clusters": n_clusters,
+            "n_iter": n_iter,
+            "seed": seed,
+            "dim": len(cents[0]),
+        },
+        "baseline": baseline,
+    }
+    spark.createDataFrame([(json.dumps(meta),)], "v string").coalesce(
+        1
+    ).write.mode("overwrite").text(f"{path}/{_TRAINED_IVF_META}")
+    return cents
+
+
+def _read_trained_ivf_meta(spark, path: str) -> dict:
+    import json
+
+    rows = spark.read.text(f"{path}/{_TRAINED_IVF_META}").collect()
+    return json.loads(rows[0]["value"])
+
+
+def load_trained_ivf_index(
+    spark,
+    path: str,
+    codebook: list[list[int]] | None = None,
+) -> tuple[DataFrame, list[list[int]]]:
+    """Read-path stamp check (the ``load_band_index`` convention):
+    return the index frame plus the STAMPED codebook after verifying
+    the caller's codebook (when given) digests to the stamp — raising
+    before any query runs on a mismatch, because probing a table with
+    the wrong codebook silently returns wrong neighbors.  Pass
+    ``codebook=None`` to adopt the stamped one (the common probe-side
+    call: the sidecar is the source of truth)."""
+    meta = _read_trained_ivf_meta(spark, path)
+    if codebook is not None and _codebook_digest(codebook) != meta["digest"]:
+        raise ValueError(
+            "load_trained_ivf_index: caller codebook does not match the "
+            f"stamp at {path} (digest {_codebook_digest(codebook)} != "
+            f"{meta['digest']}) — refusing to probe with the wrong "
+            "codebook"
+        )
+    return spark.read.parquet(path), meta["codebook"]
+
+
+def append_to_trained_ivf_index(
+    batch: DataFrame,
+    path: str,
+    id_col: str,
+    vec_col: str = "embedding",
+    codebook: list[list[int]] | None = None,
+) -> None:
+    """Index maintenance — assign ONLY the new batch under the FROZEN
+    stamped codebook and append its rows, so a growing corpus is
+    absorbed without re-training or rewriting the index (the
+    ``append_to_band_index`` contract, trained edition).  When the
+    caller passes a codebook it is verified against the stamp and the
+    call raises before writing on any mismatch; the assignment always
+    uses the stamped codebook.  The baseline stats are NOT updated —
+    they deliberately pin the TRAINING-time distribution, which is
+    what ``trained_ivf_drift_report`` measures drift against; re-train
+    (``write_trained_ivf_index``) to reset the baseline.
+
+    Appended vectors are quantized and kernel-assigned exactly as the
+    builder's corpus was (same ``_nearest_trained_int`` path), so an
+    appended index is row-identical to one built over the full corpus
+    UNDER THE SAME CODEBOOK — parity pinned in tests; note the
+    codebook itself WOULD differ had training seen the new rows, which
+    is precisely the drift the report surfaces."""
+    spark = batch.sparkSession
+    meta = _read_trained_ivf_meta(spark, path)
+    if codebook is not None and _codebook_digest(codebook) != meta["digest"]:
+        raise ValueError(
+            "append_to_trained_ivf_index: caller codebook does not match "
+            f"the stamp at {path} — refusing to mix assignments from "
+            "different codebooks in one index"
+        )
+    cents = meta["codebook"]
+    qc = quantize_embeddings_int8(
+        ensure_parallelism(batch), id_col, vec_col
+    ).select(F.col(id_col).alias("neighbor_id"), F.col("q"))
+    rows = (
+        _nearest_trained_int(qc, cents, "q", 1, "_nc")
+        .select(
+            "neighbor_id",
+            F.col("q").alias("_cq"),
+            _int_norm("q").alias("_cn"),
+            F.element_at("_nc", 1).alias("cluster"),
+        )
+        .filter(F.col("_cn") > 0)
+    )
+    rows.write.partitionBy("cluster").mode("append").parquet(path)
+
+
+def trained_ivf_drift_report(spark, path: str) -> DataFrame:
+    """Codebook-staleness report for a persisted trained IVF index:
+    per cell, the TRAINING-time baseline (stamped at
+    ``write_trained_ivf_index``) against the CURRENT membership —
+    count share ratio (cell growth vs the rest of the index) and mean
+    squared distance to the frozen centroid (appended vectors landing
+    far from every centroid inflate it).  The re-train signal:
+    ``share_ratio`` far from 1 means the append stream is filling
+    cells the training corpus under-represented; ``dist_ratio``
+    climbing means the frozen centroids no longer sit in the middle of
+    their cells — either way the codebook is stale, re-train and
+    re-assign (``write_trained_ivf_index``); both ≈ 1 means keep
+    appending (``append_to_trained_ivf_index``).
+
+    Exact where it matters: counts and distance SUMS are exact int64
+    (order-free — the same property that makes training oracle-exact);
+    only the final ratios divide and round.  One index scan + a
+    broadcast join of the ≤k-row baseline; the report is ≤k rows."""
+    meta = _read_trained_ivf_meta(spark, path)
+    cents = meta["codebook"]
+    base = spark.createDataFrame(
+        [
+            (b["cluster"], b["n"], b["sum_sq_dist"])
+            for b in meta["baseline"]
+        ],
+        "cluster long, n_train long, sum_sq_dist_train long",
+    )
+    now = (
+        spark.read.parquet(path)
+        .select("cluster", _own_centroid_sqdist(cents).alias("d2"))
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_now"),
+            F.sum("d2").alias("sum_sq_dist_now"),
+        )
+    )
+    # cells can exist in only one side (a cell empty at training time
+    # that appends filled, or vice versa) — full outer keeps both
+    rep = now.join(F.broadcast(base), "cluster", "full_outer").select(
+        "cluster",
+        F.coalesce("n_train", F.lit(0)).alias("n_train"),
+        F.coalesce("n_now", F.lit(0)).alias("n_now"),
+        F.coalesce("sum_sq_dist_train", F.lit(0)).alias(
+            "sum_sq_dist_train"
+        ),
+        F.coalesce("sum_sq_dist_now", F.lit(0)).alias("sum_sq_dist_now"),
+    )
+    tot = rep.agg(
+        F.sum("n_train").alias("_tt"), F.sum("n_now").alias("_tn")
+    )
+    # try_divide: a cell empty on one side (n 0) reads NULL in its
+    # ratios instead of throwing under ANSI division — NULL is the
+    # right report value for "no baseline/current members to compare"
+    mean_train = F.try_divide(F.col("sum_sq_dist_train"), F.col("n_train"))
+    mean_now = F.try_divide(F.col("sum_sq_dist_now"), F.col("n_now"))
+    return (
+        rep.join(F.broadcast(tot))
+        .select(
+            "cluster",
+            "n_train",
+            "n_now",
+            F.round(
+                F.try_divide(
+                    F.try_divide(F.col("n_now"), F.col("_tn")),
+                    F.try_divide(F.col("n_train"), F.col("_tt")),
+                ),
+                4,
+            ).alias("share_ratio"),
+            F.round(mean_train, 4).alias("mean_sq_dist_train"),
+            F.round(mean_now, 4).alias("mean_sq_dist_now"),
+            F.round(F.try_divide(mean_now, mean_train), 4).alias(
+                "dist_ratio"
+            ),
+        )
+        .orderBy("cluster")
+    )

@@ -54,11 +54,18 @@ ROTATED_OUT_R14 = {
     "q111_embedding_norm_outliers",
     "q112_tokenizer_fertility",
 }
+#: the certification backlog after the r14 drain: the r14 addition
+#: only (starts in overflow per the standing convention; enters the
+#: window with the r15 rotation).
+R15_BACKLOG = {
+    "q118_persisted_trained_ivf",
+}
 
 
 def test_round14_rotation_membership():
     assert ROTATED_IN_R14.isdisjoint(DRIVER_OVERFLOW)
     assert ROTATED_OUT_R14 <= DRIVER_OVERFLOW
+    assert R15_BACKLOG <= DRIVER_OVERFLOW
 
 
 def test_priority_window_is_exactly_50():
