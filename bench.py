@@ -181,6 +181,10 @@ HEADLINE = [
     # grows 108 → 110 in ONE freeze)
     "q115_pps_token_sample",
     "q116_encoding_anomalies",
+    # r13 addition, deferred from the r13 anchor per the freeze
+    # discipline, entered here with the r14 batched freeze (anchor
+    # grows 110 → 111 in ONE freeze)
+    "q117_trained_ivf_ann",
 ]
 
 #: Every exclusion, with its reason in the header comment above —
@@ -195,10 +199,6 @@ EXCLUDED = {
     "q95_image_neardup",        # pixel-seam timing is codec-dependent (q29
                                 # rationale); its banded join is benched via
                                 # q21/q28's identical machinery
-    # r13 addition, deferred to the r14 anchor batch per the freeze
-    # discipline (batch ALL headline additions into ONE re-freeze;
-    # standalone sf0.1 timing recorded in NOTES r13 meanwhile)
-    "q117_trained_ivf_ann",
     # r14 addition, deferred to the r15 anchor batch per the freeze
     # discipline (standalone sf0.1 timing recorded in NOTES r14)
     "q118_persisted_trained_ivf",
