@@ -199,9 +199,10 @@ EXCLUDED = {
     "q95_image_neardup",        # pixel-seam timing is codec-dependent (q29
                                 # rationale); its banded join is benched via
                                 # q21/q28's identical machinery
-    # r14 addition, deferred to the r15 anchor batch per the freeze
-    # discipline (standalone sf0.1 timing recorded in NOTES r14)
+    # r14 additions, deferred to the r15 anchor batch per the freeze
+    # discipline (standalone sf0.1 timings recorded in NOTES r14)
     "q118_persisted_trained_ivf",
+    "q119_codebook_drift",
 }
 
 

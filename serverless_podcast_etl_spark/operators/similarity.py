@@ -1757,9 +1757,14 @@ def write_trained_ivf_index(
         },
         "baseline": baseline,
     }
-    spark.createDataFrame([(json.dumps(meta),)], "v string").coalesce(
-        1
-    ).write.mode("overwrite").text(f"{path}/{_TRAINED_IVF_META}")
+    # JVM-side 1-row literal frame: a createDataFrame over local
+    # Python data pays a Python-worker launch per partition (~5 s
+    # under coalesce(1), measured r14); a literal column is pure JVM
+    spark.range(1).select(
+        F.lit(json.dumps(meta)).alias("v")
+    ).coalesce(1).write.mode("overwrite").text(
+        f"{path}/{_TRAINED_IVF_META}"
+    )
     return cents
 
 
@@ -1862,15 +1867,30 @@ def trained_ivf_drift_report(spark, path: str) -> DataFrame:
     broadcast join of the ≤k-row baseline; the report is ≤k rows."""
     meta = _read_trained_ivf_meta(spark, path)
     cents = meta["codebook"]
-    base = spark.createDataFrame(
-        [
-            (b["cluster"], b["n"], b["sum_sq_dist"])
-            for b in meta["baseline"]
-        ],
-        "cluster long, n_train long, sum_sq_dist_train long",
-    )
+    # baseline as a JVM-side literal frame (≤k rows): avoids the
+    # Python-worker launch a createDataFrame over local data costs
+    base = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b["cluster"]).cast("long").alias("cluster"),
+                        F.lit(b["n"]).cast("long").alias("n_train"),
+                        F.lit(b["sum_sq_dist"])
+                        .cast("long")
+                        .alias("sum_sq_dist_train"),
+                    )
+                    for b in meta["baseline"]
+                ]
+            )
+        ).alias("b")
+    ).select("b.*")
     now = (
         spark.read.parquet(path)
+        # partition-column type inference reads cluster=N dirs as INT;
+        # pin long so the report schema is stable (and matches the
+        # builder's long cluster ids)
+        .withColumn("cluster", F.col("cluster").cast("long"))
         .select("cluster", _own_centroid_sqdist(cents).alias("d2"))
         .groupBy("cluster")
         .agg(
@@ -1879,8 +1899,10 @@ def trained_ivf_drift_report(spark, path: str) -> DataFrame:
         )
     )
     # cells can exist in only one side (a cell empty at training time
-    # that appends filled, or vice versa) — full outer keeps both
-    rep = now.join(F.broadcast(base), "cluster", "full_outer").select(
+    # that appends filled, or vice versa) — full outer keeps both; no
+    # broadcast hint (unsupported for full outer builds), and both
+    # sides are ≤k aggregated rows so the SMJ exchanges are bounded
+    rep = now.join(base, "cluster", "full_outer").select(
         "cluster",
         F.coalesce("n_train", F.lit(0)).alias("n_train"),
         F.coalesce("n_now", F.lit(0)).alias("n_now"),

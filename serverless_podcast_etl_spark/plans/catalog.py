@@ -4473,6 +4473,142 @@ def q118_persisted_trained_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q119_codebook_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-index staleness report (r13 VERDICT #5, certified end
+    to end): train + persist the index over two-thirds of the corpus
+    (similarity.write_trained_ivf_index — the per-cell training
+    baseline is stamped in the sidecar), append the remaining third
+    under the FROZEN codebook (append_to_trained_ivf_index), then emit
+    ``trained_ivf_drift_report`` — per cell, current count share and
+    mean squared distance to the frozen centroid against the
+    training-time baseline.  ``share_ratio`` far from 1 = the append
+    stream fills cells training under-represented; ``dist_ratio``
+    climbing = frozen centroids no longer centre their cells; both ≈ 1
+    = keep appending.  Oracle-exact because every compared quantity is
+    an exact int64 count or distance SUM (the same order-free property
+    that certifies training itself) — only the final ratios divide and
+    round; the SQL twin re-derives the training run on the same
+    two-thirds split and recomputes both stat sets from scratch."""
+    import os
+
+    emb = _t(spark, sf_dir, "embeddings")
+    initial = emb.filter(F.col("vec_id") % 3 != 0)
+    batch = emb.filter(F.col("vec_id") % 3 == 0)
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    path = os.path.join(
+        repo, ".cache", "q119_codebook_drift",
+        os.path.basename(os.path.normpath(sf_dir)) or "sf",
+    )
+    similarity.write_trained_ivf_index(
+        initial, path, "vec_id", n_clusters=8, n_iter=2, seed="km2"
+    )
+    similarity.append_to_trained_ivf_index(batch, path, "vec_id")
+    return similarity.trained_ivf_drift_report(spark, path)
+
+
+def _codebook_drift_sql(
+    n_clusters: int = 8,
+    n_iter: int = 2,
+    seed: str = "km2",
+    train_pred: str = "vec_id % 3 <> 0",
+) -> str:
+    """SQL twin of q119: unroll the Lloyd rounds over the TRAINING
+    subset (the q117 oracle's CTE structure), assign ALL vectors to
+    the final centroids (append-under-frozen-codebook ≡ assigning the
+    full corpus — the lifecycle parity pinned in
+    tests/test_r14_additions.py), and difference the two per-cell
+    stat sets.  The rn=1 distance IS the distance to the assigned
+    centroid, so no second distance pass is needed.  Distance values
+    are integer-valued doubles far below 2^53, so their sums are
+    order-free; the CASE guards mirror Spark's ``try_divide`` NULLs
+    exactly (n_train=0 → no baseline, s_train=0 → 0/0 mean ratio)."""
+
+    def dist(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(list_zip({a}, {b}), "
+            f"p -> (p[1] - p[2]) * (p[1] - p[2])))"
+        )
+
+    iters = []
+    for i in range(1, n_iter + 1):
+        prev = f"cent{i - 1}"
+        iters.append(f"""
+asg{i} AS (
+  SELECT vec_id, qs, cluster FROM (
+    SELECT co.vec_id, co.qs, ce.cluster,
+           row_number() OVER (PARTITION BY co.vec_id
+             ORDER BY {dist('co.qs', 'ce.c')} ASC, ce.cluster ASC) AS rn
+    FROM tcodes co, {prev} ce) WHERE rn = 1),
+upd{i} AS (
+  SELECT cluster, j, CAST(floor(SUM(val) / COUNT(*)) AS BIGINT) AS cj
+  FROM (SELECT cluster, qs[j] AS val, j
+        FROM (SELECT cluster, qs, unnest(range(1, len(qs) + 1)) AS j
+              FROM asg{i}))
+  GROUP BY cluster, j),
+cent{i} AS (
+  SELECT p.cluster, COALESCE(u.c, p.c) AS c
+  FROM {prev} p LEFT JOIN
+    (SELECT cluster, list(cj ORDER BY j) AS c FROM upd{i}
+     GROUP BY cluster) u
+  USING (cluster))""")
+    final = f"cent{n_iter}"
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+s AS (SELECT vec_id, e,
+             list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+      FROM v),
+codes AS (SELECT vec_id,
+                 list_transform(e, x -> CASE WHEN scale > 0
+                                             THEN round(x / scale)
+                                             ELSE 0 END) AS qs
+          FROM s),
+tcodes AS (SELECT * FROM codes WHERE {train_pred}),
+cent0 AS (
+  SELECT CAST(rn - 1 AS BIGINT) AS cluster, qs AS c FROM (
+    SELECT qs, row_number() OVER (
+      ORDER BY md5('{seed}' || ':' || CAST(vec_id AS VARCHAR)) ASC) AS rn
+    FROM tcodes) WHERE rn <= {n_clusters}),{','.join(iters)},
+allasg AS (
+  -- every vector assigned to the FINAL centroids; the rn=1 distance
+  -- is the squared distance to the assigned centroid.  Zero-norm
+  -- rows trained but are never indexed (the builder/appender drop)
+  SELECT vec_id, cluster, d2, ({train_pred}) AS trainrow FROM (
+    SELECT co.vec_id, ce.cluster, {dist('co.qs', 'ce.c')} AS d2,
+           sqrt(list_dot_product(co.qs, co.qs)) AS nrm,
+           row_number() OVER (PARTITION BY co.vec_id
+             ORDER BY {dist('co.qs', 'ce.c')} ASC, ce.cluster ASC) AS rn
+    FROM codes co, {final} ce) WHERE rn = 1 AND nrm > 0),
+base AS (SELECT cluster, COUNT(*) AS n_train, SUM(d2) AS s_train
+         FROM allasg WHERE trainrow GROUP BY cluster),
+now AS (SELECT cluster, COUNT(*) AS n_now, SUM(d2) AS s_now
+        FROM allasg GROUP BY cluster),
+rep AS (SELECT cluster,
+               COALESCE(n_train, 0) AS n_train,
+               COALESCE(n_now, 0) AS n_now,
+               COALESCE(s_train, 0) AS s_train,
+               COALESCE(s_now, 0) AS s_now
+        FROM now FULL OUTER JOIN base USING (cluster)),
+tot AS (SELECT SUM(n_train) AS tt, SUM(n_now) AS tn FROM rep)
+SELECT cluster,
+       CAST(n_train AS BIGINT) AS n_train,
+       CAST(n_now AS BIGINT) AS n_now,
+       CASE WHEN n_train > 0
+            THEN round((n_now / tn) / (n_train / tt), 4) END
+         AS share_ratio,
+       CASE WHEN n_train > 0
+            THEN round(s_train / n_train, 4) END AS mean_sq_dist_train,
+       CASE WHEN n_now > 0
+            THEN round(s_now / n_now, 4) END AS mean_sq_dist_now,
+       CASE WHEN n_train > 0 AND n_now > 0 AND s_train > 0
+            THEN round((s_now / n_now) / (s_train / n_train), 4) END
+         AS dist_ratio
+FROM rep, tot
+ORDER BY cluster
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "q01_pricing_summary": QueryDef(q01_pricing_summary, _Q01_SQL, "filter+agg+sort (A1/A3)"),
     "q02_event_type_counts": QueryDef(q02_event_type_counts, _Q02_SQL, "groupBy count desc (A1/O1)"),
@@ -4892,6 +5028,11 @@ CATALOG: dict[str, QueryDef] = {
         _trained_ivf_sql(nprobe=3, seed="km1"),
         "persisted trained-IVF index + partition-pruned probe",
     ),
+    "q119_codebook_drift": QueryDef(
+        q119_codebook_drift,
+        _codebook_drift_sql(),
+        "trained-index codebook drift report (lifecycle)",
+    ),
 }
 
 
@@ -5155,12 +5296,14 @@ DRIVER_OVERFLOW: frozenset[str] = frozenset(
         "q109_vocab_coverage",
         "q111_embedding_norm_outliers",
         "q112_tokenizer_fertility",
-        # r14 addition starts in overflow, replica-certified, per the
+        # r14 additions start in overflow, replica-certified, per the
         # standing convention (q118 persisted trained-IVF index +
-        # pruned probe — the r13 VERDICT #3 pick; backlog at r14 end:
-        # 1, within the ≤5 bound, enters the window with the r15
-        # rotation)
+        # pruned probe — the r13 VERDICT #3 pick; q119 codebook drift
+        # report — the r13 VERDICT #5 lifecycle, certified; backlog at
+        # r14 end: 2, within the ≤5 bound, both enter the window with
+        # the r15 rotation)
         "q118_persisted_trained_ivf",
+        "q119_codebook_drift",
     }
 )
 

@@ -59,6 +59,7 @@ ROTATED_OUT_R14 = {
 #: window with the r15 rotation).
 R15_BACKLOG = {
     "q118_persisted_trained_ivf",
+    "q119_codebook_drift",
 }
 
 

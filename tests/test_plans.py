@@ -66,6 +66,8 @@ def test_no_cartesian_products(spark, sf_dir, name):
         # — a keyless join against a single aggregated row, not a
         # pair-generating nested loop
         "q80_unigram_lm_scores",
+        # same one-row totals attach, onto the ≤k-row drift report
+        "q119_codebook_drift",
     }
     plan = physical_plan(CATALOG[name].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan, name

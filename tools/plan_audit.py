@@ -42,6 +42,11 @@ BNLJ_WHITELIST: dict[str, str] = {
     "q80_unigram_lm_scores": (
         "one-row totals scalar attach (functions/textstats.py)"
     ),
+    "q119_codebook_drift": (
+        "one-row totals scalar attach onto the ≤k-row drift report "
+        "(operators/similarity.py trained_ivf_drift_report — the q80 "
+        "pattern; both sides bounded by the codebook size)"
+    ),
 }
 
 
@@ -142,7 +147,8 @@ def main() -> None:
         "  tools/plan_audit.py): the broadcast ANN scorers (q22/q23/",
         "  q55, and q60/q62 which compose q22's exact arm) and",
         "  documented one-row scalar broadcasts (q80's corpus-totals",
-        "  attach — a 1-row frame broadcast to every row, safe at any",
+        "  attach and q119's drift-report totals — a 1-row frame",
+        "  broadcast to every row, safe at any",
         "  scale).  ENFORCED MECHANICALLY: the generator fails on any",
         "  non-whitelisted bnlj or any cartesian, so a table that",
         "  exists at all satisfies both rules.",

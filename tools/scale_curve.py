@@ -81,6 +81,9 @@ CURVE_QUERIES = [
     "q117_trained_ivf_ann",  # r13: 2 training collects + Arrow argmin
     # kernel + broadcast cell join (embeddings) — training cost must
     # stay corpus-linear per Lloyd round
+    "q118_persisted_trained_ivf",  # r14: the persisted form — train +
+    # partitionBy(cluster) write + stamped reload + PRUNED probe; the
+    # write and the partition-pruned scan must both stay corpus-linear
     "q100_target_importance_select",
     "q101_target_coverage_audit",
     "q105_token_window_chunks",

@@ -124,6 +124,11 @@ QUERIES = [
     # join are the distributed paths — training cost must stay flat
     # per round at 10x docs
     "q117_trained_ivf_ann",
+    # r14 addition rehearses the round it lands: q118 is the
+    # persisted form — train + partitionBy(cluster) write + stamped
+    # reload + PRUNED probe, so the partition-pruned index scan is
+    # rehearsed at sf1 volume, not just fixture scale (r13 VERDICT #6)
+    "q118_persisted_trained_ivf",
 ]
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
