@@ -124,11 +124,13 @@ QUERIES = [
     # join are the distributed paths — training cost must stay flat
     # per round at 10x docs
     "q117_trained_ivf_ann",
-    # r14 addition rehearses the round it lands: q118 is the
+    # r14 additions rehearse the round they land: q118 is the
     # persisted form — train + partitionBy(cluster) write + stamped
     # reload + PRUNED probe, so the partition-pruned index scan is
-    # rehearsed at sf1 volume, not just fixture scale (r13 VERDICT #6)
+    # rehearsed at sf1 volume, not just fixture scale (r13 VERDICT #6);
+    # q119 adds the append + two stats scans of the lifecycle
     "q118_persisted_trained_ivf",
+    "q119_codebook_drift",
 ]
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
