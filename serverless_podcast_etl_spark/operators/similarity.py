@@ -1742,9 +1742,11 @@ def write_trained_ivf_index(
     )
     index.write.partitionBy("cluster").mode("overwrite").parquet(path)
     spark = corpus.sparkSession
-    # baseline stats from the just-written files: one tiny scan, and
-    # the baseline reflects exactly what is on disk (zero-norm rows
-    # already dropped by the builder)
+    # baseline stats from the just-written files — NOT a fact-18 fork:
+    # the written table IS the materialization (the kernel never
+    # re-runs), the stats pass is a column-pruned read of
+    # (cluster, _cq), and an r14 same-session A/B showed a
+    # localCheckpoint pin only adds the extra executor-local copy
     baseline = _trained_cell_stats(spark.read.parquet(path), cents)
     meta = {
         "codebook": cents,

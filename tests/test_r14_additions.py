@@ -179,3 +179,47 @@ def test_append_keeps_partition_pruning(spark, tmp_path):
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "cluster" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# st.shared: ONE dim per example, every vector drawn at that dim
+_DIM = st.shared(st.integers(min_value=2, max_value=4), key="dim14")
+_VEC = _DIM.flatmap(
+    lambda d: st.lists(
+        st.integers(min_value=-31, max_value=31), min_size=d, max_size=d
+    ).filter(lambda v: any(x != 0 for x in v))
+)
+_CORPUS = st.lists(_VEC, min_size=8, max_size=24)
+
+
+@settings(max_examples=6, deadline=None)
+@given(_CORPUS, st.integers(min_value=2, max_value=4))
+def test_drift_report_invariants_hypothesis(spark, tmp_path_factory, vecs, k):
+    """Structural invariants over random corpora/splits: totals add up
+    to the nonzero-norm corpus, appends only grow cells (train rows
+    assign identically under the frozen codebook), and a cell's
+    baseline never changes post-append."""
+    rows = [
+        (i, [float(x) for x in v]) for i, v in enumerate(vecs)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    initial = df.filter(F.col("vec_id") % 2 == 0)
+    batch = df.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path_factory.mktemp("drift") / "ivf")
+    write_trained_ivf_index(
+        initial, path, "vec_id", n_clusters=k, n_iter=2, seed="h"
+    )
+    append_to_trained_ivf_index(batch, path, "vec_id")
+    rep = trained_ivf_drift_report(spark, path).collect()
+    n_initial = initial.count()  # test vectors are all nonzero-norm
+    n_all = len(rows)
+    assert sum(r["n_train"] for r in rep) == n_initial
+    assert sum(r["n_now"] for r in rep) == n_all
+    for r in rep:
+        assert r["n_now"] >= r["n_train"]
+        if r["n_train"] > 0 and r["n_now"] > 0:
+            assert r["share_ratio"] is not None and r["share_ratio"] > 0
