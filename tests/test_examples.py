@@ -62,3 +62,15 @@ def test_corpus_report_demo_runs():
     # PPS audit sample carries exactly its k picks
     assert "encoding-suspect docs: 0/" in stdout, stdout
     assert "carrying 50 picks" in stdout, stdout
+
+
+def test_trained_index_lifecycle_demo_runs(tmp_path):
+    stdout = _run(
+        "trained_index_lifecycle_demo.py",
+        "/root/testdata/sf0.01",
+        str(tmp_path / "work"),
+    )
+    assert "partition-pruned scan: True" in stdout, stdout
+    assert "mismatched codebook refused" in stdout, stdout
+    assert "fresh baseline reads unity: True" in stdout, stdout
+    assert "lifecycle demo complete" in stdout, stdout
