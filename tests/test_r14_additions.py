@@ -223,3 +223,37 @@ def test_drift_report_invariants_hypothesis(spark, tmp_path_factory, vecs, k):
         assert r["n_now"] >= r["n_train"]
         if r["n_train"] > 0 and r["n_now"] > 0:
             assert r["share_ratio"] is not None and r["share_ratio"] > 0
+
+
+def test_codebook_drift_oracle_generator_at_alternate_params(
+    spark, tmp_path
+):
+    """The catalog certifies _codebook_drift_sql at its fixed
+    constants (8 clusters / 2 rounds / seed km2 / %3 split); this pins
+    the GENERATOR itself — a different cluster count, unroll depth,
+    seed and split must still hash-match the live write→append→report
+    pipeline on the real sf0.001 table."""
+    from serverless_podcast_etl_spark.plans.catalog import (
+        _codebook_drift_sql,
+        _t,
+    )
+
+    from .oracle import compare
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = _t(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "alt_ivf")
+    write_trained_ivf_index(
+        emb.filter(F.col("vec_id") % 5 != 0), path, "vec_id",
+        n_clusters=3, n_iter=3, seed="alt2",
+    )
+    append_to_trained_ivf_index(
+        emb.filter(F.col("vec_id") % 5 == 0), path, "vec_id"
+    )
+    df = trained_ivf_drift_report(spark, path)
+    sql = _codebook_drift_sql(
+        n_clusters=3, n_iter=3, seed="alt2",
+        train_pred="vec_id % 5 <> 0",
+    )
+    problems = compare(df, sql, sf_dir)
+    assert not problems, "; ".join(problems)
