@@ -1774,7 +1774,17 @@ def _read_trained_ivf_meta(spark, path: str) -> dict:
     import json
 
     rows = spark.read.text(f"{path}/{_TRAINED_IVF_META}").collect()
-    return json.loads(rows[0]["value"])
+    lines = [r["value"] for r in rows if r["value"].strip()]
+    if len(lines) != 1:
+        # a missing or multi-part sidecar means the stamp cannot be
+        # trusted — refuse rather than probe/append blind (the write
+        # path emits exactly one coalesced line)
+        raise ValueError(
+            f"trained-IVF metadata sidecar at {path}/{_TRAINED_IVF_META} "
+            f"holds {len(lines)} non-empty lines (expected exactly 1) — "
+            "index stamp unreadable; rebuild with write_trained_ivf_index"
+        )
+    return json.loads(lines[0])
 
 
 def load_trained_ivf_index(

@@ -257,3 +257,21 @@ def test_codebook_drift_oracle_generator_at_alternate_params(
     )
     problems = compare(df, sql, sf_dir)
     assert not problems, "; ".join(problems)
+
+
+def test_corrupt_sidecar_refused(spark, tmp_path):
+    """A clobbered metadata sidecar must refuse with a clear message,
+    not IndexError/JSONDecodeError into a blind probe."""
+    emb = _emb(spark)
+    path = str(tmp_path / "ivf")
+    write_trained_ivf_index(emb, path, "vec_id", **KW)
+    # clobber: two non-empty lines
+    spark.range(1).select(
+        F.explode(F.array(F.lit("{}"), F.lit("{}"))).alias("v")
+    ).coalesce(1).write.mode("overwrite").text(
+        path + "/_trained_ivf_meta"
+    )
+    with pytest.raises(ValueError, match="stamp unreadable"):
+        load_trained_ivf_index(spark, path)
+    with pytest.raises(ValueError, match="stamp unreadable"):
+        append_to_trained_ivf_index(emb.limit(3), path, "vec_id")
