@@ -203,6 +203,7 @@ EXCLUDED = {
     # discipline (standalone sf0.1 timings recorded in NOTES r14)
     "q118_persisted_trained_ivf",
     "q119_codebook_drift",
+    "q120_bm25_retrieval",
 }
 
 

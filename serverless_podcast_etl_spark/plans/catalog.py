@@ -31,6 +31,7 @@ from ..operators import (
     joins,
     multimodal,
     packing,
+    retrieval,
     selection,
     similarity,
     windows,
@@ -4609,6 +4610,78 @@ ORDER BY cluster
 """
 
 
+def q120_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (operators/retrieval.bm25_topk) — the
+    sparse side of the retrieval family: inverted-list term equi-join,
+    query side broadcast, candidates bounded by posting-list lengths
+    (never |Q|×|corpus|).  Queries are the first 8 tokens of the three
+    lowest-id documents — the decontamination-probe shape ("which
+    corpus docs score highest against this eval snippet").  The
+    certified ``idf="rational"`` form keeps the ranking log-free
+    (NOTES fact 12), so tokenize → tf/df/dl → score → top-k all
+    hash-match the DuckDB twin."""
+    docs = _t(spark, sf_dir, "documents")
+    probes = docs.filter(F.col("doc_id") < 3).select(
+        "doc_id",
+        F.array_join(
+            F.slice(text.word_tokens(F.col("text")), 1, 8), " "
+        ).alias("text"),
+    )
+    return retrieval.bm25_topk(
+        probes, docs, query_id="doc_id", corpus_id="doc_id", k=10
+    )
+
+
+def _bm25_sql(
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_q_tokens: int = 8,
+    query_pred: str = "doc_id < 3",
+) -> str:
+    """DuckDB twin of q120.  Float literals are emitted via ``repr``
+    of the PYTHON-computed values (k1+1, 1−b, …) so both engines parse
+    the identical doubles; the contribution expression mirrors the
+    Spark parse tree operation-for-operation, and the only cross-row
+    double sum (the per-pair score) is certified empirically at both
+    SFs (the q01 class — reordering error sits ~8 decimal digits below
+    the round-to-4)."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> x <> '') AS toks
+  FROM documents),
+lens AS (SELECT doc_id, len(toks) AS dl FROM tok),
+stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+          FROM lens),
+postings AS (
+  SELECT neighbor_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT t.doc_id AS neighbor_id, l.dl, unnest(t.toks) AS term
+        FROM tok t JOIN lens l USING (doc_id))
+  GROUP BY neighbor_id, dl, term),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+          FROM postings GROUP BY term),
+qterms AS (
+  SELECT doc_id AS query_id,
+         unnest(list_distinct(toks[1:{n_q_tokens}])) AS term
+  FROM tok WHERE {query_pred}),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(SUM(((n + 1) / (df + 0.5)) * (tf * {k1 + 1.0!r})
+                   / (tf + {k1!r} * ({1.0 - b!r} + {b!r} * dl / avgdl))),
+               4) AS score
+  FROM postings JOIN dfreq USING (term) JOIN qterms USING (term)
+       CROSS JOIN stats
+  WHERE query_id <> neighbor_id
+  GROUP BY query_id, neighbor_id)
+SELECT query_id, neighbor_id, score, CAST(rank AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY score DESC, neighbor_id ASC) AS rank FROM scored)
+WHERE rank <= {k}
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "q01_pricing_summary": QueryDef(q01_pricing_summary, _Q01_SQL, "filter+agg+sort (A1/A3)"),
     "q02_event_type_counts": QueryDef(q02_event_type_counts, _Q02_SQL, "groupBy count desc (A1/O1)"),
@@ -5033,6 +5106,11 @@ CATALOG: dict[str, QueryDef] = {
         _codebook_drift_sql(),
         "trained-index codebook drift report (lifecycle)",
     ),
+    "q120_bm25_retrieval": QueryDef(
+        q120_bm25_retrieval,
+        _bm25_sql(),
+        "BM25 keyword retrieval (inverted-list top-k)",
+    ),
 }
 
 
@@ -5299,11 +5377,13 @@ DRIVER_OVERFLOW: frozenset[str] = frozenset(
         # r14 additions start in overflow, replica-certified, per the
         # standing convention (q118 persisted trained-IVF index +
         # pruned probe — the r13 VERDICT #3 pick; q119 codebook drift
-        # report — the r13 VERDICT #5 lifecycle, certified; backlog at
-        # r14 end: 2, within the ≤5 bound, both enter the window with
+        # report — the r13 VERDICT #5 lifecycle, certified; q120 BM25
+        # keyword retrieval — the sparse retrieval gap; backlog at
+        # r14 end: 3, within the ≤5 bound, all enter the window with
         # the r15 rotation)
         "q118_persisted_trained_ivf",
         "q119_codebook_drift",
+        "q120_bm25_retrieval",
     }
 )
 

@@ -60,6 +60,7 @@ ROTATED_OUT_R14 = {
 R15_BACKLOG = {
     "q118_persisted_trained_ivf",
     "q119_codebook_drift",
+    "q120_bm25_retrieval",
 }
 
 

@@ -84,6 +84,9 @@ CURVE_QUERIES = [
     "q118_persisted_trained_ivf",  # r14: the persisted form — train +
     # partitionBy(cluster) write + stamped reload + PRUNED probe; the
     # write and the partition-pruned scan must both stay corpus-linear
+    "q120_bm25_retrieval",  # r14: inverted-list BM25 — postings
+    # volume and the term-keyed join must scale with corpus tokens,
+    # candidates with posting-list lengths
     "q100_target_importance_select",
     "q101_target_coverage_audit",
     "q105_token_window_chunks",

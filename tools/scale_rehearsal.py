@@ -131,6 +131,10 @@ QUERIES = [
     # q119 adds the append + two stats scans of the lifecycle
     "q118_persisted_trained_ivf",
     "q119_codebook_drift",
+    # q120's postings build + term-keyed df join + score agg are the
+    # distributed paths — the inverted-list join must stay
+    # posting-list-bounded at 10x docs
+    "q120_bm25_retrieval",
 ]
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
