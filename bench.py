@@ -204,6 +204,7 @@ EXCLUDED = {
     "q118_persisted_trained_ivf",
     "q119_codebook_drift",
     "q120_bm25_retrieval",
+    "q121_hybrid_rrf",
 }
 
 

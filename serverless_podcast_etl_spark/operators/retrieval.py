@@ -20,6 +20,9 @@ per-query window.  Corpus-level scalars (N, avgdl) are one bounded
 
 from __future__ import annotations
 
+from functools import reduce
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -143,4 +146,71 @@ def bm25_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    k: int = 10,
+    k_rrf: int = 60,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked lists — the standard way to
+    combine a sparse (BM25) and a dense (embedding) retriever without
+    calibrating their incomparable score scales:
+
+        rrf(q, d) = Σ_i 1 / (k_rrf + rank_i(q, d))
+
+    with a document absent from system i contributing 0 for that term.
+    Each input must carry ``(query_id, neighbor_id, <rank_col>)`` with
+    ranks unique per (query, id) — the shape ``bm25_topk`` /
+    ``similarity.brute_force_topk`` emit.  Returns
+    ``(query_id, neighbor_id, rrf_score, rank)`` with the usual
+    (score DESC, neighbor_id ASC) row_number ranking, top-``k``.
+
+    Certifiability: the per-system rank lands in its own column (a
+    ``max(when(system = i))`` pivot — integer max, order-free), and the
+    fusion is ONE fixed-order expression ``t_0 + t_1 + …`` over those
+    columns — no cross-row float aggregation anywhere, so the score is
+    bit-identical across engines (the fact-12 concern never arises; a
+    ``SUM`` over tagged rows would have reintroduced shuffle-order
+    float addition).
+
+    Scale: every input is already top-k-bounded (|Q|·k_i rows), so the
+    union + pivot shuffle moves Σ|Q|·k_i rows — fusion cost is bounded
+    by the QUERY load regardless of corpus size; the heavy lifting
+    stays in the upstream retrievers.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    tagged = [
+        r.select(
+            "query_id",
+            "neighbor_id",
+            F.lit(i).alias("_sys"),
+            F.col(rank_col).alias("_r"),
+        )
+        for i, r in enumerate(rankings)
+    ]
+    u = reduce(lambda a, b: a.unionByName(b), tagged)
+    per_sys = u.groupBy("query_id", "neighbor_id").agg(
+        *[
+            F.max(F.when(F.col("_sys") == i, F.col("_r"))).alias(f"_r{i}")
+            for i in range(len(rankings))
+        ]
+    )
+    score: Column = F.lit(0.0)
+    for i in range(len(rankings)):  # fixed fold order = the SQL twin's
+        score = score + F.coalesce(
+            F.lit(1.0) / (F.lit(float(k_rrf)) + F.col(f"_r{i}")),
+            F.lit(0.0),
+        )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("neighbor_id")
+    )
+    return (
+        per_sys.withColumn("rrf_score", F.round(score, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rrf_score", "rank")
     )

@@ -4632,25 +4632,27 @@ def q120_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bm25_sql(
-    k: int = 10,
+def _bm25_ctes(
     k1: float = 1.2,
     b: float = 0.75,
     n_q_tokens: int = 8,
     query_pred: str = "doc_id < 3",
+    source: str = "documents",
 ) -> str:
-    """DuckDB twin of q120.  Float literals are emitted via ``repr``
-    of the PYTHON-computed values (k1+1, 1−b, …) so both engines parse
-    the identical doubles; the contribution expression mirrors the
-    Spark parse tree operation-for-operation, and the only cross-row
-    double sum (the per-pair score) is certified empirically at both
-    SFs (the q01 class — reordering error sits ~8 decimal digits below
-    the round-to-4)."""
-    return f"""
-WITH tok AS (
+    """Shared DuckDB CTE body for the BM25 ranking (q120 standalone,
+    q121's sparse arm): tokenize ``source`` → lens/stats → postings →
+    df → query terms → per-pair ``scored``.  Float literals are
+    emitted via ``repr`` of the PYTHON-computed values (k1+1, 1−b, …)
+    so both engines parse the identical doubles; the contribution
+    expression mirrors the Spark parse tree
+    operation-for-operation, and the only cross-row double sum (the
+    per-pair score) is certified empirically at both SFs (the q01
+    class — reordering error sits ~8 decimal digits below the
+    round-to-4)."""
+    return f"""tok AS (
   SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
                              x -> x <> '') AS toks
-  FROM documents),
+  FROM {source}),
 lens AS (SELECT doc_id, len(toks) AS dl FROM tok),
 stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
                  CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
@@ -4674,10 +4676,119 @@ scored AS (
   FROM postings JOIN dfreq USING (term) JOIN qterms USING (term)
        CROSS JOIN stats
   WHERE query_id <> neighbor_id
-  GROUP BY query_id, neighbor_id)
+  GROUP BY query_id, neighbor_id)"""
+
+
+def _bm25_sql(
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_q_tokens: int = 8,
+    query_pred: str = "doc_id < 3",
+) -> str:
+    """DuckDB twin of q120: the shared BM25 body + final top-k."""
+    body = _bm25_ctes(k1=k1, b=b, n_q_tokens=n_q_tokens, query_pred=query_pred)
+    return f"""
+WITH {body}
 SELECT query_id, neighbor_id, score, CAST(rank AS INT) AS rank
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id
         ORDER BY score DESC, neighbor_id ASC) AS rank FROM scored)
+WHERE rank <= {k}
+"""
+
+
+def q121_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (operators/retrieval.rrf_fuse): reciprocal-rank
+    fusion of the sparse BM25 arm (q120's operator, k_inner=20) and the
+    dense exact-cosine arm (q22's operator, k_inner=20) over the SAME
+    corpus — documents that carry an embedding (doc_id = vec_id).  The
+    production retrieval shape: two incomparably-scaled retrievers
+    combined on RANKS only, rrf = 1/(60+r_sparse) + 1/(60+r_dense).
+    Oracle-hash-exact because both arms' rankings are individually
+    certified (q120/q22 conventions) and the fusion is a fixed-order
+    two-term expression — no cross-row float sum (see rrf_fuse).
+
+    The joined corpus fans out to THREE consumers (probes, the sparse
+    tokenize, the dense scorer), so it is materialized at the fork
+    (fact 18; measured sf0.1 alternating A/B: 2.216 → 1.986 s median).
+    At production scale the same role is played by writing the joined
+    corpus to a table once — the staged-materialization pattern."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    corpus = (
+        docs.join(emb, "doc_id")
+        .select("doc_id", "text", "embedding")
+        .localCheckpoint(eager=True)
+    )
+    probes = corpus.filter(F.col("doc_id") < 3).select(
+        "doc_id",
+        F.array_join(
+            F.slice(text.word_tokens(F.col("text")), 1, 8), " "
+        ).alias("text"),
+        "embedding",
+    )
+    sparse = retrieval.bm25_topk(
+        probes, corpus, query_id="doc_id", corpus_id="doc_id", k=20
+    )
+    dense = similarity.brute_force_topk(
+        probes, corpus, query_id="doc_id", corpus_id="doc_id", k=20
+    )
+    return retrieval.rrf_fuse([sparse, dense], k=10, k_rrf=60)
+
+
+def _hybrid_rrf_sql(
+    k: int = 10,
+    k_inner: int = 20,
+    k_rrf: int = 60,
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_q_tokens: int = 8,
+    query_pred: str = "doc_id < 3",
+) -> str:
+    """DuckDB twin of q121: corpus = documents ⋈ embeddings, the shared
+    BM25 body over it, the q22-convention cosine ranking, then a FULL
+    JOIN fusion whose score is the same fixed-order two-term double
+    expression the Spark side folds (absent rank → 0 term)."""
+    body = _bm25_ctes(
+        k1=k1, b=b, n_q_tokens=n_q_tokens, query_pred=query_pred,
+        source="corpus",
+    )
+    return f"""
+WITH corpus AS (
+  SELECT d.doc_id, d.text, CAST(e.embedding AS DOUBLE[]) AS emb
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+{body},
+sparse AS (
+  SELECT * FROM (SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id
+        ORDER BY score DESC, neighbor_id ASC) AS srank FROM scored)
+  WHERE srank <= {k_inner}),
+dsc AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+         round(list_dot_product(q.emb, c.emb) /
+               (sqrt(list_dot_product(q.emb, q.emb)) *
+                sqrt(list_dot_product(c.emb, c.emb))), 4) AS cosine
+  FROM (SELECT * FROM corpus WHERE {query_pred}) q, corpus c
+  WHERE q.doc_id <> c.doc_id),
+dense AS (
+  SELECT * FROM (SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id
+        ORDER BY cosine DESC, neighbor_id ASC) AS drank FROM dsc)
+  WHERE drank <= {k_inner}),
+fused AS (
+  SELECT coalesce(s.query_id, d.query_id) AS query_id,
+         coalesce(s.neighbor_id, d.neighbor_id) AS neighbor_id,
+         round(coalesce(CAST(1.0 AS DOUBLE) / ({k_rrf} + s.srank),
+                        CAST(0.0 AS DOUBLE))
+               + coalesce(CAST(1.0 AS DOUBLE) / ({k_rrf} + d.drank),
+                          CAST(0.0 AS DOUBLE)), 6) AS rrf_score
+  FROM sparse s FULL JOIN dense d
+       ON s.query_id = d.query_id AND s.neighbor_id = d.neighbor_id)
+SELECT query_id, neighbor_id, rrf_score, CAST(rank AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY rrf_score DESC, neighbor_id ASC) AS rank FROM fused)
 WHERE rank <= {k}
 """
 
@@ -5111,6 +5222,11 @@ CATALOG: dict[str, QueryDef] = {
         _bm25_sql(),
         "BM25 keyword retrieval (inverted-list top-k)",
     ),
+    "q121_hybrid_rrf": QueryDef(
+        q121_hybrid_rrf,
+        _hybrid_rrf_sql(),
+        "hybrid sparse+dense retrieval (reciprocal-rank fusion)",
+    ),
 }
 
 
@@ -5378,12 +5494,14 @@ DRIVER_OVERFLOW: frozenset[str] = frozenset(
         # standing convention (q118 persisted trained-IVF index +
         # pruned probe — the r13 VERDICT #3 pick; q119 codebook drift
         # report — the r13 VERDICT #5 lifecycle, certified; q120 BM25
-        # keyword retrieval — the sparse retrieval gap; backlog at
-        # r14 end: 3, within the ≤5 bound, all enter the window with
+        # keyword retrieval — the sparse retrieval gap; q121 hybrid
+        # RRF fusion of the sparse + dense arms; backlog at
+        # r14 end: 4, within the ≤5 bound, all enter the window with
         # the r15 rotation)
         "q118_persisted_trained_ivf",
         "q119_codebook_drift",
         "q120_bm25_retrieval",
+        "q121_hybrid_rrf",
     }
 )
 

@@ -61,6 +61,7 @@ R15_BACKLOG = {
     "q118_persisted_trained_ivf",
     "q119_codebook_drift",
     "q120_bm25_retrieval",
+    "q121_hybrid_rrf",
 }
 
 

@@ -68,6 +68,8 @@ def test_no_cartesian_products(spark, sf_dir, name):
         "q80_unigram_lm_scores",
         # same one-row totals attach, onto the ≤k-row drift report
         "q119_codebook_drift",
+        # composes q22's exact scorer as the dense arm of the fusion
+        "q121_hybrid_rrf",
     }
     plan = physical_plan(CATALOG[name].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan, name

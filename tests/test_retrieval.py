@@ -140,3 +140,133 @@ def test_bm25_oracle_generator_at_alternate_params(spark):
     )
     problems = compare(df, sql, sf_dir)
     assert not problems, "; ".join(problems)
+
+
+# -- q121 (r14): reciprocal-rank fusion ---------------------------------------
+
+
+def _py_rrf(rankings, k, k_rrf=60):
+    """rankings: list of dict[qid -> list[(nid, rank)]]."""
+    keys = {}
+    for i, r in enumerate(rankings):
+        for qid, lst in r.items():
+            for nid, rank in lst:
+                keys.setdefault((qid, nid), [None] * len(rankings))[i] = rank
+    fused = {}
+    for (qid, nid), ranks in keys.items():
+        s = 0.0
+        for r in ranks:  # fixed fold order, matching the operator
+            s += 1.0 / (k_rrf + r) if r is not None else 0.0
+        fused.setdefault(qid, []).append((nid, round(s, 6)))
+    out = {}
+    for qid, lst in fused.items():
+        ranked = sorted(lst, key=lambda t: (-t[1], t[0]))[:k]
+        out[qid] = [(n, s, i + 1) for i, (n, s) in enumerate(ranked)]
+    return out
+
+
+_RANKLIST = st.lists(
+    st.integers(min_value=0, max_value=15), min_size=0, max_size=6,
+    unique=True,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.dictionaries(
+            st.integers(min_value=0, max_value=2), _RANKLIST,
+            min_size=1, max_size=3,
+        ),
+        min_size=1, max_size=3,
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+def test_rrf_matches_python(spark, systems, k):
+    """Fusion of arbitrary per-system top lists (docs present in any
+    subset of systems) matches the plain-Python twin exactly."""
+    from serverless_podcast_etl_spark.operators.retrieval import rrf_fuse
+
+    rankings, frames = [], []
+    for sysmap in systems:
+        r = {q: [(n, i + 1) for i, n in enumerate(lst)]
+             for q, lst in sysmap.items()}
+        rankings.append(r)
+        rows = [(q, n, rk) for q, lst in r.items() for n, rk in lst]
+        frames.append(
+            spark.createDataFrame(
+                rows or [(None, None, None)],
+                "query_id long, neighbor_id long, rank int",
+            ).filter(F.col("query_id").isNotNull())
+        )
+    got: dict = {}
+    for row in rrf_fuse(frames, k=k).collect():
+        got.setdefault(row["query_id"], []).append(
+            (row["neighbor_id"], row["rrf_score"], row["rank"])
+        )
+    want = _py_rrf(rankings, k=k)
+    want = {q: v for q, v in want.items() if v}
+    assert {q: sorted(v) for q, v in got.items()} == {
+        q: sorted(v) for q, v in want.items()
+    }
+
+
+def test_rrf_directed_edges(spark):
+    from serverless_podcast_etl_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2)], "query_id long, neighbor_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(0, 11, 1), (0, 12, 2)], "query_id long, neighbor_id long, rank int"
+    )
+    rows = {r["neighbor_id"]: (r["rrf_score"], r["rank"])
+            for r in rrf_fuse([a, b], k=10).collect()}
+    # doc 11 appears in both systems -> two terms; 10/12 -> one each
+    assert rows[11] == (round(1 / 62 + 1 / 61, 6), 1)
+    assert rows[10] == (round(1 / 61, 6), 2)  # id tie-break vs 12's 1/62
+    assert rows[12] == (round(1 / 62, 6), 3)
+    import pytest
+
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
+
+
+def test_hybrid_rrf_generator_at_alternate_params(spark):
+    """Pin the q121 GENERATOR: different inner-k, rrf constant, final k
+    and query set must still hash-match the engine on the real
+    sf0.001 tables."""
+    from serverless_podcast_etl_spark.functions import text as text_fns
+    from serverless_podcast_etl_spark.operators.retrieval import (
+        bm25_topk,
+        rrf_fuse,
+    )
+    from serverless_podcast_etl_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from serverless_podcast_etl_spark.plans.catalog import _hybrid_rrf_sql, _t
+
+    from .oracle import compare
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    corpus = docs.join(emb, "doc_id").select("doc_id", "text", "embedding")
+    probes = corpus.filter(F.col("doc_id") % 11 == 0).select(
+        "doc_id",
+        F.array_join(
+            F.slice(text_fns.word_tokens(F.col("text")), 1, 6), " "
+        ).alias("text"),
+        "embedding",
+    )
+    sparse = bm25_topk(probes, corpus, "doc_id", "doc_id", k=7)
+    dense = brute_force_topk(probes, corpus, "doc_id", "doc_id", k=7)
+    df = rrf_fuse([sparse, dense], k=5, k_rrf=10)
+    sql = _hybrid_rrf_sql(
+        k=5, k_inner=7, k_rrf=10, n_q_tokens=6,
+        query_pred="doc_id % 11 = 0",
+    )
+    problems = compare(df, sql, sf_dir)
+    assert not problems, "; ".join(problems)

@@ -47,6 +47,10 @@ BNLJ_WHITELIST: dict[str, str] = {
         "(operators/similarity.py trained_ivf_drift_report — the q80 "
         "pattern; both sides bounded by the codebook size)"
     ),
+    "q121_hybrid_rrf": (
+        "composes q22's exact arm (the dense retriever of the RRF "
+        "fusion — probes broadcast vs corpus)"
+    ),
 }
 
 

@@ -87,6 +87,8 @@ CURVE_QUERIES = [
     "q120_bm25_retrieval",  # r14: inverted-list BM25 — postings
     # volume and the term-keyed join must scale with corpus tokens,
     # candidates with posting-list lengths
+    "q121_hybrid_rrf",  # r14: sparse+dense fusion — slope must track
+    # the two arms (the rank fusion itself is |Q|-bounded)
     "q100_target_importance_select",
     "q101_target_coverage_audit",
     "q105_token_window_chunks",

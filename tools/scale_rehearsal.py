@@ -135,6 +135,10 @@ QUERIES = [
     # distributed paths — the inverted-list join must stay
     # posting-list-bounded at 10x docs
     "q120_bm25_retrieval",
+    # q121 composes both retriever arms over the joined corpus
+    # (materialized once at its fan-out) + the rank-only fusion; cost
+    # must track the arms, the fusion staying |Q|-bounded
+    "q121_hybrid_rrf",
 ]
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
