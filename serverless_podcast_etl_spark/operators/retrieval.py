@@ -94,18 +94,44 @@ def bm25_topk(
     contributes ≈ idf_min per doc but costs a full posting-list scan,
     exactly as in any inverted index.
     """
+    postings = build_bm25_index(corpus, corpus_id, text_col)
+    stats = _corpus_stats(corpus, corpus_id, text_col)
+    return _score_postings(
+        postings, queries, query_id, text_col,
+        n_docs=stats["n_docs"], total_dl=stats["total_dl"],
+        k=k, k1=k1, b=b, idf=idf,
+    )
+
+
+def _corpus_stats(
+    corpus: DataFrame, corpus_id: str, text_col: str
+) -> dict:
+    """Exact integer corpus stats: document count and total token
+    length — one bounded 1-row collect.  Kept as INTS so a stamped
+    index sidecar round-trips them losslessly; ``avgdl`` is derived
+    the same way (``float(total)/n``) at every consumer."""
+    row = (
+        corpus.select(
+            F.size(word_tokens(F.col(text_col))).alias("dl")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("tot"))
+        .collect()[0]
+    )
+    return {"n_docs": int(row["n"]), "total_dl": int(row["tot"] or 0)}
+
+
+def build_bm25_index(
+    corpus: DataFrame, corpus_id: str, text_col: str = "text"
+) -> DataFrame:
+    """The BM25 postings frame ``(neighbor_id, dl, term, tf, df)`` —
+    document frequency joined onto the postings at build time (the
+    ``groupBy(term)`` shuffle is reused by the join back — same key,
+    NOTES fact 19), so a PERSISTED index needs no corpus pass at probe
+    time: probe = scan + query join + score."""
     toks = ensure_parallelism(corpus).select(
         F.col(corpus_id).alias("neighbor_id"),
         word_tokens(F.col(text_col)).alias("_toks"),
     )
-    lens = toks.select("neighbor_id", F.size("_toks").alias("dl"))
-    stats = lens.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("tot")
-    ).collect()[0]  # bounded: one row (N + total length)
-    n_docs, avgdl = int(stats["n"]), float(stats["tot"]) / max(
-        int(stats["n"]), 1
-    )
-
     postings = (
         toks.select(
             "neighbor_id", F.size("_toks").alias("dl"),
@@ -114,27 +140,41 @@ def bm25_topk(
         .groupBy("neighbor_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    # df over the (neighbor_id, term)-unique postings; the join back
-    # on term reuses the term-keyed exchange (fact 19)
     dfreq = postings.groupBy("term").agg(
         F.count(F.lit(1)).alias("df")
     )
+    return postings.join(dfreq, "term")
 
+
+def _score_postings(
+    postings: DataFrame,
+    queries: DataFrame,
+    query_id: str,
+    text_col: str,
+    n_docs: int,
+    total_dl: int,
+    k: int,
+    k1: float,
+    b: float,
+    idf: str,
+) -> DataFrame:
+    """Shared scoring tail (direct ``bm25_topk`` AND the persisted
+    probe run exactly this plan over their postings source, so the two
+    paths cannot drift): broadcast the deduped query terms into the
+    term equi-join, sum contributions per pair, rank per query."""
+    avgdl = float(total_dl) / max(n_docs, 1)
     qterms = queries.select(
         F.col(query_id).alias("query_id"),
         F.explode(
             F.array_distinct(word_tokens(F.col(text_col)))
         ).alias("term"),
     )
-
     norm = F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.lit(avgdl)
     contrib = _idf(F.col("df"), n_docs, idf) * (
         F.col("tf") * F.lit(k1 + 1.0)
     ) / (F.col("tf") + F.lit(k1) * norm)
-
     scored = (
-        postings.join(dfreq, "term")
-        .join(F.broadcast(qterms), "term")  # queries ≪ corpus
+        postings.join(F.broadcast(qterms), "term")  # queries ≪ corpus
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .groupBy("query_id", "neighbor_id")
         .agg(F.round(F.sum(contrib), 4).alias("score"))
@@ -213,4 +253,133 @@ def rrf_fuse(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rrf_score", "rank")
+    )
+
+
+_BM25_META = "_bm25_meta"
+_BM25_TOKENIZER = "word_tokens/lower-ws-v1"
+
+
+def write_bm25_index(
+    corpus: DataFrame,
+    path: str,
+    corpus_id: str,
+    text_col: str = "text",
+) -> dict:
+    """Persist the BM25 inverted index — the sparse analog of
+    ``similarity.write_trained_ivf_index``'s build-once/probe-forever
+    contract: the postings frame (df embedded) is written
+    ``repartitionByRange("term").sortWithinPartitions("term")`` so
+    every parquet file covers a contiguous term range and a probe's
+    ``term IN (...)`` pushdown skips whole files/row-groups via
+    min/max stats; the exact-integer corpus stats (n_docs, total_dl)
+    and the tokenizer tag are stamped in a metadata sidecar (written
+    THROUGH Spark, so the index lives wherever the table does).
+    Returns the stamped metadata dict.
+
+    NO append operation exists, deliberately: document frequency is
+    GLOBAL, so appending documents changes ``df`` (and n_docs/avgdl)
+    for every EXISTING posting — unlike the trained IVF, where the
+    frozen codebook makes append-under-stamp exact, there is no
+    frozen-stat BM25 append that scores correctly.  Rebuild to absorb
+    growth; ``trained_ivf``'s drift-report analog is unnecessary
+    because staleness here is simply "the corpus changed".
+    """
+    import json
+
+    stats = _corpus_stats(corpus, corpus_id, text_col)
+    index = build_bm25_index(corpus, corpus_id, text_col)
+    (
+        index.repartitionByRange(F.col("term"))
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    meta = {
+        "n_docs": stats["n_docs"],
+        "total_dl": stats["total_dl"],
+        "tokenizer": _BM25_TOKENIZER,
+    }
+    spark = corpus.sparkSession
+    # JVM-side 1-row literal frame (NOTES fact 23): createDataFrame
+    # over local data pays a Python-worker launch per partition
+    spark.range(1).select(
+        F.lit(json.dumps(meta)).alias("v")
+    ).coalesce(1).write.mode("overwrite").text(f"{path}/{_BM25_META}")
+    return meta
+
+
+def load_bm25_index(spark, path: str) -> tuple[DataFrame, dict]:
+    """Read-path stamp check (the ``load_trained_ivf_index``
+    convention): return the postings frame plus the stamped stats,
+    refusing an unreadable or foreign-tokenizer sidecar — probing with
+    the wrong stats or a different tokenization silently returns
+    wrong scores."""
+    import json
+
+    rows = spark.read.text(f"{path}/{_BM25_META}").collect()
+    lines = [r["value"] for r in rows if r["value"].strip()]
+    if len(lines) != 1:
+        raise ValueError(
+            f"BM25 metadata sidecar at {path}/{_BM25_META} holds "
+            f"{len(lines)} non-empty lines (expected exactly 1) — "
+            "index stamp unreadable; rebuild with write_bm25_index"
+        )
+    meta = json.loads(lines[0])
+    if meta.get("tokenizer") != _BM25_TOKENIZER:
+        raise ValueError(
+            f"BM25 index at {path} was built with tokenizer "
+            f"{meta.get('tokenizer')!r}, this engine scores with "
+            f"{_BM25_TOKENIZER!r} — refusing to probe across "
+            "tokenizations; rebuild with write_bm25_index"
+        )
+    return spark.read.parquet(path), meta
+
+
+def bm25_probe_topk(
+    queries: DataFrame,
+    index: DataFrame,
+    meta: dict,
+    query_id: str,
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    idf: str = "rational",
+    prune: bool = True,
+) -> DataFrame:
+    """BM25 top-k against a persisted ``write_bm25_index`` table — the
+    production form: no corpus pass at probe time; the scoring plan is
+    literally ``bm25_topk``'s shared tail (``_score_postings``), so a
+    round-trip through parquet changes nothing the result hash can see
+    (the q118 story, sparse edition).
+
+    ``prune=True`` collects the distinct query terms — bounded by
+    |Q| × query length, the same queries-≪-corpus contract the
+    broadcast join already assumes — into a literal ``isin`` filter,
+    which reaches the parquet scan as a pushed ``In(term, …)``: with
+    the index range-partitioned and sorted on term, only the files/
+    row-groups whose [min, max] term range intersects the query
+    vocabulary are read off disk (the partition-pruning analog for a
+    high-cardinality key).  Shares ``bm25_topk``'s id-space
+    PRECONDITION.
+    """
+    if prune:
+        terms = [
+            r["t"]
+            for r in queries.select(
+                F.explode(
+                    F.array_distinct(word_tokens(F.col(text_col)))
+                ).alias("t")
+            )
+            .distinct()
+            .collect()  # bounded: query vocabulary
+        ]
+        index = index.filter(
+            F.col("term").isin(terms) if terms else F.lit(False)
+        )
+    return _score_postings(
+        index, queries, query_id, text_col,
+        n_docs=int(meta["n_docs"]), total_dl=int(meta["total_dl"]),
+        k=k, k1=k1, b=b, idf=idf,
     )

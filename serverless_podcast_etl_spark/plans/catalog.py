@@ -4697,6 +4697,54 @@ WHERE rank <= {k}
 """
 
 
+def q122_bm25_indexed_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production-shaped BM25 path (the q118 contract, sparse
+    edition): write the inverted index — postings with df embedded,
+    range-partitioned and sorted on term, exact-integer corpus stats
+    stamped in the sidecar (retrieval.write_bm25_index) — load it back
+    through the stamp/tokenizer check, and probe the ON-DISK table
+    with ``bm25_probe_topk(prune=True)``: the query vocabulary becomes
+    a pushed ``In(term, …)`` on the index scan, so a probe reads the
+    query terms' posting lists off disk, not the corpus.  The probe's
+    scoring tail is literally ``bm25_topk``'s (shared
+    ``_score_postings``), so the parquet round-trip changes nothing
+    the hash can see — the SAME oracle generator certifies direct and
+    indexed forms.  Distinct params from q120 (probes 5–9,
+    6-token snippets, k=8) so the two entries certify independent
+    shapes.  Probe count stays a CONSTANT handful (the q22/q120
+    convention — queries ≪ corpus is the probe contract): the
+    synthetic corpus has a tiny vocabulary, so every term is
+    stopword-dense and per-query candidates approach |corpus|; a
+    measured every-5th variant (1000 probes at sf0.1) cost 28–30 s
+    against ~1 s for this shape — scoring volume is
+    Σ_q Σ_{t∈q} df(t), and |Q| multiplies it.  With |Q| fixed, the
+    SF curve isolates what the entry is FOR: the token-linear index
+    build + a bounded probe."""
+    import os
+
+    docs = _t(spark, sf_dir, "documents")
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    path = os.path.join(
+        repo, ".cache", "q122_bm25_index",
+        os.path.basename(os.path.normpath(sf_dir)) or "sf",
+    )
+    retrieval.write_bm25_index(docs, path, "doc_id")
+    index, meta = retrieval.load_bm25_index(spark, path)
+    probes = docs.filter(
+        (F.col("doc_id") >= 5) & (F.col("doc_id") < 10)
+    ).select(
+        "doc_id",
+        F.array_join(
+            F.slice(text.word_tokens(F.col("text")), 1, 6), " "
+        ).alias("text"),
+    )
+    return retrieval.bm25_probe_topk(
+        probes, index, meta, query_id="doc_id", k=8, prune=True
+    )
+
+
 def q121_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval (operators/retrieval.rrf_fuse): reciprocal-rank
     fusion of the sparse BM25 arm (q120's operator, k_inner=20) and the
@@ -5227,6 +5275,12 @@ CATALOG: dict[str, QueryDef] = {
         _hybrid_rrf_sql(),
         "hybrid sparse+dense retrieval (reciprocal-rank fusion)",
     ),
+    "q122_bm25_indexed_retrieval": QueryDef(
+        q122_bm25_indexed_retrieval,
+        _bm25_sql(k=8, n_q_tokens=6,
+                  query_pred="doc_id >= 5 AND doc_id < 10"),
+        "persisted BM25 inverted index + term-pruned probe",
+    ),
 }
 
 
@@ -5495,13 +5549,15 @@ DRIVER_OVERFLOW: frozenset[str] = frozenset(
         # pruned probe — the r13 VERDICT #3 pick; q119 codebook drift
         # report — the r13 VERDICT #5 lifecycle, certified; q120 BM25
         # keyword retrieval — the sparse retrieval gap; q121 hybrid
-        # RRF fusion of the sparse + dense arms; backlog at
-        # r14 end: 4, within the ≤5 bound, all enter the window with
-        # the r15 rotation)
+        # RRF fusion of the sparse + dense arms; q122 persisted BM25
+        # index + pruned probe — the q118 contract, sparse edition;
+        # backlog at r14 end: 5, at the ≤5 bound exactly, all enter
+        # the window with the r15 rotation)
         "q118_persisted_trained_ivf",
         "q119_codebook_drift",
         "q120_bm25_retrieval",
         "q121_hybrid_rrf",
+        "q122_bm25_indexed_retrieval",
     }
 )
 

@@ -62,6 +62,7 @@ R15_BACKLOG = {
     "q119_codebook_drift",
     "q120_bm25_retrieval",
     "q121_hybrid_rrf",
+    "q122_bm25_indexed_retrieval",
 }
 
 

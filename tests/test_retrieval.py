@@ -270,3 +270,93 @@ def test_hybrid_rrf_generator_at_alternate_params(spark):
     )
     problems = compare(df, sql, sf_dir)
     assert not problems, "; ".join(problems)
+
+
+# -- q122 (r14): persisted BM25 index lifecycle -------------------------------
+
+
+def _bm25_index(spark, tmp_path, docs):
+    from serverless_podcast_etl_spark.operators.retrieval import (
+        load_bm25_index,
+        write_bm25_index,
+    )
+
+    path = str(tmp_path / "bm25_index")
+    meta = write_bm25_index(docs, path, "doc_id")
+    index, loaded = load_bm25_index(spark, path)
+    assert loaded == meta
+    return path, index, loaded
+
+
+def test_bm25_index_roundtrip_and_prune_parity(spark, tmp_path):
+    """probe(write→load) == direct bm25_topk, exactly; prune=True ==
+    prune=False; and the pruned scan carries a pushed In(term) — the
+    read-side contract the range-partitioned sorted write exists
+    for."""
+    from serverless_podcast_etl_spark.operators.retrieval import (
+        bm25_probe_topk,
+        bm25_topk,
+    )
+    from serverless_podcast_etl_spark.plans.catalog import _t
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = _t(spark, sf_dir, "documents")
+    probes = docs.filter(F.col("doc_id") % 9 == 2).select(
+        "doc_id", F.substring("text", 1, 40).alias("text")
+    )
+    _, index, meta = _bm25_index(spark, tmp_path, docs)
+
+    direct = bm25_topk(probes, docs, "doc_id", "doc_id", k=6)
+    probed = bm25_probe_topk(
+        probes, index, meta, "doc_id", k=6, prune=True
+    )
+    unpruned = bm25_probe_topk(
+        probes, index, meta, "doc_id", k=6, prune=False
+    )
+    want = sorted(map(tuple, direct.collect()))
+    assert sorted(map(tuple, probed.collect())) == want
+    assert sorted(map(tuple, unpruned.collect())) == want
+    assert len(want) > 0
+
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "In(term" in plan, plan[:2000]
+
+
+def test_bm25_index_refusals(spark, tmp_path):
+    """Unreadable sidecar, foreign tokenizer, and the empty-query
+    prune path all behave per contract."""
+    import json
+
+    import pytest
+
+    from serverless_podcast_etl_spark.operators.retrieval import (
+        _BM25_META,
+        bm25_probe_topk,
+        load_bm25_index,
+    )
+    from serverless_podcast_etl_spark.plans.catalog import _t
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = _t(spark, sf_dir, "documents")
+    path, index, meta = _bm25_index(spark, tmp_path, docs)
+
+    # empty query side -> empty result under prune (isin([]) guard)
+    empty = docs.filter(F.lit(False)).select(
+        "doc_id", F.col("text")
+    )
+    assert bm25_probe_topk(empty, index, meta, "doc_id").count() == 0
+
+    # corrupt the sidecar to 2 lines -> refuse
+    spark.createDataFrame(
+        [("x",), ("y",)], "value string"
+    ).coalesce(1).write.mode("overwrite").text(f"{path}/{_BM25_META}")
+    with pytest.raises(ValueError, match="unreadable"):
+        load_bm25_index(spark, path)
+
+    # foreign tokenizer stamp -> refuse
+    bad = dict(meta, tokenizer="other-tokenizer-v9")
+    spark.range(1).select(
+        F.lit(json.dumps(bad)).alias("v")
+    ).coalesce(1).write.mode("overwrite").text(f"{path}/{_BM25_META}")
+    with pytest.raises(ValueError, match="tokeniz"):
+        load_bm25_index(spark, path)

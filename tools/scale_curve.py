@@ -89,6 +89,8 @@ CURVE_QUERIES = [
     # candidates with posting-list lengths
     "q121_hybrid_rrf",  # r14: sparse+dense fusion — slope must track
     # the two arms (the rank fusion itself is |Q|-bounded)
+    "q122_bm25_indexed_retrieval",  # r14: index write + pruned probe
+    # — the write must stay token-linear, the probe vocabulary-bounded
     "q100_target_importance_select",
     "q101_target_coverage_audit",
     "q105_token_window_chunks",

@@ -139,6 +139,10 @@ QUERIES = [
     # (materialized once at its fan-out) + the rank-only fusion; cost
     # must track the arms, the fusion staying |Q|-bounded
     "q121_hybrid_rrf",
+    # q122 adds the index WRITE (range-partitioned on term) and the
+    # term-pruned probe — build linear in corpus tokens, probe
+    # bounded by the query vocabulary's posting lists
+    "q122_bm25_indexed_retrieval",
 ]
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
