@@ -74,3 +74,15 @@ def test_trained_index_lifecycle_demo_runs(tmp_path):
     assert "mismatched codebook refused" in stdout, stdout
     assert "fresh baseline reads unity: True" in stdout, stdout
     assert "lifecycle demo complete" in stdout, stdout
+
+
+def test_hybrid_search_demo_runs(tmp_path):
+    stdout = _run(
+        "hybrid_search_demo.py",
+        "/root/testdata/sf0.01",
+        str(tmp_path / "work"),
+    )
+    assert "term-pruned index scan: True" in stdout, stdout
+    assert "fused top-5 per probe" in stdout, stdout
+    assert "no append by design" in stdout, stdout
+    assert "hybrid search demo complete" in stdout, stdout
