@@ -1,11 +1,17 @@
-"""Lexical (keyword) retrieval over text columns: BM25 top-k.
+"""Lexical (keyword) retrieval over text columns, and rank fusion.
 
-The retrieval family so far is dense (brute cosine → LSH → IVF over
-embeddings, operators/similarity.py); this module adds the sparse
-side — the classic inverted-index ranking a training-data pipeline
-reaches for when there are no embeddings yet: decontamination probes
-("which corpus docs score highest against this eval question"),
-target-corpus affinity checks, and plain search over a crawl.
+The retrieval family elsewhere is dense (brute cosine → LSH → IVF
+over embeddings, operators/similarity.py); this module adds the
+sparse side — the classic inverted-index ranking a training-data
+pipeline reaches for when there are no embeddings yet:
+decontamination probes ("which corpus docs score highest against
+this eval question"), target-corpus affinity checks, and plain
+search over a crawl — plus the two production companions: a
+PERSISTED inverted index (``write_bm25_index`` /
+``bm25_probe_topk`` — build once, probe forever, term-pruned scans)
+and ``rrf_fuse``, reciprocal-rank fusion of any N ranked lists
+(the standard sparse+dense combiner; rank-only, so it composes
+``bm25_topk`` with any ``similarity`` top-k unchanged).
 
 Spark-first shape (the 100 TB story): the corpus is tokenized ONCE
 into a postings frame ``(doc_id, term, tf, dl)``; document frequency
@@ -15,7 +21,11 @@ term equi-join, so candidate volume is Σ_{t∈query} df(t) — only
 documents sharing a query term are ever touched, never |Q|×|corpus|;
 per-(query, doc) scores partial-aggregate map-side; top-k is a
 per-query window.  Corpus-level scalars (N, avgdl) are one bounded
-1-row collect inlined as literals.
+1-row collect inlined as literals.  NOTE the |Q| side of that sum:
+with a stopword-dense vocabulary, every query term can touch a
+posting list approaching |corpus| — query LOAD, not corpus size, is
+what a caller scales by (measured: 1000 probes cost ~30× a 5-probe
+batch at the same SF).
 """
 
 from __future__ import annotations
