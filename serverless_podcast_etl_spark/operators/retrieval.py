@@ -393,3 +393,124 @@ def bm25_probe_topk(
         n_docs=int(meta["n_docs"]), total_dl=int(meta["total_dl"]),
         k=k, k1=k1, b=b, idf=idf,
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 10,
+    lam: float = 0.5,
+    query_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    rel_col: str = "score",
+    vec_col: str = "embedding",
+    max_candidates: int = 2048,
+) -> DataFrame:
+    """Greedy maximal-marginal-relevance diversification of a
+    retriever's per-query top-N: repeatedly select the candidate
+    maximizing
+
+        mmr(c) = lam·rel(c) − (1−lam)·max_{s ∈ selected} sim(c, s)
+
+    (first pick: the max term over the empty set is 0, so pure
+    relevance), emitting ``(query_col, id_col, mmr_score, rank)`` for
+    the first ``k`` picks.  The standard answer to "my top-k is ten
+    near-copies of the same document" — for training-data curation,
+    the per-query form of SemDeDup-style diversity.
+
+    EXACTNESS BY CONSTRUCTION (the fact-21 playbook, float edition):
+    candidate similarity is cosine over the int8-QUANTIZED vectors
+    (``similarity.quantize_embeddings_int8``'s certified formula), so
+    every dot/norm is an order-free integer sum; the remaining
+    arithmetic is single IEEE-754 operations on identical doubles —
+    ``dot/sqrt(na·nb)`` (products < 2^53, hence exact),
+    ``floor(cos·10⁴)/10⁴`` truncation (NOT round: floor is the same
+    single op everywhere, immune to the banker's-vs-half-up split),
+    then ``lam·rel − lam1·maxsim`` with ``lam``/``lam1`` passed as
+    the same double literals to any SQL twin.  A k-step CTE unroll
+    therefore hash-matches this kernel exactly (the q117 Lloyd-unroll
+    precedent); ties break to the lower candidate id.
+
+    Contract: ``rel_col`` must itself be cross-engine exact (a rounded
+    certified score — e.g. q22's 4-dp cosine — or a rank-derived
+    1/(60+rank)); candidates per query are a retriever's top-N,
+    capped at ``max_candidates`` (the kernel builds an n×n integer
+    Gram matrix per group — the cap refuses quadratic blowup the way
+    ``EXACT_NEARDUP_MAX_ROWS`` does).
+
+    Scale: one shuffle on ``query_col`` (the applyInPandas group
+    exchange); each group is top-N-bounded so per-group work is
+    O(N²·d) on an Arrow batch, independent of corpus size.  |Q| is
+    the load knob (NOTES fact 24).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import quantize_embeddings_int8
+
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"mmr_rerank: lam must be in [0, 1], got {lam}")
+    lam_d, lam1_d = float(lam), 1.0 - float(lam)
+
+    q = quantize_embeddings_int8(
+        candidates, id_col, vec_col, scale_col="_mmr_scale", q_col="_mmr_q"
+    ).select(
+        F.col(query_col).alias("_qid"),
+        F.col(id_col).alias("_nid"),
+        F.col(rel_col).cast("double").alias("_rel"),
+        F.col("_mmr_q"),
+    )
+
+    out_schema = (
+        f"{query_col} {candidates.schema[query_col].dataType.simpleString()}, "
+        f"{id_col} {candidates.schema[id_col].dataType.simpleString()}, "
+        "mmr_score double, rank int"
+    )
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n > max_candidates:
+            raise ValueError(
+                f"mmr_rerank: {n} candidates in one query group exceeds "
+                f"max_candidates={max_candidates} — pass a retriever top-N, "
+                "not a corpus"
+            )
+        pdf = pdf.sort_values("_nid", kind="mergesort").reset_index(drop=True)
+        codes = np.array(pdf["_mmr_q"].tolist(), dtype=np.int64)
+        gram = codes @ codes.T  # exact int64: |dot| <= 127^2 * dim
+        norms = np.diag(gram)
+        denom = np.sqrt((norms[:, None] * norms[None, :]).astype(np.float64))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(denom > 0, gram / denom, 0.0)
+        sim = np.floor(cos * 10000.0) / 10000.0
+        rel = pdf["_rel"].to_numpy(dtype=np.float64)
+        selected: list[int] = []
+        scores: list[float] = []
+        maxsim = None  # true max-sim to the selected set (may be < 0)
+        taken = np.zeros(n, dtype=bool)
+        for _ in range(min(k, n)):
+            if maxsim is None:
+                obj = lam_d * rel  # empty set: pure relevance
+            else:
+                obj = lam_d * rel - lam1_d * maxsim
+            obj = np.where(taken, -np.inf, obj)
+            pick = int(np.argmax(obj))  # ids ascending -> lowest id wins ties
+            selected.append(pick)
+            scores.append(float(obj[pick]))
+            taken[pick] = True
+            col = sim[:, pick]
+            maxsim = col.copy() if maxsim is None else np.maximum(maxsim, col)
+        return pd.DataFrame(
+            {
+                query_col: pdf["_qid"].iloc[selected].to_numpy(),
+                id_col: pdf["_nid"].iloc[selected].to_numpy(),
+                "mmr_score": np.array(scores, dtype=np.float64),
+                "rank": np.arange(1, len(selected) + 1, dtype=np.int32),
+            }
+        )
+
+    out = q.groupBy("_qid").applyInPandas(_greedy, schema=out_schema)
+    # final rounding OUTSIDE the kernel, via Spark's F.round — the
+    # rounding implementation already certified against DuckDB's
+    # (numpy's scale-rint-rescale is a THIRD rounding path, and
+    # lam=0.5 scores land on exact 5e-6 multiples constantly)
+    return out.withColumn("mmr_score", F.round("mmr_score", 6))
