@@ -142,11 +142,16 @@ def _mmr_sql(
         "floor((list_dot_product(c.qs, sq.qs) / sqrt(c.nq * sq.nq)) "
         "* 10000.0) / 10000.0 ELSE 0.0 END"
     )
+    # AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs at
+    # every reference, and each unroll step references sel_{i-1} three
+    # times -> EXPONENTIAL expansion in k (k=8 ran the machine out of
+    # file handles re-opening the parquet); materializing cq and the
+    # sel chain makes the unroll linear.
     steps = []
     for i in range(2, k + 1):
         prev = f"sel{i - 1}"
         steps.append(f"""
-pick{i} AS (
+pick{i} AS MATERIALIZED (
   SELECT query_id, neighbor_id, mmr, {i} AS rank FROM (
     SELECT query_id, neighbor_id, mmr, row_number() OVER (
         PARTITION BY query_id ORDER BY mmr DESC, neighbor_id ASC) AS rn
@@ -162,7 +167,8 @@ pick{i} AS (
                           AND x.neighbor_id = c.neighbor_id)
       GROUP BY c.query_id, c.neighbor_id, c.cosine))
   WHERE rn = 1),
-sel{i} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM pick{i})""")
+sel{i} AS MATERIALIZED (
+  SELECT * FROM {prev} UNION ALL SELECT * FROM pick{i})""")
     return f"""
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 s AS (SELECT vec_id, e,
@@ -184,10 +190,11 @@ cand AS (
           FROM (SELECT * FROM v WHERE {q_pred}) q, v c
           WHERE q.vec_id <> c.vec_id))
   WHERE rn <= {n_cand}),
-cq AS (SELECT cand.query_id, cand.neighbor_id, cand.cosine, codes.qs,
-              list_dot_product(codes.qs, codes.qs) AS nq
-       FROM cand JOIN codes ON cand.neighbor_id = codes.vec_id),
-sel1 AS (
+cq AS MATERIALIZED (
+  SELECT cand.query_id, cand.neighbor_id, cand.cosine, codes.qs,
+         list_dot_product(codes.qs, codes.qs) AS nq
+  FROM cand JOIN codes ON cand.neighbor_id = codes.vec_id),
+sel1 AS MATERIALIZED (
   SELECT query_id, neighbor_id, {lam_r} * cosine AS mmr, 1 AS rank FROM (
     SELECT query_id, neighbor_id, cosine, row_number() OVER (
         PARTITION BY query_id
