@@ -514,3 +514,96 @@ def mmr_rerank(
     # (numpy's scale-rint-rescale is a THIRD rounding path, and
     # lam=0.5 scores land on exact 5e-6 multiples constantly)
     return out.withColumn("mmr_score", F.round("mmr_score", 6))
+
+
+def retrieval_agreement(
+    rankings: dict[str, DataFrame],
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Pairwise agreement diagnostics between retrieval systems — the
+    eval panel a pipeline consults before swapping retrievers (the
+    q62 recall-panel role, but deterministic and hence
+    oracle-certifiable: every metric is integer-derived).  For each
+    query and each unordered system pair (names compared
+    lexicographically, ``system_a < system_b``):
+
+    * ``n_common`` — |top-k(A) ∩ top-k(B)|,
+    * ``overlap_at_k`` — n_common / k, rounded to 4,
+    * ``mean_rank_shift`` — avg |rank_A − rank_B| over the shared
+      ids, rounded to 4; NULL when the intersection is empty.
+
+    Inputs are ``(query_id, neighbor_id, <rank_col>)`` frames, the
+    shape every ``*_topk`` in this engine emits; rows with rank > k
+    are ignored, so passing a wider ranking is safe.  Every (query,
+    pair) row appears even at zero overlap — the scaffold is the
+    distinct query ids × the literal pair list (JVM-side literals,
+    NOTES fact 23).
+
+    Scale: inputs are top-k-bounded, so the join moves Σ|Q|·k rows;
+    the scaffold is |Q|·(#pairs).  |Q| is the load knob (fact 24).
+    """
+    if len(rankings) < 2:
+        raise ValueError("retrieval_agreement: need at least two systems")
+    names = sorted(rankings)
+    tagged = [
+        rankings[n]
+        .filter(F.col(rank_col) <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.lit(n).alias("_sys"),
+            F.col(rank_col).cast("long").alias("_r"),
+        )
+        for n in names
+    ]
+    u = reduce(lambda a, b: a.unionByName(b), tagged)
+
+    pairs = [(a, b) for i, a in enumerate(names) for b in names[i + 1 :]]
+    pair_lits = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("system_a"), F.lit(b).alias("system_b")
+            )
+            for a, b in pairs
+        ]
+    )
+    scaffold = (
+        u.select("query_id")
+        .distinct()
+        .select("query_id", F.explode(pair_lits).alias("_p"))
+        .select("query_id", "_p.system_a", "_p.system_b")
+    )
+
+    a = u.select(
+        "query_id", "neighbor_id",
+        F.col("_sys").alias("system_a"), F.col("_r").alias("_ra"),
+    )
+    b = u.select(
+        "query_id", "neighbor_id",
+        F.col("_sys").alias("system_b"), F.col("_r").alias("_rb"),
+    )
+    common = (
+        a.join(b, ["query_id", "neighbor_id"])
+        .filter(F.col("system_a") < F.col("system_b"))
+        .groupBy("query_id", "system_a", "system_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum(F.abs(F.col("_ra") - F.col("_rb"))).alias("_shift"),
+        )
+    )
+    return (
+        scaffold.join(common, ["query_id", "system_a", "system_b"], "left")
+        .select(
+            "query_id",
+            "system_a",
+            "system_b",
+            F.coalesce(F.col("n_common"), F.lit(0)).alias("n_common"),
+            F.round(
+                F.coalesce(F.col("n_common"), F.lit(0)) / F.lit(float(k)), 4
+            ).alias("overlap_at_k"),
+            F.round(F.col("_shift") / F.col("n_common"), 4).alias(
+                "mean_rank_shift"
+            ),
+        )
+    )
