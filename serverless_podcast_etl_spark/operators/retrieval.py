@@ -607,3 +607,129 @@ def retrieval_agreement(
             ),
         )
     )
+
+
+def bm25_prf_topk(
+    queries: DataFrame,
+    corpus: DataFrame | None,
+    query_id: str,
+    corpus_id: str | None = None,
+    text_col: str = "text",
+    k: int = 10,
+    fb_docs: int = 5,
+    fb_terms: int = 10,
+    alpha: float = 0.5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    index: DataFrame | None = None,
+    meta: dict | None = None,
+) -> DataFrame:
+    """Two-pass BM25 with pseudo-relevance feedback (RM3-style query
+    expansion): retrieve ``fb_docs`` per query, mine the feedback
+    docs' strongest ``fb_terms`` terms, and rescore the corpus with
+    the expanded weighted query —
+
+        weight(t) = 1.0·[t ∈ original]  +  α·w(t)/w_max(q)
+
+    where ``w(t) = round(Σ_{d ∈ FB(q)} tf(d,t) · idf(t), 4)`` (the
+    rational idf — log-free, NOTES fact 12) and ``w_max`` is the
+    per-query max over all feedback terms.  Final score is the
+    weighted BM25 sum, rounded to 4, ranked (score DESC, id ASC).
+    The standard fix for vocabulary mismatch — a probe that says
+    "transformer" also pulls documents that say "attention".
+
+    CERTIFIABILITY: both ranking stages rank on ROUNDED scores with
+    id/term tiebreaks (the q120 convention), the expansion weights are
+    rounded before use, and w_max is an order-free max over rounded
+    values — so a DuckDB twin reproduces the whole two-pass pipeline
+    hash-exactly (the only cross-row float sums are the q01-class
+    scored aggregates, certified empirically).
+
+    Pass ``index``/``meta`` from ``load_bm25_index`` to probe a
+    PERSISTED index (the production path: the postings frame is read
+    once from parquet and reused by all three consumers); otherwise
+    the postings are built from ``corpus`` and materialized at the
+    fork (fact 18 — pass-1 scoring, term mining and pass-2 scoring
+    would each rebuild them).  Shares ``bm25_topk``'s shared-id-space
+    PRECONDITION and |Q|-scaling contract (fact 24).
+    """
+    if index is not None:
+        if meta is None:
+            raise ValueError("bm25_prf_topk: meta is required with index")
+        postings = index
+        n_docs, total_dl = int(meta["n_docs"]), int(meta["total_dl"])
+    else:
+        if corpus is None or corpus_id is None:
+            raise ValueError(
+                "bm25_prf_topk: pass corpus+corpus_id or index+meta"
+            )
+        stats = _corpus_stats(corpus, corpus_id, text_col)
+        n_docs, total_dl = stats["n_docs"], stats["total_dl"]
+        # three consumers on different keys below -> materialize the
+        # postings at the fork (facts 18/19)
+        postings = build_bm25_index(corpus, corpus_id, text_col)
+        postings = postings.localCheckpoint(eager=True)
+
+    fb = _score_postings(
+        postings, queries, query_id, text_col,
+        n_docs=n_docs, total_dl=total_dl,
+        k=fb_docs, k1=k1, b=b, idf="rational",
+    ).select("query_id", "neighbor_id")
+
+    idf_col = _idf(F.col("df"), n_docs, "rational")
+    mined = (
+        postings.join(F.broadcast(fb), "neighbor_id")
+        .groupBy("query_id", "term")
+        .agg(F.round(F.sum(F.col("tf") * idf_col), 4).alias("_w"))
+    )
+    w_max = Window.partitionBy("query_id")
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("_w"), F.asc("term")
+    )
+    fbw = (
+        mined.withColumn("_wmax", F.max("_w").over(w_max))
+        .withColumn("_rn", F.row_number().over(w_rank))
+        .filter(F.col("_rn") <= fb_terms)
+        .select(
+            "query_id",
+            "term",
+            F.round(
+                F.lit(float(alpha)) * F.col("_w") / F.col("_wmax"), 4
+            ).alias("_fbw"),
+        )
+    )
+    orig = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.explode(
+            F.array_distinct(word_tokens(F.col(text_col)))
+        ).alias("term"),
+        F.lit(1.0).alias("_ow"),
+    )
+    combined = orig.join(fbw, ["query_id", "term"], "full").select(
+        "query_id",
+        "term",
+        (
+            F.coalesce(F.col("_ow"), F.lit(0.0))
+            + F.coalesce(F.col("_fbw"), F.lit(0.0))
+        ).alias("_weight"),
+    )
+
+    avgdl = float(total_dl) / max(n_docs, 1)
+    norm = F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.lit(avgdl)
+    contrib = F.col("_weight") * _idf(F.col("df"), n_docs, "rational") * (
+        F.col("tf") * F.lit(k1 + 1.0)
+    ) / (F.col("tf") + F.lit(k1) * norm)
+    scored = (
+        postings.join(F.broadcast(combined), "term")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum(contrib), 4).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
