@@ -542,6 +542,12 @@ def retrieval_agreement(
 
     Scale: inputs are top-k-bounded, so the join moves Σ|Q|·k rows;
     the scaffold is |Q|·(#pairs).  |Q| is the load knob (fact 24).
+    The tagged union feeds THREE consumers (the scaffold and both
+    sides of the pair join), so it is materialized at the fork —
+    without the checkpoint every upstream retriever re-executes three
+    times (fact 18; measured as 3 copies of the dense arm's scorer in
+    the executed plan).  The union is Σ|Q|·k rows by contract, so the
+    materialization is trivially bounded.
     """
     if len(rankings) < 2:
         raise ValueError("retrieval_agreement: need at least two systems")
@@ -557,7 +563,9 @@ def retrieval_agreement(
         )
         for n in names
     ]
-    u = reduce(lambda a, b: a.unionByName(b), tagged)
+    u = reduce(lambda a, b: a.unionByName(b), tagged).localCheckpoint(
+        eager=True
+    )
 
     pairs = [(a, b) for i, a in enumerate(names) for b in names[i + 1 :]]
     pair_lits = F.array(
