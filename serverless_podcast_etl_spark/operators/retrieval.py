@@ -475,6 +475,12 @@ def mmr_rerank(
                 "not a corpus"
             )
         pdf = pdf.sort_values("_nid", kind="mergesort").reset_index(drop=True)
+        if pdf["_mmr_q"].isna().any():
+            bad = pdf.loc[pdf["_mmr_q"].isna(), "_nid"].tolist()[:5]
+            raise ValueError(
+                f"mmr_rerank: NULL {vec_col!r} for candidate ids {bad} — "
+                "every candidate needs a vector (drop or impute upstream)"
+            )
         codes = np.array(pdf["_mmr_q"].tolist(), dtype=np.int64)
         gram = codes @ codes.T  # exact int64: |dot| <= 127^2 * dim
         norms = np.diag(gram)

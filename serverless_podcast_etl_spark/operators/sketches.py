@@ -52,6 +52,13 @@ def kmv_sketch(
     bounded artifact you persist and merge (``kmv_merge``) instead of
     rescanning the corpus.  NULL values are ignored (the
     ``count_distinct`` convention).
+
+    ``value_col`` must be a STRING column (md5's input type; Spark
+    raises an AnalysisException otherwise).  Casting numerics
+    yourself is deliberate: an implicit cast here would hide that
+    float→string formatting differs across engines, which would
+    silently break the DuckDB twin — cast to a canonical string
+    form at the call site.
     """
     grp = [group_col] if group_col else []
     hashed = (

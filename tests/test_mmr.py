@@ -245,3 +245,12 @@ def test_mmr_duckdb_unroll_parity_alternate_params(spark):
         sf_dir,
     )
     assert not problems, "; ".join(problems)
+
+
+def test_mmr_null_vector_is_refused(spark):
+    df = spark.createDataFrame(
+        [(0, 1, 0.9, [127.0, 0.0, 0.0]), (0, 2, 0.8, None)],
+        "query_id long, neighbor_id long, score double, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="NULL 'embedding'"):
+        mmr_rerank(df, k=2).collect()
