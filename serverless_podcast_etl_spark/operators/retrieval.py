@@ -375,6 +375,10 @@ def bm25_probe_topk(
     PRECONDITION.
     """
     if prune:
+        # the queries frame feeds BOTH the vocabulary collect and the
+        # scoring join below — pin it at the fork (fact 18, the
+        # trained_ivf_probe_topk convention; bounded by contract)
+        queries = queries.localCheckpoint(eager=True)
         terms = [
             r["t"]
             for r in queries.select(
