@@ -944,9 +944,11 @@ def vocab_oov_scores(
                 *[c.alias(n) for n, c in cols.items()],
             )
         )
+    from ..operators.scale import local_frame
+
     vocab_df = F.broadcast(
-        df.sparkSession.createDataFrame(
-            [(t,) for t in vocab], "token string"
+        local_frame(
+            df.sparkSession, [(t,) for t in vocab], "token string"
         ).withColumn("_in_vocab", F.lit(1))
     )
     tf = (

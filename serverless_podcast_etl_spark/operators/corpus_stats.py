@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import word_tokens
 from . import dedup
-from .scale import ensure_parallelism
+from .scale import ensure_parallelism, local_frame
 
 
 def ngram_novelty_scores(
@@ -144,13 +144,10 @@ def source_divergence(
     )
     grand = sum(r["n_s"] for r in per_rows)
     per_source = F.broadcast(
-        df.sparkSession.createDataFrame(
+        local_frame(
+            df.sparkSession,
             [(r["source"], r["n_s"], r["n_distinct"]) for r in per_rows],
             "source string, n_s long, n_distinct long",
-        )
-        if per_rows
-        else df.sparkSession.createDataFrame(
-            [], "source string, n_s long, n_distinct long"
         )
     )
     joined = (

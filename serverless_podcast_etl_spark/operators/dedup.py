@@ -1123,7 +1123,13 @@ def _cc_driver_union_find(
         ]
     )
     labels = [(v, find(v)) for v in parent]
-    return pairs.sparkSession.createDataFrame(labels, schema)
+    # JVM-side local relation (operators/scale.local_frame): the label
+    # table is consumed by a broadcast join, and a Python-local frame
+    # would pay a Python-worker launch per partition to build it
+    # (NOTES fact 23)
+    from .scale import local_frame
+
+    return local_frame(pairs.sparkSession, labels, schema)
 
 
 def connected_components(

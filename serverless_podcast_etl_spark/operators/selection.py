@@ -20,8 +20,9 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from ..functions import hashing
+from ..functions import hashing, literals
 from ..functions.text import word_tokens
+from .scale import ensure_parallelism, local_frame
 
 # One-slot tracker for global_prefix_sum(materialize=False)'s persisted
 # sort: the frame must outlive the call (the returned plan reads it),
@@ -168,9 +169,7 @@ def _global_prefix_sum_with_total(
         offsets.append((r["_pid"], acc))
         # an all-null-cost partition totals to NULL; it contributes 0
         acc += r["_t"] or 0
-    off = df.sparkSession.createDataFrame(
-        offsets, "_pid int, _off long"
-    )
+    off = local_frame(df.sparkSession, offsets, "_pid int, _off long")
     result = (
         local.join(F.broadcast(off), "_pid")
         .withColumn(out_col, (F.col("_local_cum") + F.col("_off")))
@@ -683,7 +682,13 @@ def _materialize_grams(
     if target_predicate is not None:
         cols.append(target_predicate.alias("_t"))
     cols.append(_gram_buckets(text_col, num_buckets, max_n).alias("_b"))
-    return raw.select(*cols).localCheckpoint(eager=True)
+    # the tokenize→md5→fold scan is CPU-bound per row: fan a
+    # split-starved input out across cores before paying it (no-op on
+    # many-file inputs — operators/scale.py; measured 2.4-2.9 s
+    # single-task → ~0.3 s at bench scale for q100/q101)
+    return ensure_parallelism(raw).select(*cols).localCheckpoint(
+        eager=True
+    )
 
 
 def _bucket_weights(
@@ -766,12 +771,21 @@ def _bucket_weights_joint(
 def _weights_relation(
     spark, wt: list[int], wr: list[int]
 ) -> DataFrame:
-    """The two fitted weight tables as ONE broadcastable local
-    relation ``(_b, _wt, _wr)`` — ≤``num_buckets`` rows (a few KB),
-    the join side of the codegen score pass below."""
-    return spark.createDataFrame(
-        [(b, wt[b], wr[b]) for b in range(len(wt))],
-        "_b long, _wt long, _wr long",
+    """The two fitted weight tables as ONE broadcastable relation
+    ``(_b, _wt, _wr)`` — ≤``num_buckets`` rows (a few KB), the join
+    side of the codegen score pass below.  Built JVM-side
+    (``range`` + one-literal weight arrays) instead of
+    ``createDataFrame``: a Python-local frame spreads its rows over
+    default-parallelism PYTHON partitions and pays a worker launch
+    per partition on the broadcast build (NOTES fact 23); this form
+    never touches a Python worker and the rows are identical."""
+    wts = literals.long_array(wt)
+    wrs = literals.long_array(wr)
+    idx = (F.col("id") + 1).cast("int")
+    return spark.range(len(wt)).select(
+        F.col("id").alias("_b"),
+        F.element_at(wts, idx).alias("_wt"),
+        F.element_at(wrs, idx).alias("_wr"),
     )
 
 
@@ -968,7 +982,10 @@ def _affinity_scores_impl(
             math.log(wt[b] / tt) - math.log(wr[b] / tr)
             for b in range(num_buckets)
         ]
-        w_lit = F.lit(w)
+        # one literal round-trip for the whole weight table —
+        # F.lit(list) desugars to a per-element py4j storm
+        # (functions/literals.py; same doubles bit-for-bit)
+        w_lit = literals.double_array(w)
         logfold = F.aggregate(
             "_b",
             F.lit(0.0),

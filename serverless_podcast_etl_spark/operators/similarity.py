@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions import literals
 from .scale import ensure_parallelism
 
 
@@ -187,10 +188,12 @@ def hyperplane_bucket(
     integer in [0, 2^len(planes)).
     """
     v = F.col(vec_col).cast("array<double>")
+    # one literal round-trip per plane (functions/literals.py), not
+    # one per element — same doubles, same expression shape
     bucket = sum(
         (
             F.when(
-                _dot(v, F.array(*[F.lit(float(x)) for x in plane])) > 0,
+                _dot(v, literals.double_array(plane)) > 0,
                 F.lit(2**i),
             ).otherwise(F.lit(0))
             for i, plane in enumerate(planes)
@@ -766,14 +769,14 @@ def spherical_assign(
     nearest-cosine (spherical k-means assignment).
     """
     d = _as_double(df, vec_col)
-    dots = F.array(
-        *[
-            _dot(
-                F.col(vec_col),
-                F.array(*[F.lit(float(x)) for x in c]),
-            )
-            for c in centroids
-        ]
+    # the centroid matrix enters as ONE literal (functions/literals.py
+    # — the per-element F.lit form measured ~0.9 s of py4j round-trips
+    # per call site); transform applies the same per-centroid
+    # sequential dot fold in matrix order, so the dots array is
+    # element-for-element what the unrolled form produced
+    dots = F.transform(
+        literals.double_matrix(centroids),
+        lambda c: _dot(F.col(vec_col), c),
     )
     return d.withColumn(out_col, F.array_position(dots, F.array_max(dots)))
 
@@ -1019,17 +1022,15 @@ def probe_cells(
     row per probed cell.
     """
     d = _as_double(queries, vec_col)
-    dots = F.array(
-        *[
-            F.struct(
-                (-_dot(
-                    F.col(vec_col),
-                    F.array(*[F.lit(float(x)) for x in c]),
-                )).alias("negdot"),
-                F.lit(i + 1).alias("cell"),
-            )
-            for i, c in enumerate(centroids)
-        ]
+    # one-literal centroid matrix + index-aware transform: identical
+    # (negdot double, cell int) structs in identical order to the
+    # unrolled per-centroid form it replaces (functions/literals.py)
+    dots = F.transform(
+        literals.double_matrix(centroids),
+        lambda c, i: F.struct(
+            (-_dot(F.col(vec_col), c)).alias("negdot"),
+            (i + F.lit(1)).cast("int").alias("cell"),
+        ),
     )
     probes = F.transform(
         F.slice(F.array_sort(dots), 1, nprobe), lambda s: s["cell"]
@@ -1227,11 +1228,16 @@ def _int_dist_to(vec: Column, centroid: list[int]) -> Column:
     bit-identical in Spark and the DuckDB oracle regardless of
     evaluation order — the property that makes a TRAINED quantizer
     oracle-exact where float k-means (q34's MLlib path) cannot be."""
-    lit_c = F.array(*[F.lit(int(x)).cast("long") for x in centroid])
+    return _int_sqdist(vec, literals.long_array(centroid))
+
+
+def _int_sqdist(vec: Column, centroid: Column) -> Column:
+    """The ``_int_dist_to`` fold with the centroid already a Column
+    (an ``array<bigint>`` literal or a ``transform`` lambda element)."""
     return F.aggregate(
         F.zip_with(
             vec,
-            lit_c,
+            centroid,
             lambda a, b: (a.cast("long") - b) * (a.cast("long") - b),
         ),
         F.lit(0).cast("long"),
@@ -1249,7 +1255,9 @@ def _assign_trained_cluster(
     tier; ``_nearest_trained_int`` is the Arrow/numpy twin used on the
     hot paths (same exact integers, same tie order — parity pinned in
     tests/test_r13_additions.py)."""
-    darr = F.array(*[_int_dist_to(vec, c) for c in centroids])
+    darr = F.transform(
+        literals.long_matrix(centroids), lambda c: _int_sqdist(vec, c)
+    )
     return (F.array_position(darr, F.array_min(darr)) - 1).cast("long")
 
 
@@ -1662,12 +1670,7 @@ def _own_centroid_sqdist(codebook: list[list[int]]) -> Column:
     (1-based ``element_at``), then one dim-length zip fold — dim work
     per row, not k·dim (the full-distance kernel is only needed when
     the assignment is unknown)."""
-    cents = F.array(
-        *[
-            F.array(*[F.lit(int(x)).cast("long") for x in c])
-            for c in codebook
-        ]
-    )
+    cents = literals.long_matrix(codebook)
     own = F.element_at(cents, (F.col("cluster") + 1).cast("int"))
     return F.aggregate(
         F.zip_with(

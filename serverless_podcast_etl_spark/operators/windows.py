@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .scale import keyed_parallelism
+
 
 def rolling_mean(
     df: DataFrame,
@@ -238,7 +240,12 @@ def ewma_partitioned(
             pdf = pdf.assign(**{out_col: pd.concat(out_vals)})
             yield pdf
 
-    parts = df.repartition(*key_cols).sortWithinPartitions(
+    # explicit-count keyed repartition: AQE's byte-based coalescing
+    # must not squeeze the per-row pandas work onto 1-2 tasks
+    # (operators/scale.keyed_parallelism; measured 1.55 s on 2 tasks
+    # → parallel at bench scale, identical per-key results under any
+    # partition count — each key's series stays whole)
+    parts = keyed_parallelism(df, key_cols).sortWithinPartitions(
         *key_cols, *order_by
     )
     return parts.mapInPandas(run, schema)

@@ -2978,8 +2978,11 @@ def q89_suffix_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(".example.org"),
         ).alias("text"),
     )
-    blocklist = docs.sparkSession.createDataFrame(
-        [(d,) for d in _SUFFIX_BLOCKLIST], "domain string"
+    from ..operators.scale import local_frame
+
+    blocklist = local_frame(
+        docs.sparkSession, [(d,) for d in _SUFFIX_BLOCKLIST],
+        "domain string",
     )
     return (
         urls.filter_blocked_domain_suffixes(

@@ -145,9 +145,17 @@ def main() -> None:
         raise SystemExit(f"no event log found for {app_id} in {EVENT_DIR}")
 
     def _lines():
+        import subprocess
+
         for lf in log_files:
-            with open(lf) as f:
-                yield from f
+            if lf.endswith(".zstd"):
+                out = subprocess.run(
+                    ["zstd", "-dc", lf], capture_output=True, text=True
+                )
+                yield from out.stdout.splitlines()
+            else:
+                with open(lf) as f:
+                    yield from f
 
     jobs: dict[int, dict] = {}
     stage_to_job: dict[int, int] = {}
