@@ -185,6 +185,14 @@ HEADLINE = [
     # discipline, entered here with the r14 batched freeze (anchor
     # grows 110 → 111 in ONE freeze)
     "q117_trained_ivf_ann",
+    # r14 additions, deferred from the r14 anchor per the freeze
+    # discipline, entered here with the r15 batched freeze (anchor
+    # grows 111 → 116 in ONE freeze) — r14 VERDICT #6
+    "q118_persisted_trained_ivf",
+    "q119_codebook_drift",
+    "q120_bm25_retrieval",
+    "q121_hybrid_rrf",
+    "q122_bm25_indexed_retrieval",
 ]
 
 #: Every exclusion, with its reason in the header comment above —
@@ -199,13 +207,6 @@ EXCLUDED = {
     "q95_image_neardup",        # pixel-seam timing is codec-dependent (q29
                                 # rationale); its banded join is benched via
                                 # q21/q28's identical machinery
-    # r14 additions, deferred to the r15 anchor batch per the freeze
-    # discipline (standalone sf0.1 timings recorded in NOTES r14)
-    "q118_persisted_trained_ivf",
-    "q119_codebook_drift",
-    "q120_bm25_retrieval",
-    "q121_hybrid_rrf",
-    "q122_bm25_indexed_retrieval",
 }
 
 
@@ -275,6 +276,16 @@ def main() -> None:
     # this protocol anyway.
     cold: dict[str, float] = {}
     samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
+    # r15 (r14 VERDICT #8): the sidecar additionally records the
+    # construction/execution phase split per query — fn() wall
+    # (plan construction, INCLUDING any eager checkpoints/collects/
+    # fits it performs) vs the noop-write wall.  Measurement protocol,
+    # timed action and the stdout contract are UNCHANGED: the same
+    # two operations run back-to-back inside the same timed span; the
+    # split only records an intermediate timestamp, so driver-side
+    # construction wins/regressions are attributable from the sidecar
+    # without a cProfile session.
+    construct: dict[str, list[float]] = {n: [] for n in HEADLINE}
     for name in HEADLINE:  # untimed warm pass: Janino codegen per plan
         start = time.perf_counter()
         CATALOG[name].fn(spark, sf_dir).write.format("noop").mode(
@@ -284,14 +295,18 @@ def main() -> None:
     for _ in range(runs):
         for name in HEADLINE:
             start = time.perf_counter()
-            CATALOG[name].fn(spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
+            df = CATALOG[name].fn(spark, sf_dir)
+            mid = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
             samples[name].append(round(time.perf_counter() - start, 3))
+            construct[name].append(round(mid - start, 3))
     timings = {
         n: round(statistics.median(s), 3) for n, s in samples.items()
     }
     spread = {n: [min(s), max(s)] for n, s in samples.items()}
+    construct_med = {
+        n: round(statistics.median(s), 3) for n, s in construct.items()
+    }
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -343,6 +358,9 @@ def main() -> None:
         "cold_total": round(sum(cold.values()), 3),
         "cold": cold,
         "spread": spread,
+        # construction-phase medians (fn() wall; the remainder of each
+        # query's figure is the noop-write wall) — r14 VERDICT #8
+        "construct": construct_med,
     }
     golden = _load_golden(sf_val)
     if golden is not None:

@@ -41,39 +41,61 @@ def _long_sql(x) -> str:
     return f"{int(x)}L"
 
 
-def double_array(values) -> Column:
-    """``array<double>`` literal column in one py4j round-trip."""
+def double_array_sql(values) -> str:
+    """SQL text of an ``array<double>`` literal (opt-r15: exposed so
+    callers composing LARGER one-call ``F.expr`` strings can embed the
+    literal without a separate round-trip)."""
     vals = list(values)
     if not vals:
-        return F.expr("CAST(array() AS array<double>)")
-    return F.expr("array(" + ",".join(_double_sql(x) for x in vals) + ")")
+        return "CAST(array() AS array<double>)"
+    return "array(" + ",".join(_double_sql(x) for x in vals) + ")"
+
+
+def double_matrix_sql(rows) -> str:
+    """SQL text of an ``array<array<double>>`` literal."""
+    rows = [list(r) for r in rows]
+    if not rows:
+        return "CAST(array() AS array<array<double>>)"
+    inner = ",".join(
+        "array(" + ",".join(_double_sql(x) for x in r) + ")" for r in rows
+    )
+    return "array(" + inner + ")"
+
+
+def long_array_sql(values) -> str:
+    """SQL text of an ``array<bigint>`` literal."""
+    vals = list(values)
+    if not vals:
+        return "CAST(array() AS array<bigint>)"
+    return "array(" + ",".join(_long_sql(x) for x in vals) + ")"
+
+
+def long_matrix_sql(rows) -> str:
+    """SQL text of an ``array<array<bigint>>`` literal."""
+    rows = [list(r) for r in rows]
+    if not rows:
+        return "CAST(array() AS array<array<bigint>>)"
+    inner = ",".join(
+        "array(" + ",".join(_long_sql(x) for x in r) + ")" for r in rows
+    )
+    return "array(" + inner + ")"
+
+
+def double_array(values) -> Column:
+    """``array<double>`` literal column in one py4j round-trip."""
+    return F.expr(double_array_sql(values))
 
 
 def double_matrix(rows) -> Column:
     """``array<array<double>>`` literal column in one round-trip."""
-    rows = [list(r) for r in rows]
-    if not rows:
-        return F.expr("CAST(array() AS array<array<double>>)")
-    inner = ",".join(
-        "array(" + ",".join(_double_sql(x) for x in r) + ")" for r in rows
-    )
-    return F.expr("array(" + inner + ")")
+    return F.expr(double_matrix_sql(rows))
 
 
 def long_array(values) -> Column:
     """``array<bigint>`` literal column in one round-trip."""
-    vals = list(values)
-    if not vals:
-        return F.expr("CAST(array() AS array<bigint>)")
-    return F.expr("array(" + ",".join(_long_sql(x) for x in vals) + ")")
+    return F.expr(long_array_sql(values))
 
 
 def long_matrix(rows) -> Column:
     """``array<array<bigint>>`` literal column in one round-trip."""
-    rows = [list(r) for r in rows]
-    if not rows:
-        return F.expr("CAST(array() AS array<array<bigint>>)")
-    inner = ",".join(
-        "array(" + ",".join(_long_sql(x) for x in r) + ")" for r in rows
-    )
-    return F.expr("array(" + inner + ")")
+    return F.expr(long_matrix_sql(rows))

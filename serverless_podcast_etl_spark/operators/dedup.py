@@ -92,11 +92,61 @@ def _word_tokens(text_col: str):
     return F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
 
 
-def _bound_token_hashes(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def shared_token_hash48(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """``(id, _th48 array<long>)`` — ONE tokenize→md5 scan, eagerly
+    materialized, for sharing across DETECTORS (opt-r15, guide §2.1:
+    don't recompute the fan-out source).
+
+    Both token-hash families used by the near-dup detectors are
+    prefixes of the same md5 hex digest: MinHash's 32-bit token hash
+    is ``portable_hash48 % 2^32`` (the LOW 32 bits of the 48-bit
+    value) and SimHash's is the value of the first 8 hex digits —
+    exactly ``portable_hash48 >> 16``.  Materializing the 48-bit
+    hashes once therefore lets an ensemble run the md5 pass — the
+    dominant per-row CPU at corpus scale — exactly once, with each
+    detector deriving its own view by cheap integer arithmetic
+    (bit-identical to what it computed standalone; pinned by the
+    shared-scan parity tests).  Pass the result as ``hashes48=`` to
+    ``minhash_lsh_pairs`` and ``simhash_neardup_pairs``; the frames
+    must share ``text_col``/``id_col`` semantics with this scan.
+
+    The eager ``localCheckpoint`` makes this batch-only (the fact-18
+    materialize contract in this module's docstring applies)."""
+    h48 = F.transform(
+        _word_tokens(text_col),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast("long"),
+    )
+    return _once(ensure_parallelism(df), id_col, h48, "_th48").localCheckpoint(
+        eager=True
+    )
+
+
+def _bound_token_hashes(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    hashes48: DataFrame | None = None,
+) -> DataFrame:
     """(id, _th array<long>) with the md5 token hashes materialized
     behind a Generate barrier (see ``_once``) so every downstream
     consumer reads a bound attribute — the md5 pass runs exactly once
-    per row.  Also fans a single-row-group scan out across cores."""
+    per row.  Also fans a single-row-group scan out across cores.
+
+    ``hashes48`` (a ``shared_token_hash48`` frame) replaces the md5
+    scan with a mod-2^32 derivation over the already-materialized
+    48-bit hashes — same values bit-for-bit (the 32-bit token hash IS
+    the low half of the 48-bit one), no md5 recomputation."""
+    if hashes48 is not None:
+        return _once(
+            hashes48,
+            id_col,
+            F.transform(
+                F.col("_th48"), lambda h: h % F.lit(hashing.U32)
+            ),
+            "_th",
+        )
     return _once(
         ensure_parallelism(df),
         id_col,
@@ -366,14 +416,18 @@ def _shingle_arrays(
     id_col: str,
     n: int,
     materialize: bool = True,
+    hashes48: DataFrame | None = None,
 ) -> DataFrame:
     """``(id, _h32s array<long>)`` — each doc's word-n-gram shingle
     hashes behind the ``_once`` Generate barrier, shingle-less docs
     dropped.  ``materialize`` ``localCheckpoint``s the frame at its
     fan-out (NOTES fact 18) so signature, banding, and verify
     consumers all read ONE executed tokenize→md5→fold scan; pass
-    ``False`` for lazy single-consumer/streaming compositions."""
-    bound = _bound_token_hashes(df, text_col, id_col)
+    ``False`` for lazy single-consumer/streaming compositions.
+    ``hashes48`` (a ``shared_token_hash48`` frame) replaces the
+    tokenize→md5 part of that scan with the cross-detector shared
+    materialization — same shingle hashes bit-for-bit."""
+    bound = _bound_token_hashes(df, text_col, id_col, hashes48=hashes48)
     harr = _once(
         bound, id_col, hashing.shingle_hash_array(F.col("_th"), n), "_h32s"
     ).filter(F.size(F.col("_h32s")) > 0)
@@ -386,13 +440,16 @@ def _signatures_from_arrays(
     """MinHash signature columns ``mh_i`` from a ``_shingle_arrays``
     frame: per-function mins are cheap in-row arithmetic re-scans of
     the hash array (min over duplicate shingles == min over distinct,
-    so no dedup pass)."""
+    so no dedup pass).  One F.expr round-trip per signature column
+    (opt-r15) — same universal-hash expression, same int/bigint
+    literal widths as the Python-built form."""
     params = hashing.MINHASH_PARAMS[:num_hashes]
     return harr.select(
         F.col(id_col),
         *[
-            F.array_min(
-                F.transform(F.col("_h32s"), lambda h: hashing.minhash_value(h, a, b))
+            F.expr(
+                f"array_min(transform(_h32s, h -> (h * {a} + {b}) % "
+                f"{hashing.MERSENNE_P}))"
             ).alias(f"mh_{i}")
             for i, (a, b) in enumerate(params)
         ],
@@ -420,24 +477,21 @@ def _bands_from_signatures(
     sig: DataFrame, id_col: str, num_hashes: int, bands: int
 ) -> DataFrame:
     """(id, band, bucket) from a signature frame: each signature split
-    into ``bands`` concatenated-bucket keys via one Generate."""
+    into ``bands`` concatenated-bucket keys via one Generate.  The
+    struct array enters as ONE F.expr (opt-r15) — same band literals,
+    same concat_ws buckets."""
     rows_per_band = num_hashes // bands
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.concat_ws(
-                    "_",
-                    *[
-                        F.col(f"mh_{bi * rows_per_band + r}")
-                        for r in range(rows_per_band)
-                    ],
-                ).alias("bucket"),
-            )
-            for bi in range(bands)
-        ]
+    structs = ", ".join(
+        f"struct({bi} AS band, concat_ws('_', "
+        + ", ".join(
+            f"mh_{bi * rows_per_band + r}" for r in range(rows_per_band)
+        )
+        + ") AS bucket)"
+        for bi in range(bands)
     )
-    return sig.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
+    return sig.select(
+        F.col(id_col), F.explode(F.expr(f"array({structs})")).alias("bk")
+    ).select(
         F.col(id_col),
         F.col("bk.band").alias("band"),
         F.col("bk.bucket").alias("bucket"),
@@ -454,6 +508,7 @@ def minhash_lsh_pairs(
     verify_threshold: float = 0.2,
     prune_verify: bool = False,
     materialize: bool = True,
+    hashes48: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding + exact Jaccard verification.
 
@@ -488,9 +543,22 @@ def minhash_lsh_pairs(
     while candidates touch a sliver, so a cluster deployment should
     enable it (or Spark's runtime Bloom-filter join injection, the
     engine-native form of the same idea).
+
+    ``hashes48`` (a ``shared_token_hash48`` frame over the same
+    corpus/text/id) lets an ENSEMBLE caller share the tokenize→md5
+    scan with other detectors — the shingle fold then derives from
+    the shared materialization instead of re-hashing (bit-identical
+    output; requires ``materialize=True``, since the shared frame is
+    itself an eager checkpoint).
     """
+    if hashes48 is not None and not materialize:
+        raise ValueError(
+            "minhash_lsh_pairs: hashes48 requires materialize=True "
+            "(the shared scan is an eager checkpoint — a lazy "
+            "composition cannot consume it)"
+        )
     if materialize:
-        harr = _shingle_arrays(df, text_col, id_col, n)
+        harr = _shingle_arrays(df, text_col, id_col, n, hashes48=hashes48)
         banded = _bands_from_signatures(
             _signatures_from_arrays(harr, id_col, num_hashes),
             id_col, num_hashes, bands,
@@ -1277,6 +1345,7 @@ def simhash_fingerprints(
     text_col: str,
     id_col: str,
     bits: int = 32,
+    hashes48: DataFrame | None = None,
 ) -> DataFrame:
     """32-bit SimHash per document from whitespace tokens.
 
@@ -1293,31 +1362,46 @@ def simhash_fingerprints(
     would otherwise funnel every empty doc in the corpus into one hot
     banding bucket AND emit them all as mutual hamming-0 "near-dups"
     (exact_dedup is the right tool for empty docs).
+
+    ``hashes48`` (a ``shared_token_hash48`` frame) derives the SimHash
+    token hash as ``_th48 >> 16`` — exactly the value of the first 8
+    md5 hex digits, i.e. bit-identical to the standalone scan — so an
+    ensemble caller pays the md5 pass once across detectors.
     """
-    toks = _word_tokens(text_col)
-    hashes = F.transform(toks, hashing.simhash_token_hash)
-    hashed = _once(ensure_parallelism(df), id_col, hashes, "_h").filter(
-        F.size(F.col("_h")) > 0
-    )
-    n_tok = F.size(F.col("_h"))
-
-    def vote(j: int):
-        hits = F.size(
-            F.filter(
-                F.col("_h"),
-                lambda h: F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1,
-            )
+    if hashes48 is not None:
+        hashed = _once(
+            hashes48,
+            id_col,
+            F.transform(F.col("_th48"), lambda h: F.shiftright(h, 16)),
+            "_h",
+        ).filter(F.size(F.col("_h")) > 0)
+    else:
+        toks = _word_tokens(text_col)
+        hashes = F.transform(toks, hashing.simhash_token_hash)
+        hashed = _once(ensure_parallelism(df), id_col, hashes, "_h").filter(
+            F.size(F.col("_h")) > 0
         )
-        return hits * 2 - n_tok  # (+1 per hit, -1 per miss)
 
-    fingerprint = sum(
-        (
-            F.when(vote(j) > 0, F.lit(2**j)).otherwise(F.lit(0))
-            for j in range(bits)
-        ),
-        F.lit(0),
+    # ONE F.expr round-trip for the whole fingerprint (opt-r15): the
+    # per-bit Python loop cost ~8 py4j trips per bit × 32 bits — a
+    # measured 0.8-1.0 s of pure plan construction per call site
+    # (q97 profile) — while the parsed tree is identical: per bit j,
+    # vote = size(filter(_h, (h>>j)&1 = 1))*2 − size(_h); fingerprint
+    # = Σ (vote_j > 0 ? 2^j : 0), left-folded from 0, cast long.
+    def vote_sql(j: int) -> str:
+        return (
+            f"(size(filter(_h, h -> (shiftright(h, {j}) & 1) = 1)) * 2"
+            " - size(_h))"
+        )
+
+    terms = " + ".join(
+        f"(CASE WHEN {vote_sql(j)} > 0 THEN {2 ** j} ELSE 0 END)"
+        for j in range(bits)
     )
-    return hashed.select(F.col(id_col), fingerprint.cast("long").alias("simhash"))
+    fingerprint_sql = f"CAST(0 + {terms} AS BIGINT)"
+    return hashed.select(
+        F.col(id_col), F.expr(fingerprint_sql).alias("simhash")
+    )
 
 
 def hamming_banded_pairs(
@@ -1351,22 +1435,19 @@ def hamming_banded_pairs(
         raise ValueError(
             f"band_bits={band_bits} must divide bits={bits} evenly"
         )
+    # one F.expr for the band-struct array (opt-r15): same band
+    # literals, same shift/mask buckets as the per-band Python loop
+    mask = (1 << band_bits) - 1
+    structs = ", ".join(
+        f"struct({bi} AS band, "
+        f"shiftrightunsigned(`{hash_col}`, {bi * band_bits}) & {mask} "
+        "AS bucket)"
+        for bi in range(n_bands)
+    )
     banded = fp.select(
         F.col(id_col),
         hash_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.shiftrightunsigned(F.col(hash_col), bi * band_bits)
-                        .bitwiseAND(F.lit((1 << band_bits) - 1))
-                        .alias("bucket"),
-                    )
-                    for bi in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
+        F.explode(F.expr(f"array({structs})")).alias("bk"),
     ).select(F.col(id_col), hash_col, F.col("bk.band"), F.col("bk.bucket"))
 
     a = banded.select(
@@ -1397,11 +1478,15 @@ def simhash_neardup_pairs(
     bits: int = 32,
     band_bits: int = 8,
     max_hamming: int = 3,
+    hashes48: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: ``simhash_fingerprints`` +
     ``hamming_banded_pairs`` (see there for the banding/verify
-    contract)."""
-    fp = simhash_fingerprints(df, text_col, id_col, bits=bits)
+    contract).  ``hashes48`` shares the tokenize→md5 scan with other
+    detectors (see ``shared_token_hash48``)."""
+    fp = simhash_fingerprints(
+        df, text_col, id_col, bits=bits, hashes48=hashes48
+    )
     return hamming_banded_pairs(
         fp,
         id_col,

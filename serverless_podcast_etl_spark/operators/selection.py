@@ -616,7 +616,10 @@ def quantile_bins(
     cardinality (grades, integer scores, rounded ratios) or the
     corpus is sample-scale.
     """
-    probs_arr = F.array(*[F.lit(float(p)) for p in sorted(probs)])
+    # one literal round-trip for the whole probability list (the
+    # F.array(*[F.lit...]) form is a per-element py4j storm — NOTES
+    # fact 26; same doubles bit-for-bit)
+    probs_arr = literals.double_array(sorted(float(p) for p in probs))
     boundary_agg = (
         F.percentile(F.col(score_col), probs_arr)
         if exact
@@ -706,11 +709,16 @@ def _bucket_weights(
     one BOUNDED collect — rows ≤ num_buckets by construction, the
     same driver-side-bounds class as ``global_prefix_sum``'s offsets.
     ``grams`` (a ``_materialize_grams`` frame) replaces the hashing
-    scan with a read of the already-materialized buckets."""
+    scan with a read of the already-materialized buckets.  The
+    no-grams path fans a split-starved input out before paying the
+    tokenize→md5→fold scan (opt-r15, the r14 floor applied to the
+    separate-target/non-materialized fits — guide §2.5; per-bucket
+    counts are order-free integer aggregations, so the round-robin
+    cannot move a bit)."""
     if grams is not None:
         src = grams.select(F.explode("_b").alias("_b"))
     else:
-        src = df.select(
+        src = ensure_parallelism(df).select(
             F.explode(
                 _gram_buckets(text_col, num_buckets, max_n)
             ).alias("_b")
@@ -744,7 +752,10 @@ def _bucket_weights_joint(
     if grams is not None:
         src = grams.select("_t", F.explode("_b").alias("_b"))
     else:
-        src = raw.select(
+        # the same opt-r15 fan-out floor as _bucket_weights' no-grams
+        # path (the materialize=False joint fit still hashes the
+        # corpus here)
+        src = ensure_parallelism(raw).select(
             target_predicate.alias("_t"),
             F.explode(
                 _gram_buckets(text_col, num_buckets, max_n)
@@ -779,6 +790,15 @@ def _weights_relation(
     default-parallelism PYTHON partitions and pays a worker launch
     per partition on the broadcast build (NOTES fact 23); this form
     never touches a Python worker and the rows are identical."""
+    if len(wt) != len(wr):
+        # a length mismatch must fail HERE, driver-side — element_at
+        # past the shorter array would otherwise surface as a runtime
+        # out-of-bounds (ANSI) or silent NULL weights in the join
+        # (opt-r14 ADVICE #3)
+        raise ValueError(
+            f"_weights_relation: weight tables differ in length "
+            f"({len(wt)} vs {len(wr)})"
+        )
     wts = literals.long_array(wt)
     wrs = literals.long_array(wr)
     idx = (F.col("id") + 1).cast("int")
@@ -965,7 +985,10 @@ def _affinity_scores_impl(
     if grams is not None:
         arrays = grams.select(id_col, "_b")
     else:
-        arrays = raw.select(
+        # materialize=False score pass: the second hashing scan gets
+        # the same fan-out floor (opt-r15; the per-doc score is
+        # in-row / order-free-summed, partition-count-invariant)
+        arrays = ensure_parallelism(raw).select(
             id_col,
             _gram_buckets(text_col, num_buckets, max_n).alias("_b"),
         )

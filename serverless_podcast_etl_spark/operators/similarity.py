@@ -42,14 +42,68 @@ def _norm(a: Column) -> Column:
     )
 
 
+# -- one-call SQL twins of the expression builders (opt-r15) ------------------
+#
+# Each Python-side higher-order builder above costs dozens of py4j
+# round-trips per use (every F.* call and Column operator is one
+# driver↔JVM message; a lambda alone is ~10 — NOTES fact 26 measured
+# the storm at 0.7-1.0 ms per trip under load).  The SQL-string twins
+# below hand the SAME expression to the JVM parser in ONE ``F.expr``
+# round-trip: same functions, same literal types (0.0D doubles,
+# CAST(0 AS BIGINT) init values), same evaluation order — the parsed
+# tree is semantically identical to the Python-built one (the only
+# visible difference is lambda-variable naming in explain output).
+# Bit-exactness is pinned by the full DuckDB oracle suite over every
+# consumer (q22/q27/q34/q36/q55/q62/q82/q117/q118/q119 + the
+# embedding near-dup family).
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, "
+        "(acc, v) -> acc + v)"
+    )
+
+
+def _norm_sql(a: str) -> str:
+    return (
+        f"sqrt(aggregate(transform({a}, x -> x * x), 0.0D, "
+        "(acc, v) -> acc + v))"
+    )
+
+
+#: rounded cosine over hoisted norms — the scorer tail every float
+#: top-k shares (columns ``_qv``/``_cv``/``_qn``/``_cn``)
+_COSINE_SQL = f"round({_dot_sql('_qv', '_cv')} / (_qn * _cn), 4)"
+
+
+def _int_dot_sql(a: str, b: str) -> str:
+    """Exact int64 dot product over int-code arrays (the q55 scoring
+    tier) — the SQL twin of the zip_with/aggregate long fold."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (a, b) -> CAST(a * b AS BIGINT)), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+
+
+#: rounded int-code cosine over hoisted norms (columns
+#: ``_qq``/``_cq``/``_qn``/``_cn``)
+_INT_COSINE_SQL = (
+    f"round(CAST({_int_dot_sql('_qq', '_cq')} AS DOUBLE) / (_qn * _cn), 4)"
+)
+
+
 def with_cosine(
     df: DataFrame, a: str, b: str, out_col: str = "cosine", round_to: int | None = 4
 ) -> DataFrame:
     """Add cosine similarity between two array<double> columns."""
-    cos = _dot(F.col(a), F.col(b)) / (_norm(F.col(a)) * _norm(F.col(b)))
+    cos_sql = (
+        f"{_dot_sql(f'`{a}`', f'`{b}`')} / "
+        f"({_norm_sql(f'`{a}`')} * {_norm_sql(f'`{b}`')})"
+    )
     if round_to is not None:
-        cos = F.round(cos, round_to)
-    return df.withColumn(out_col, cos)
+        cos_sql = f"round({cos_sql}, {int(round_to)})"
+    return df.withColumn(out_col, F.expr(cos_sql))
 
 
 def _as_double(df: DataFrame, vec_col: str) -> DataFrame:
@@ -77,23 +131,16 @@ def brute_force_topk(
     q = _as_double(queries, vec_col).select(
         F.col(query_id).alias("query_id"),
         F.col(vec_col).alias("_qv"),
-        _norm(F.col(vec_col)).alias("_qn"),
+        F.expr(_norm_sql(f"`{vec_col}`")).alias("_qn"),
     )
     c = _as_double(corpus, vec_col).select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
-        _norm(F.col(vec_col)).alias("_cn"),
+        F.expr(_norm_sql(f"`{vec_col}`")).alias("_cn"),
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cosine",
-            F.round(
-                _dot(F.col("_qv"), F.col("_cv"))
-                / (F.col("_qn") * F.col("_cn")),
-                4,
-            ),
-        )
+        .withColumn("cosine", F.expr(_COSINE_SQL))
         .select("query_id", "neighbor_id", "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -187,20 +234,19 @@ def hyperplane_bucket(
     ``planes`` are fixed constants (deterministic); the bucket id is an
     integer in [0, 2^len(planes)).
     """
-    v = F.col(vec_col).cast("array<double>")
-    # one literal round-trip per plane (functions/literals.py), not
-    # one per element — same doubles, same expression shape
-    bucket = sum(
-        (
-            F.when(
-                _dot(v, literals.double_array(plane)) > 0,
-                F.lit(2**i),
-            ).otherwise(F.lit(0))
-            for i, plane in enumerate(planes)
-        ),
-        F.lit(0),
+    # ONE F.expr round-trip for the whole bucket expression (opt-r15
+    # — the r14 form still paid one literal trip per plane plus the
+    # per-plane when/dot construction): same doubles, same expression
+    # shape (sum of CASE WHEN dot > 0 THEN 2^i ELSE 0 END terms,
+    # left-folded from 0, cast int)
+    v_sql = f"CAST(`{vec_col}` AS array<double>)"
+    terms = " + ".join(
+        f"(CASE WHEN {_dot_sql(v_sql, literals.double_array_sql(plane))}"
+        f" > 0 THEN {2 ** i} ELSE 0 END)"
+        for i, plane in enumerate(planes)
     )
-    return df.withColumn(out_col, bucket.cast("int"))
+    bucket_sql = f"CAST(0 + {terms} AS INT)" if terms else "CAST(0 AS INT)"
+    return df.withColumn(out_col, F.expr(bucket_sql))
 
 
 def _bucket_keys(
@@ -306,7 +352,7 @@ def lsh_topk(
     # norm per vector, not per (vector, table, query)
     q = _bucket_keys(
         _as_double(queries, vec_col).withColumn(
-            "_qn", _norm(F.col(vec_col))
+            "_qn", F.expr(_norm_sql(f"`{vec_col}`"))
         ),
         vec_col,
         tables,
@@ -319,7 +365,7 @@ def lsh_topk(
     )
     c = _bucket_keys(
         _as_double(corpus, vec_col).withColumn(
-            "_cn", _norm(F.col(vec_col))
+            "_cn", F.expr(_norm_sql(f"`{vec_col}`"))
         ),
         vec_col,
         tables,
@@ -335,14 +381,7 @@ def lsh_topk(
     scored = (
         c.join(F.broadcast(q), "_tb")  # queries ≪ corpus: never shuffle the corpus
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cosine",
-            F.round(
-                _dot(F.col("_qv"), F.col("_cv"))
-                / (F.col("_qn") * F.col("_cn")),
-                4,
-            ),
-        )
+        .withColumn("cosine", F.expr(_COSINE_SQL))
         .select("query_id", "neighbor_id", "cosine")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
@@ -478,27 +517,20 @@ def ivf_topk(
     c = assign_ivf_cluster(corpus, centroids, vec_col).select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
-        _norm(F.col(vec_col)).alias("_cn"),
+        F.expr(_norm_sql(f"`{vec_col}`")).alias("_cn"),
         "cluster",
     )
     qd = _as_double(queries, vec_col)
     q = _nearest_centroids(qd, centroids, vec_col, nprobe, "_probe").select(
         F.col(query_id).alias("query_id"),
         F.col(vec_col).alias("_qv"),
-        _norm(F.col(vec_col)).alias("_qn"),
+        F.expr(_norm_sql(f"`{vec_col}`")).alias("_qn"),
         F.explode("_probe").alias("cluster"),
     )
     scored = (
         c.join(F.broadcast(q), "cluster")  # queries ≪ corpus
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cosine",
-            F.round(
-                _dot(F.col("_qv"), F.col("_cv"))
-                / (F.col("_qn") * F.col("_cn")),
-                4,
-            ),
-        )
+        .withColumn("cosine", F.expr(_COSINE_SQL))
         .select("query_id", "neighbor_id", "cosine")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
@@ -529,15 +561,18 @@ def quantize_embeddings_int8(
     NaN from 0/0).
     """
     d = _as_double(df, vec_col)
-    v = F.col(vec_col)
-    scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
-    d = d.withColumn(scale_col, scale)
-    codes = F.when(
-        F.col(scale_col) > 0,
-        F.transform(
-            v, lambda x: F.round(x / F.col(scale_col)).cast("int")
-        ),
-    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    # one F.expr round-trip per derived column (opt-r15): identical
+    # expressions to the Python-built forms they replace (same
+    # 127.0D double, round(x, 0), int casts, CASE arms)
+    d = d.withColumn(
+        scale_col,
+        F.expr(f"array_max(transform(`{vec_col}`, x -> abs(x))) / 127.0D"),
+    )
+    codes = F.expr(
+        f"CASE WHEN `{scale_col}` > 0 THEN transform(`{vec_col}`, "
+        f"x -> CAST(round(x / `{scale_col}`) AS INT)) "
+        f"ELSE transform(`{vec_col}`, x -> 0) END"
+    )
     return d.withColumn(q_col, codes)
 
 
@@ -609,30 +644,19 @@ def quantized_topk(
 
     def codes_with_norm(df: DataFrame, id_col: str, out_id: str, qn: str, qc: str):
         qd = quantize_embeddings_int8(df, id_col, vec_col)
-        dot_self = F.aggregate(
-            F.zip_with(F.col("q"), F.col("q"), lambda a, b: (a * b).cast("long")),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
         return qd.select(
             F.col(id_col).alias(out_id),
             F.col("q").alias(qc),
-            F.sqrt(dot_self.cast("double")).alias(qn),
+            F.expr(f"sqrt(CAST({_int_dot_sql('q', 'q')} AS DOUBLE))").alias(
+                qn
+            ),
         )
 
     q = codes_with_norm(queries, query_id, "query_id", "_qn", "_qq")
     c = codes_with_norm(corpus, corpus_id, "neighbor_id", "_cn", "_cq")
-    dot = F.aggregate(
-        F.zip_with(F.col("_qq"), F.col("_cq"), lambda a, b: (a * b).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cosine",
-            F.round(dot.cast("double") / (F.col("_qn") * F.col("_cn")), 4),
-        )
+        .withColumn("cosine", F.expr(_INT_COSINE_SQL))
         .select("query_id", "neighbor_id", "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -700,7 +724,7 @@ def embedding_neardup_pairs(
     """
     d = _as_double(
         ensure_parallelism(df), vec_col
-    ).withColumn("_nv", _norm(F.col(vec_col)))
+    ).withColumn("_nv", F.expr(_norm_sql(f"`{vec_col}`")))
     if planes is not None:
         banded = hyperplane_bucket(d, vec_col, planes)
         a = banded.select(
@@ -741,11 +765,7 @@ def embedding_neardup_pairs(
     return (
         cand.withColumn(
             "cosine",
-            F.round(
-                _dot(F.col("_va"), F.col("_vb"))
-                / (F.col("_na") * F.col("_nb")),
-                4,
-            ),
+            F.expr(f"round({_dot_sql('_va', '_vb')} / (_na * _nb), 4)"),
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
@@ -769,16 +789,19 @@ def spherical_assign(
     nearest-cosine (spherical k-means assignment).
     """
     d = _as_double(df, vec_col)
-    # the centroid matrix enters as ONE literal (functions/literals.py
-    # — the per-element F.lit form measured ~0.9 s of py4j round-trips
-    # per call site); transform applies the same per-centroid
-    # sequential dot fold in matrix order, so the dots array is
-    # element-for-element what the unrolled form produced
-    dots = F.transform(
-        literals.double_matrix(centroids),
-        lambda c: _dot(F.col(vec_col), c),
+    # the whole assignment enters as ONE F.expr (opt-r15; the r14 form
+    # already used a one-call centroid literal but still built the
+    # transform/argmax tree one py4j trip per node): transform applies
+    # the same per-centroid sequential dot fold in matrix order, so
+    # the dots array is element-for-element what the unrolled form
+    # produced
+    dots_sql = (
+        f"transform({literals.double_matrix_sql(centroids)}, "
+        f"c -> {_dot_sql(f'`{vec_col}`', 'c')})"
     )
-    return d.withColumn(out_col, F.array_position(dots, F.array_max(dots)))
+    return d.withColumn(
+        out_col, F.expr(f"array_position({dots_sql}, array_max({dots_sql}))")
+    )
 
 
 def resolve_n_clusters(
@@ -867,7 +890,7 @@ def semantic_neardup_pairs(
     # it per PAIR — hoisting the two norms cuts the per-pair work to
     # the dot product alone (same doubles: sqrt once vs inline)
     assigned = assigned.withColumn(
-        "_nrm", _norm(F.col(vec_col))
+        "_nrm", F.expr(_norm_sql(f"`{vec_col}`"))
     ).localCheckpoint(eager=True)
     a = assigned.select(
         F.col(id_col).alias("id_a"),
@@ -886,11 +909,7 @@ def semantic_neardup_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cosine",
-            F.round(
-                _dot(F.col("_va"), F.col("_vb"))
-                / (F.col("_na") * F.col("_nb")),
-                4,
-            ),
+            F.expr(f"round({_dot_sql('_va', '_vb')} / (_na * _nb), 4)"),
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
@@ -1001,7 +1020,7 @@ def build_ivf_index(
         F.col(id_col).alias("neighbor_id"),
         cluster.cast("int").alias("cluster"),
         F.col(vec_col).alias("_cv"),
-        _norm(F.col(vec_col)).alias("_cn"),
+        F.expr(_norm_sql(f"`{vec_col}`")).alias("_cn"),
     )
 
 
@@ -1022,24 +1041,23 @@ def probe_cells(
     row per probed cell.
     """
     d = _as_double(queries, vec_col)
-    # one-literal centroid matrix + index-aware transform: identical
+    # the whole probe list enters as ONE F.expr (opt-r15): identical
     # (negdot double, cell int) structs in identical order to the
-    # unrolled per-centroid form it replaces (functions/literals.py)
-    dots = F.transform(
-        literals.double_matrix(centroids),
-        lambda c, i: F.struct(
-            (-_dot(F.col(vec_col), c)).alias("negdot"),
-            (i + F.lit(1)).cast("int").alias("cell"),
-        ),
+    # per-node form it replaces
+    dots_sql = (
+        f"transform({literals.double_matrix_sql(centroids)}, "
+        f"(c, i) -> struct(-({_dot_sql(f'`{vec_col}`', 'c')}) AS negdot, "
+        "CAST(i + 1 AS INT) AS cell))"
     )
-    probes = F.transform(
-        F.slice(F.array_sort(dots), 1, nprobe), lambda s: s["cell"]
+    probes_sql = (
+        f"transform(slice(array_sort({dots_sql}), 1, {int(nprobe)}), "
+        "s -> s.cell)"
     )
     return d.select(
         F.col(query_id).alias("query_id"),
         F.col(vec_col).alias("_qv"),
-        _norm(F.col(vec_col)).alias("_qn"),
-        F.explode(probes).alias("cluster"),
+        F.expr(_norm_sql(f"`{vec_col}`")).alias("_qn"),
+        F.explode(F.expr(probes_sql)).alias("cluster"),
     )
 
 
@@ -1075,14 +1093,7 @@ def ivf_probe_topk(
     scored = (
         index.join(F.broadcast(q), "cluster")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cosine",
-            F.round(
-                _dot(F.col("_qv"), F.col("_cv"))
-                / (F.col("_qn") * F.col("_cn")),
-                4,
-            ),
-        )
+        .withColumn("cosine", F.expr(_COSINE_SQL))
         .select("query_id", "neighbor_id", "cosine")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
@@ -1199,7 +1210,7 @@ def embedding_norm_outliers(
 
     norms = _as_double(df, vec_col).select(
         F.col(id_col),
-        F.round(_norm(F.col(vec_col)), 6).alias("norm"),
+        F.expr(f"round({_norm_sql(f'`{vec_col}`')}, 6)").alias("norm"),
     ).localCheckpoint(eager=True)
     med = norms.agg(_median(F.col("norm")).alias("m")).collect()[0]["m"]
     med = float(med) if med is not None else 0.0
@@ -1483,13 +1494,12 @@ def trained_ivf_topk(
 
 def _int_norm(code_col: str = "q") -> Column:
     """sqrt of the exact int64 self-dot of a code array — identical
-    in both engines (same long sum, same IEEE sqrt)."""
-    return F.sqrt(
-        F.aggregate(
-            F.transform(F.col(code_col), lambda x: (x * x).cast("long")),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        ).cast("double")
+    in both engines (same long sum, same IEEE sqrt).  One F.expr
+    round-trip (opt-r15), same expression as the Python-built fold."""
+    return F.expr(
+        f"sqrt(CAST(aggregate(transform(`{code_col}`, "
+        "x -> CAST(x * x AS BIGINT)), CAST(0 AS BIGINT), "
+        "(acc, v) -> acc + v) AS DOUBLE))"
     )
 
 
@@ -1609,22 +1619,10 @@ def trained_ivf_probe_topk(
             r["cluster"] for r in q.select("cluster").distinct().collect()
         ]
         index = index.filter(F.col("cluster").isin(cells))
-    int_dot = F.aggregate(
-        F.zip_with(
-            F.col("_qq"), F.col("_cq"), lambda a, b: (a * b).cast("long")
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
     scored = (
         index.join(F.broadcast(q), "cluster")  # queries ≪ corpus
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cosine",
-            F.round(
-                int_dot.cast("double") / (F.col("_qn") * F.col("_cn")), 4
-            ),
-        )
+        .withColumn("cosine", F.expr(_INT_COSINE_SQL))
         .select("query_id", "neighbor_id", "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1670,16 +1668,14 @@ def _own_centroid_sqdist(codebook: list[list[int]]) -> Column:
     (1-based ``element_at``), then one dim-length zip fold — dim work
     per row, not k·dim (the full-distance kernel is only needed when
     the assignment is unknown)."""
-    cents = literals.long_matrix(codebook)
-    own = F.element_at(cents, (F.col("cluster") + 1).cast("int"))
-    return F.aggregate(
-        F.zip_with(
-            F.col("_cq"),
-            own,
-            lambda a, b: (a.cast("long") - b) * (a.cast("long") - b),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
+    own = (
+        f"element_at({literals.long_matrix_sql(codebook)}, "
+        "CAST(cluster + 1 AS INT))"
+    )
+    return F.expr(
+        f"aggregate(zip_with(_cq, {own}, "
+        "(a, b) -> (CAST(a AS BIGINT) - b) * (CAST(a AS BIGINT) - b)), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
     )
 
 

@@ -1976,16 +1976,41 @@ def q62_ann_recall_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuse is best-effort: at 100× a reuse miss would re-run the scorer
     per method, so the panel pins it structurally.  IVF centroid
     training (the k-means job) is likewise hoisted out of the
-    per-method path and runs once."""
+    per-method path and runs once.
+
+    opt-r15 (guide §2.6 — overlap independent jobs): the exact-scorer
+    checkpoint and the k-means fit are INDEPENDENT eager jobs that ran
+    back-to-back; the checkpoint now runs on a driver side thread
+    while the fit runs on the main one, so panel construction pays
+    max(fit, checkpoint) instead of their sum.  Neither computation
+    changes: each reads its own scan of the embeddings table with the
+    same partitioning as before (job scheduling is the only thing that
+    moves), so the fit's centroids — and therefore the panel's
+    values — are untouched."""
+    from pyspark import InheritableThread
+
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
     # materialize the exact scorer once; every recall join reads the
     # checkpointed rows (tests assert the scorer subtree appears
     # nowhere in the panel's plan)
-    exact = similarity.brute_force_topk(
-        queries_df, emb, query_id="vec_id", corpus_id="vec_id", k=10
-    ).localCheckpoint(eager=True)
+    exact_box: dict[str, object] = {}
+
+    def _build_exact() -> None:
+        try:
+            exact_box["df"] = similarity.brute_force_topk(
+                queries_df, emb, query_id="vec_id", corpus_id="vec_id", k=10
+            ).localCheckpoint(eager=True)
+        except BaseException as e:  # re-raised on the main thread
+            exact_box["err"] = e
+
+    t = InheritableThread(target=_build_exact)
+    t.start()
     centroids = similarity.train_ivf_centroids(emb, n_clusters=16, seed=7)
+    t.join()
+    if "err" in exact_box:
+        raise exact_box["err"]
+    exact = exact_box["df"]
     methods = {
         "lsh": lambda: similarity.lsh_topk(
             queries_df, emb, query_id="vec_id", corpus_id="vec_id",
@@ -3341,7 +3366,14 @@ def _ensemble_sources(
     applied dedup — ONE construction so the two queries cannot drift,
     r8 ADVICE): corpus frame plus the three certified pair detectors,
     with q23/q35's scaled embedding clones (ids +1_000_000) unioned
-    into the embedding side."""
+    into the embedding side.
+
+    opt-r15 (guide §2.1 — don't recompute the fan-out source): the
+    MinHash and SimHash members share ONE tokenize→md5 scan
+    (``dedup.shared_token_hash48``); each derives its own token-hash
+    view (low 32 bits / top 8 hex digits) by cheap integer arithmetic
+    over the materialized 48-bit hashes — bit-identical pairs, one
+    md5 pass over the corpus instead of two."""
     docs = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     clones = emb.filter(F.col("vec_id") < 3).select(
@@ -3350,14 +3382,17 @@ def _ensemble_sources(
             "embedding", lambda x: (x * F.lit(2.0)).cast("float")
         ).alias("embedding"),
     )
+    th48 = dedup.shared_token_hash48(docs, text_col="text", id_col="doc_id")
     return docs, {
         "minhash": dedup.minhash_lsh_pairs(
             docs, text_col="text", id_col="doc_id",
             n=3, num_hashes=8, bands=4, verify_threshold=0.3,
+            hashes48=th48,
         ),
         "simhash": dedup.simhash_neardup_pairs(
             docs, text_col="text", id_col="doc_id",
             bits=32, band_bits=8, max_hamming=3,
+            hashes48=th48,
         ),
         "embedding": similarity.embedding_neardup_pairs(
             emb.unionByName(clones),
@@ -5547,20 +5582,25 @@ DRIVER_OVERFLOW: frozenset[str] = frozenset(
         "q109_vocab_coverage",
         "q111_embedding_norm_outliers",
         "q112_tokenizer_fertility",
-        # r14 additions start in overflow, replica-certified, per the
-        # standing convention (q118 persisted trained-IVF index +
-        # pruned probe — the r13 VERDICT #3 pick; q119 codebook drift
-        # report — the r13 VERDICT #5 lifecycle, certified; q120 BM25
-        # keyword retrieval — the sparse retrieval gap; q121 hybrid
-        # RRF fusion of the sparse + dense arms; q122 persisted BM25
-        # index + pruned probe — the q118 contract, sparse edition;
-        # backlog at r14 end: 5, at the ≤5 bound exactly, all enter
-        # the window with the r15 rotation)
-        "q118_persisted_trained_ivf",
-        "q119_codebook_drift",
-        "q120_bm25_retrieval",
-        "q121_hybrid_rrf",
-        "q122_bm25_indexed_retrieval",
+        # r15 rotations-out for the q118–q122 rotation-in (the r14
+        # VERDICT #6 pinned rotation; all five rotated-out queries
+        # went first-time driver hash-green in CORRECTNESS_r14, per
+        # the rotation rule, and every family keeps a green window
+        # sibling: q113 duplicate-chunk rate → q25's chunker stays
+        # certified in-window, q114 source quality profile → q57
+        # repetition stats profiles the same textstats tier, q115 PPS
+        # token sample → q52/q61 selection stats stay, q116 encoding
+        # anomalies → q43's quality/cleaning gate stays, q117 trained
+        # IVF → q118 persisted trained IVF ENTERS the window on the
+        # identical training+probe machinery and q22/q55 stay).
+        # NOTE for PERF forensics: these five become x113/x114/x115/
+        # x116/x117 overflow keys — a rotation, not a drop; they stay
+        # in HEADLINE and keep their oracles in the pytest tier.
+        "q113_duplicate_chunk_rate",
+        "q114_source_quality_profile",
+        "q115_pps_token_sample",
+        "q116_encoding_anomalies",
+        "q117_trained_ivf_ann",
     }
 )
 

@@ -54,22 +54,33 @@ ROTATED_OUT_R14 = {
     "q111_embedding_norm_outliers",
     "q112_tokenizer_fertility",
 }
-#: the certification backlog after the r14 drain: the r14 addition
-#: only (starts in overflow per the standing convention; enters the
-#: window with the r15 rotation).
-R15_BACKLOG = {
+
+#: the round-15 rotation (r14 VERDICT #6, executed as pinned): the
+#: full r14-addition backlog — the persisted trained-IVF + drift
+#: lifecycle and the BM25/RRF retrieval family — in; the five r14
+#: rotations-in (all first-time driver hash-green in CORRECTNESS_r14)
+#: out, each family keeping a green window sibling (see the
+#: DRIVER_OVERFLOW note in catalog.py).  Backlog after this rotation:
+#: 0 — r15 is an optimization round and adds no queries.
+ROTATED_IN_R15 = {
     "q118_persisted_trained_ivf",
     "q119_codebook_drift",
     "q120_bm25_retrieval",
     "q121_hybrid_rrf",
     "q122_bm25_indexed_retrieval",
 }
+ROTATED_OUT_R15 = ROTATED_IN_R14
 
 
 def test_round14_rotation_membership():
-    assert ROTATED_IN_R14.isdisjoint(DRIVER_OVERFLOW)
+    # superseded by the r15 rotation for the rotated-in set (those
+    # five are now overflow again); the r14 rotations-out remain out
     assert ROTATED_OUT_R14 <= DRIVER_OVERFLOW
-    assert R15_BACKLOG <= DRIVER_OVERFLOW
+
+
+def test_round15_rotation_membership():
+    assert ROTATED_IN_R15.isdisjoint(DRIVER_OVERFLOW)
+    assert ROTATED_OUT_R15 <= DRIVER_OVERFLOW
 
 
 def test_priority_window_is_exactly_50():

@@ -141,3 +141,74 @@ def test_ensemble_rejects_cc_output_renames(spark):
         neardup_ensemble(
             {"minhash": _pairs(spark, [(1, 2)])}, out_comp="cluster"
         )
+
+
+def test_shared_token_hash_scan_parity(spark, sf_dir):
+    """opt-r15 (guide §2.1): the MinHash and SimHash detectors fed by
+    ONE shared tokenize→md5 scan (``shared_token_hash48``) emit
+    bit-identical pairs to their standalone scans — the 32-bit token
+    hash is the low half of the materialized 48-bit hash, the SimHash
+    token hash its top 8 hex digits."""
+    from serverless_podcast_etl_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        shared_token_hash48,
+        simhash_fingerprints,
+        simhash_neardup_pairs,
+    )
+    from serverless_podcast_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    th48 = shared_token_hash48(docs, "text", "doc_id")
+
+    base_mh = sorted(
+        map(tuple, minhash_lsh_pairs(
+            docs, "text", "doc_id", n=3, num_hashes=8, bands=4,
+            verify_threshold=0.3,
+        ).collect())
+    )
+    shared_mh = sorted(
+        map(tuple, minhash_lsh_pairs(
+            docs, "text", "doc_id", n=3, num_hashes=8, bands=4,
+            verify_threshold=0.3, hashes48=th48,
+        ).collect())
+    )
+    assert base_mh == shared_mh and base_mh
+
+    base_sh = sorted(
+        map(tuple, simhash_neardup_pairs(
+            docs, "text", "doc_id", bits=32, band_bits=8, max_hamming=3,
+        ).collect())
+    )
+    shared_sh = sorted(
+        map(tuple, simhash_neardup_pairs(
+            docs, "text", "doc_id", bits=32, band_bits=8, max_hamming=3,
+            hashes48=th48,
+        ).collect())
+    )
+    assert base_sh == shared_sh
+
+    # fingerprints themselves identical, not just the verified pairs
+    base_fp = sorted(
+        map(tuple, simhash_fingerprints(docs, "text", "doc_id").collect())
+    )
+    shared_fp = sorted(
+        map(tuple, simhash_fingerprints(
+            docs, "text", "doc_id", hashes48=th48
+        ).collect())
+    )
+    assert base_fp == shared_fp and base_fp
+
+
+def test_shared_scan_requires_materialize(spark, sf_dir):
+    from serverless_podcast_etl_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        shared_token_hash48,
+    )
+    from serverless_podcast_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    th48 = shared_token_hash48(docs, "text", "doc_id")
+    with pytest.raises(ValueError, match="materialize"):
+        minhash_lsh_pairs(
+            docs, "text", "doc_id", materialize=False, hashes48=th48
+        )

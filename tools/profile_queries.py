@@ -62,18 +62,7 @@ def main() -> None:
 
     from pyspark.sql import SparkSession
 
-    spark = (
-        SparkSession.builder.appName("profile")
-        .master(f"local[{cpus}]")
-        .config("spark.eventLog.enabled", "true")
-        .config("spark.eventLog.dir", EVENT_DIR)
-        .getOrCreate()
-    )
-    # apply the engine's tuned config on top
-    spark.stop()
     os.environ.setdefault("SPARK_GRAFT_CPUS", str(cpus))
-    from pyspark import SparkConf  # noqa: F401
-
     spark = (
         SparkSession.builder.appName("profile")
         .master(f"local[{cpus}]")
@@ -158,56 +147,52 @@ def main() -> None:
                     yield from f
 
     jobs: dict[int, dict] = {}
-    stage_to_job: dict[int, int] = {}
     stages: dict[int, dict] = {}
-    if True:
-        for line in _lines():
-            ev = json.loads(line)
-            t = ev.get("Event")
-            if t == "SparkListenerJobStart":
-                desc = (ev.get("Properties") or {}).get(
-                    "spark.job.description", ""
-                )
-                jid = ev["Job ID"]
-                jobs[jid] = {
-                    "desc": desc,
-                    "start": ev["Submission Time"],
-                    "stages": ev.get("Stage IDs", []),
-                }
-                for s in ev.get("Stage IDs", []):
-                    stage_to_job[s] = jid
-            elif t == "SparkListenerJobEnd":
-                j = jobs.get(ev["Job ID"])
-                if j is not None:
-                    j["end"] = ev["Completion Time"]
-            elif t == "SparkListenerStageCompleted":
-                si = ev["Stage Info"]
-                sid = si["Stage ID"]
-                stages[sid] = {
-                    "name": si.get("Stage Name", "")[:80],
-                    "tasks": si.get("Number of Tasks"),
-                    "wall_ms": (si.get("Completion Time") or 0)
-                    - (si.get("Submission Time") or 0),
-                }
-            elif t == "SparkListenerTaskEnd":
-                sid = ev["Stage ID"]
-                st = stages.setdefault(sid, {})
-                m = ev.get("Task Metrics") or {}
-                st["task_ms"] = st.get("task_ms", 0) + m.get(
-                    "Executor Run Time", 0
-                )
-                srm = m.get("Shuffle Read Metrics") or {}
-                st["shuf_read"] = (
-                    st.get("shuf_read", 0)
-                    + srm.get("Local Bytes Read", 0)
-                    + srm.get("Remote Bytes Read", 0)
-                )
-                swm = m.get("Shuffle Write Metrics") or {}
-                st["shuf_write"] = st.get("shuf_write", 0) + swm.get(
-                    "Shuffle Bytes Written", 0
-                )
-                pym = m.get("Executor Deserialize Time", 0)
-                st["deser_ms"] = st.get("deser_ms", 0) + pym
+    for line in _lines():
+        ev = json.loads(line)
+        t = ev.get("Event")
+        if t == "SparkListenerJobStart":
+            desc = (ev.get("Properties") or {}).get(
+                "spark.job.description", ""
+            )
+            jid = ev["Job ID"]
+            jobs[jid] = {
+                "desc": desc,
+                "start": ev["Submission Time"],
+                "stages": ev.get("Stage IDs", []),
+            }
+        elif t == "SparkListenerJobEnd":
+            j = jobs.get(ev["Job ID"])
+            if j is not None:
+                j["end"] = ev["Completion Time"]
+        elif t == "SparkListenerStageCompleted":
+            si = ev["Stage Info"]
+            sid = si["Stage ID"]
+            stages[sid] = {
+                "name": si.get("Stage Name", "")[:80],
+                "tasks": si.get("Number of Tasks"),
+                "wall_ms": (si.get("Completion Time") or 0)
+                - (si.get("Submission Time") or 0),
+            }
+        elif t == "SparkListenerTaskEnd":
+            sid = ev["Stage ID"]
+            st = stages.setdefault(sid, {})
+            m = ev.get("Task Metrics") or {}
+            st["task_ms"] = st.get("task_ms", 0) + m.get(
+                "Executor Run Time", 0
+            )
+            srm = m.get("Shuffle Read Metrics") or {}
+            st["shuf_read"] = (
+                st.get("shuf_read", 0)
+                + srm.get("Local Bytes Read", 0)
+                + srm.get("Remote Bytes Read", 0)
+            )
+            swm = m.get("Shuffle Write Metrics") or {}
+            st["shuf_write"] = st.get("shuf_write", 0) + swm.get(
+                "Shuffle Bytes Written", 0
+            )
+            pym = m.get("Executor Deserialize Time", 0)
+            st["deser_ms"] = st.get("deser_ms", 0) + pym
 
     # aggregate per query (timed runs only)
     report: dict[str, dict] = {}
