@@ -110,6 +110,51 @@ def token_hashes(toks: Column) -> Column:
     )
 
 
+def token_hashes_spark_sql(toks_sql: str) -> str:
+    """Spark-SQL text of ``token_hashes`` over an array<string> SQL
+    expression — ONE ``F.expr`` round-trip instead of the per-node
+    py4j construction (opt-r15; same expression bit-for-bit)."""
+    return (
+        f"transform({toks_sql}, t -> "
+        f"CAST(conv(substring(md5(t), 1, 12), 16, 10) AS BIGINT) % {U32})"
+    )
+
+
+def token_hashes48_spark_sql(toks_sql: str) -> str:
+    """Spark-SQL text of the UN-reduced 48-bit token hashes (the
+    cross-detector shared scan — ``dedup.shared_token_hash48``)."""
+    return (
+        f"transform({toks_sql}, t -> "
+        "CAST(conv(substring(md5(t), 1, 12), 16, 10) AS BIGINT))"
+    )
+
+
+def simhash_token_hashes_spark_sql(toks_sql: str) -> str:
+    """Spark-SQL text of per-token SimHash hashes (first 8 md5 hex
+    digits) over an array<string> SQL expression."""
+    return (
+        f"transform({toks_sql}, t -> "
+        "CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT))"
+    )
+
+
+def shingle_hash_array_spark_sql(th_sql: str, n: int) -> str:
+    """Spark-SQL text of ``shingle_hash_array`` over an array<bigint>
+    SQL expression (typically a BOUND column name, so the token-hash
+    pass is not re-evaluated per slice) — same fold, same literals."""
+    m = f"(size({th_sql}) - {n - 1})"
+    acc = f"slice({th_sql}, 1, {m})"
+    for k in range(1, n):
+        acc = (
+            f"zip_with({acc}, slice({th_sql}, {k + 1}, {m}), "
+            f"(a, h) -> (a * {SHINGLE_B} + h) % {U32})"
+        )
+    return (
+        f"(CASE WHEN size({th_sql}) >= {n} THEN {acc} "
+        "ELSE CAST(array() AS array<bigint>) END)"
+    )
+
+
 def token_hashes_sql(toks_expr: str) -> str:
     """DuckDB twin of ``token_hashes`` over a VARCHAR[] expression."""
     return (

@@ -65,6 +65,14 @@ def word_tokens(col: Column) -> Column:
     return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
 
 
+def word_tokens_spark_sql(col_name: str) -> str:
+    """Spark-SQL text of ``word_tokens`` over a column NAME — for
+    composing one-call ``F.expr`` strings (opt-r15).  The '\\\\s+'
+    spelling survives SQL string-literal unescaping as the regex
+    ``\\s+`` (verified against the Python form)."""
+    return f"filter(split(lower(`{col_name}`), '\\\\s+'), t -> t != '')"
+
+
 def bpe_ish_tokens(col: Column) -> Column:
     """BPE-ish regex tokens: word runs + individual punctuation marks."""
     return F.regexp_extract_all(col, F.lit(BPE_TOKEN_PATTERN), 0)

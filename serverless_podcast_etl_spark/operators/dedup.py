@@ -114,9 +114,10 @@ def shared_token_hash48(
 
     The eager ``localCheckpoint`` makes this batch-only (the fact-18
     materialize contract in this module's docstring applies)."""
-    h48 = F.transform(
-        _word_tokens(text_col),
-        lambda t: F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast("long"),
+    from ..functions.text import word_tokens_spark_sql
+
+    h48 = F.expr(
+        hashing.token_hashes48_spark_sql(word_tokens_spark_sql(text_col))
     )
     return _once(ensure_parallelism(df), id_col, h48, "_th48").localCheckpoint(
         eager=True
@@ -138,19 +139,21 @@ def _bound_token_hashes(
     scan with a mod-2^32 derivation over the already-materialized
     48-bit hashes — same values bit-for-bit (the 32-bit token hash IS
     the low half of the 48-bit one), no md5 recomputation."""
+    from ..functions.text import word_tokens_spark_sql
+
     if hashes48 is not None:
         return _once(
             hashes48,
             id_col,
-            F.transform(
-                F.col("_th48"), lambda h: h % F.lit(hashing.U32)
-            ),
+            F.expr(f"transform(_th48, h -> h % {hashing.U32})"),
             "_th",
         )
     return _once(
         ensure_parallelism(df),
         id_col,
-        hashing.token_hashes(_word_tokens(text_col)),
+        F.expr(
+            hashing.token_hashes_spark_sql(word_tokens_spark_sql(text_col))
+        ),
         "_th",
     )
 
@@ -161,6 +164,7 @@ def shingles(
     id_col: str,
     n: int = 3,
     shingle_col: str = "shingle",
+    hashes48: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct word n-gram shingle HASHES per document (array<long>
     token hashes folded pairwise — shingle strings never materialize;
@@ -184,9 +188,13 @@ def shingles(
     MinHash family via ``_bound_token_hashes`` — inherits this
     contract; run ``exact_dedup``/``dedup_keep_first`` on the id
     first if your corpus can carry duplicate ids.
+
+    ``hashes48`` (a ``shared_token_hash48`` frame) shares the
+    tokenize→md5 scan with other detectors — see
+    ``shared_token_hash48``.
     """
-    hashed = _bound_token_hashes(df, text_col, id_col)
-    grams = hashing.shingle_hash_array(F.col("_th"), n)
+    hashed = _bound_token_hashes(df, text_col, id_col, hashes48=hashes48)
+    grams = F.expr(hashing.shingle_hash_array_spark_sql("_th", n))
     return hashed.select(
         F.col(id_col),
         F.explode(F.array_distinct(grams)).alias(shingle_col),
@@ -201,6 +209,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.2,
     max_doc_freq: int | None = None,
     materialize: bool = True,
+    hashes48: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by word-n-gram Jaccard similarity.
 
@@ -224,8 +233,13 @@ def ngram_jaccard_pairs(
     and the self-join's exchange-shared side each re-ran the
     tokenize→md5 scan): every consumer reads one executed scan.
     Batch-only; pass ``False`` for lazy/streaming composition.
+
+    ``hashes48`` (a ``shared_token_hash48`` frame) shares the
+    tokenize→md5 scan with other detectors over the same corpus
+    (bit-identical shingles — the capped similarity space is derived
+    downstream and unaffected).
     """
-    sh = shingles(df, text_col, id_col, n=n)
+    sh = shingles(df, text_col, id_col, n=n, hashes48=hashes48)
     if materialize:
         sh = sh.localCheckpoint(eager=True)
     if max_doc_freq is not None:
@@ -429,7 +443,10 @@ def _shingle_arrays(
     materialization — same shingle hashes bit-for-bit."""
     bound = _bound_token_hashes(df, text_col, id_col, hashes48=hashes48)
     harr = _once(
-        bound, id_col, hashing.shingle_hash_array(F.col("_th"), n), "_h32s"
+        bound,
+        id_col,
+        F.expr(hashing.shingle_hash_array_spark_sql("_th", n)),
+        "_h32s",
     ).filter(F.size(F.col("_h32s")) > 0)
     return harr.localCheckpoint(eager=True) if materialize else harr
 
@@ -1376,8 +1393,13 @@ def simhash_fingerprints(
             "_h",
         ).filter(F.size(F.col("_h")) > 0)
     else:
-        toks = _word_tokens(text_col)
-        hashes = F.transform(toks, hashing.simhash_token_hash)
+        from ..functions.text import word_tokens_spark_sql
+
+        hashes = F.expr(
+            hashing.simhash_token_hashes_spark_sql(
+                word_tokens_spark_sql(text_col)
+            )
+        )
         hashed = _once(ensure_parallelism(df), id_col, hashes, "_h").filter(
             F.size(F.col("_h")) > 0
         )

@@ -639,19 +639,46 @@ def quantile_bins(
     return df.withColumn(out_col, case.cast("int"))
 
 
-def _gram_buckets(
-    text_col: str, num_buckets: int, max_n: int
-) -> Column:
+def _token_hash_frame(
+    raw: DataFrame,
+    text_col: str,
+    id_col: str | None = None,
+    target_predicate: Column | None = None,
+) -> DataFrame:
+    """``([id_col,][_t,] _th array<long>)`` — the tokenize→md5 pass
+    materialized behind a Generate barrier (``explode(array(...))``,
+    the ``dedup._once`` idiom) so downstream gram folds read a BOUND
+    column.  opt-r15: the previous unbound form re-evaluated the md5
+    transform once per reference — ``concat(th, zip_with(slice(th,…),
+    slice(th,…)))`` is three evaluations per row at max_n=2 (HOFs are
+    interpreted, no codegen subexpression elimination; NOTES facts
+    1/16) — measured 0.46 → 0.31 s on the q100 gram scan at sf0.1.
+    Also fans a split-starved input out across cores (guide §2.5)."""
+    from ..functions.text import word_tokens_spark_sql
+
+    cols: list[Column] = []
+    if id_col is not None:
+        cols.append(F.col(id_col))
+    if target_predicate is not None:
+        cols.append(target_predicate.alias("_t"))
+    th = F.expr(
+        hashing.token_hashes_spark_sql(word_tokens_spark_sql(text_col))
+    )
+    cols.append(F.explode(F.array(th)).alias("_th"))
+    return ensure_parallelism(raw).select(*cols)
+
+
+def _gram_buckets_from_th(num_buckets: int, max_n: int) -> Column:
     """array<long> of hashed word-n-gram feature buckets (all n in
-    1..max_n concatenated), computed entirely in-row: whitespace
-    tokens → portable md5 token hashes → polynomial shingle folds →
-    ``% num_buckets``.  Token hashes land in [0, 2^32), so plain
-    ``%`` is non-negative in Spark and DuckDB alike."""
-    th = hashing.token_hashes(word_tokens(F.col(text_col)))
-    grams = th
+    1..max_n concatenated) over a bound ``_th`` token-hash column
+    (``_token_hash_frame``): polynomial shingle folds → ``%
+    num_buckets``.  Token hashes land in [0, 2^32), so plain ``%`` is
+    non-negative in Spark and DuckDB alike.  One ``F.expr``
+    round-trip; same fold, same values as the r14 per-node form."""
+    sql = "_th"
     for n in range(2, max_n + 1):
-        grams = F.concat(grams, hashing.shingle_hash_array(th, n))
-    return F.transform(grams, lambda h: h % F.lit(num_buckets))
+        sql = f"concat({sql}, {hashing.shingle_hash_array_spark_sql('_th', n)})"
+    return F.expr(f"transform({sql}, h -> h % {int(num_buckets)})")
 
 
 def _materialize_grams(
@@ -681,17 +708,18 @@ def _materialize_grams(
     time, its blocks are unrecoverable on executor loss (not a
     reliable checkpoint), and no downstream pruning reaches past it
     into the text scan — pre-filter the input instead."""
-    cols = [F.col(id_col)]
-    if target_predicate is not None:
-        cols.append(target_predicate.alias("_t"))
-    cols.append(_gram_buckets(text_col, num_buckets, max_n).alias("_b"))
     # the tokenize→md5→fold scan is CPU-bound per row: fan a
     # split-starved input out across cores before paying it (no-op on
     # many-file inputs — operators/scale.py; measured 2.4-2.9 s
-    # single-task → ~0.3 s at bench scale for q100/q101)
-    return ensure_parallelism(raw).select(*cols).localCheckpoint(
-        eager=True
-    )
+    # single-task → ~0.3 s at bench scale for q100/q101).  The token
+    # hashes bind behind a Generate barrier first so the gram folds
+    # evaluate md5 ONCE per row (opt-r15; see _token_hash_frame).
+    pre = _token_hash_frame(raw, text_col, id_col, target_predicate)
+    cols = [F.col(id_col)]
+    if target_predicate is not None:
+        cols.append(F.col("_t"))
+    cols.append(_gram_buckets_from_th(num_buckets, max_n).alias("_b"))
+    return pre.select(*cols).localCheckpoint(eager=True)
 
 
 def _bucket_weights(
@@ -718,9 +746,9 @@ def _bucket_weights(
     if grams is not None:
         src = grams.select(F.explode("_b").alias("_b"))
     else:
-        src = ensure_parallelism(df).select(
+        src = _token_hash_frame(df, text_col).select(
             F.explode(
-                _gram_buckets(text_col, num_buckets, max_n)
+                _gram_buckets_from_th(num_buckets, max_n)
             ).alias("_b")
         )
     counts = (
@@ -752,13 +780,15 @@ def _bucket_weights_joint(
     if grams is not None:
         src = grams.select("_t", F.explode("_b").alias("_b"))
     else:
-        # the same opt-r15 fan-out floor as _bucket_weights' no-grams
-        # path (the materialize=False joint fit still hashes the
-        # corpus here)
-        src = ensure_parallelism(raw).select(
-            target_predicate.alias("_t"),
+        # the same opt-r15 fan-out floor + bound token hashes as
+        # _bucket_weights' no-grams path (the materialize=False joint
+        # fit still hashes the corpus here)
+        src = _token_hash_frame(
+            raw, text_col, target_predicate=target_predicate
+        ).select(
+            "_t",
             F.explode(
-                _gram_buckets(text_col, num_buckets, max_n)
+                _gram_buckets_from_th(num_buckets, max_n)
             ).alias("_b"),
         )
     counts = (
@@ -986,11 +1016,12 @@ def _affinity_scores_impl(
         arrays = grams.select(id_col, "_b")
     else:
         # materialize=False score pass: the second hashing scan gets
-        # the same fan-out floor (opt-r15; the per-doc score is
-        # in-row / order-free-summed, partition-count-invariant)
-        arrays = ensure_parallelism(raw).select(
+        # the same fan-out floor + bound token hashes (opt-r15; the
+        # per-doc score is in-row / order-free-summed,
+        # partition-count-invariant)
+        arrays = _token_hash_frame(raw, text_col, id_col).select(
             id_col,
-            _gram_buckets(text_col, num_buckets, max_n).alias("_b"),
+            _gram_buckets_from_th(num_buckets, max_n).alias("_b"),
         )
     if weight_form == "log_ratio":
         # DSIR's exact per-feature weight, precomputed driver-side:
@@ -1095,7 +1126,6 @@ def target_coverage_audit(
     """
     if target is None and target_predicate is None:
         raise ValueError("pass a target frame or a target_predicate")
-    buckets = _gram_buckets(text_col, num_buckets, max_n)
     grams = (
         _materialize_grams(
             raw, text_col, id_col, num_buckets, max_n, target_predicate
@@ -1116,7 +1146,11 @@ def target_coverage_audit(
             if target_predicate is not None
             else target
         )
-        tb_src = tgt.select(F.explode(buckets).alias("b"))
+        tb_src = _token_hash_frame(tgt, text_col).select(
+            F.explode(
+                _gram_buckets_from_th(num_buckets, max_n)
+            ).alias("b")
+        )
     tb = tb_src.distinct().localCheckpoint(eager=True)
 
     if selection_ids is not None:
@@ -1141,9 +1175,13 @@ def target_coverage_audit(
                 F.broadcast(sel), id_col, "left_semi"
             ).select(F.explode("_b").alias("b"))
         else:
-            cov_src = raw.join(
-                F.broadcast(sel), id_col, "left_semi"
-            ).select(F.explode(buckets).alias("b"))
+            cov_src = _token_hash_frame(
+                raw.join(F.broadcast(sel), id_col, "left_semi"), text_col
+            ).select(
+                F.explode(
+                    _gram_buckets_from_th(num_buckets, max_n)
+                ).alias("b")
+            )
         covered = cov_src.distinct().withColumn("_hit", F.lit(1))
         return (
             tb.join(F.broadcast(covered), "b", "left")

@@ -1739,7 +1739,17 @@ def write_trained_ivf_index(
         n_iter=n_iter,
         seed=seed,
     )
-    index.write.partitionBy("cluster").mode("overwrite").parquet(path)
+    # REBALANCE by the partition column before the partitionBy write
+    # (guide §6 output sizing, opt-r15): without it every scan task
+    # opens one file per cluster it touches — tasks × clusters tiny
+    # files (measured 256/write at sf0.1; the read-back stats pass
+    # and every probe pay the per-file open cost).  The AQE rebalance
+    # clusters rows by ``cluster`` and still splits oversized
+    # partitions, so one hot cell cannot serialize the write.  File
+    # layout only — the written ROWS are identical.
+    index.hint("rebalance", "cluster").write.partitionBy(
+        "cluster"
+    ).mode("overwrite").parquet(path)
     spark = corpus.sparkSession
     # baseline stats from the just-written files — NOT a fact-18 fork:
     # the written table IS the materialization (the kernel never
@@ -1815,6 +1825,7 @@ def append_to_trained_ivf_index(
     id_col: str,
     vec_col: str = "embedding",
     codebook: list[list[int]] | None = None,
+    meta: dict | None = None,
 ) -> None:
     """Index maintenance — assign ONLY the new batch under the FROZEN
     stamped codebook and append its rows, so a growing corpus is
@@ -1832,9 +1843,15 @@ def append_to_trained_ivf_index(
     appended index is row-identical to one built over the full corpus
     UNDER THE SAME CODEBOOK — parity pinned in tests; note the
     codebook itself WOULD differ had training seen the new rows, which
-    is precisely the drift the report surfaces."""
+    is precisely the drift the report surfaces.
+
+    ``meta`` lets a caller that has ALREADY read the sidecar this
+    session (e.g. a write→append→report pipeline) pass it through
+    instead of paying the read again; omitted, the stamp is read from
+    the table as before."""
     spark = batch.sparkSession
-    meta = _read_trained_ivf_meta(spark, path)
+    if meta is None:
+        meta = _read_trained_ivf_meta(spark, path)
     if codebook is not None and _codebook_digest(codebook) != meta["digest"]:
         raise ValueError(
             "append_to_trained_ivf_index: caller codebook does not match "
@@ -1855,10 +1872,16 @@ def append_to_trained_ivf_index(
         )
         .filter(F.col("_cn") > 0)
     )
-    rows.write.partitionBy("cluster").mode("append").parquet(path)
+    # same output-sizing rebalance as write_trained_ivf_index (file
+    # layout only; appended rows identical)
+    rows.hint("rebalance", "cluster").write.partitionBy("cluster").mode(
+        "append"
+    ).parquet(path)
 
 
-def trained_ivf_drift_report(spark, path: str) -> DataFrame:
+def trained_ivf_drift_report(
+    spark, path: str, meta: dict | None = None
+) -> DataFrame:
     """Codebook-staleness report for a persisted trained IVF index:
     per cell, the TRAINING-time baseline (stamped at
     ``write_trained_ivf_index``) against the CURRENT membership —
@@ -1875,8 +1898,11 @@ def trained_ivf_drift_report(spark, path: str) -> DataFrame:
     Exact where it matters: counts and distance SUMS are exact int64
     (order-free — the same property that makes training oracle-exact);
     only the final ratios divide and round.  One index scan + a
-    broadcast join of the ≤k-row baseline; the report is ≤k rows."""
-    meta = _read_trained_ivf_meta(spark, path)
+    broadcast join of the ≤k-row baseline; the report is ≤k rows.
+    ``meta`` skips the sidecar re-read when the caller already holds
+    it (same contract as ``append_to_trained_ivf_index``)."""
+    if meta is None:
+        meta = _read_trained_ivf_meta(spark, path)
     cents = meta["codebook"]
     # baseline as a JVM-side literal frame (≤k rows): avoids the
     # Python-worker launch a createDataFrame over local data costs

@@ -1955,9 +1955,28 @@ def q68_neardup_pair_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate certifies the LSH path against the similarity space the
     production dedup actually uses (q30's MinHash also runs on the
     capped space).  ``test_capped_truth_excludes_boilerplate_only_pairs``
-    pins and quantifies the exclusion."""
-    exact = q56_ngram_jaccard_capped(spark, sf_dir)
-    approx = q30_minhash_lsh_neardup(spark, sf_dir)
+    pins and quantifies the exclusion.
+
+    opt-r15 (guide §2.1): both arms tokenize+md5 the same corpus, so
+    they now share ONE materialized token-hash scan
+    (``dedup.shared_token_hash48``); each arm folds its own shingle
+    space from the shared arrays (q56's 2-grams, q30's 3-grams) —
+    the DIFFERENTLY-CAPPED shingle spaces themselves stay separate
+    (the truth-set contract above is about the capped spaces, which
+    are derived strictly downstream of the token hashes).  Arm
+    parameters mirror q56/q30 exactly; the shared-scan parity tests
+    pin bit-identical detector output."""
+    docs = _t(spark, sf_dir, "documents")
+    th48 = dedup.shared_token_hash48(docs, text_col="text", id_col="doc_id")
+    exact = dedup.ngram_jaccard_pairs(
+        docs, text_col="text", id_col="doc_id", n=2, threshold=0.3,
+        max_doc_freq=50, hashes48=th48,
+    )
+    approx = dedup.minhash_lsh_pairs(
+        docs, text_col="text", id_col="doc_id",
+        n=3, num_hashes=8, bands=4, verify_threshold=0.3,
+        hashes48=th48,
+    )
     return dedup.pair_overlap_stats(approx, exact)
 
 
@@ -4543,8 +4562,11 @@ def q119_codebook_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity.write_trained_ivf_index(
         initial, path, "vec_id", n_clusters=8, n_iter=2, seed="km2"
     )
-    similarity.append_to_trained_ivf_index(batch, path, "vec_id")
-    return similarity.trained_ivf_drift_report(spark, path)
+    # read the sidecar stamp ONCE for the append + report pair
+    # (opt-r15; each read is a text-scan collect job)
+    meta = similarity._read_trained_ivf_meta(spark, path)
+    similarity.append_to_trained_ivf_index(batch, path, "vec_id", meta=meta)
+    return similarity.trained_ivf_drift_report(spark, path, meta=meta)
 
 
 def _codebook_drift_sql(
