@@ -93,7 +93,7 @@ def _word_tokens(text_col: str):
 
 
 def shared_token_hash48(
-    df: DataFrame, text_col: str, id_col: str
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int | None = None
 ) -> DataFrame:
     """``(id, _th48 array<long>)`` — ONE tokenize→md5 scan, eagerly
     materialized, for sharing across DETECTORS (opt-r15, guide §2.1:
@@ -112,6 +112,16 @@ def shared_token_hash48(
     ``minhash_lsh_pairs`` and ``simhash_neardup_pairs``; the frames
     must share ``text_col``/``id_col`` semantics with this scan.
 
+    ``shingle_n`` additionally folds and stores the word-``n``-gram
+    shingle hashes in the SAME materialization (column
+    ``_h32s{n}``): a MinHash consumer then reads its shingle arrays
+    straight from this checkpoint instead of paying a second
+    corpus-linear materialization pass (read the hash blocks, fold,
+    write shingle blocks) — one write of both arrays replaces
+    write+read+write.  The column name carries ``n``, so a consumer
+    asking for a different shingle width falls back to folding from
+    ``_th48`` rather than silently reading the wrong space.
+
     The eager ``localCheckpoint`` makes this batch-only (the fact-18
     materialize contract in this module's docstring applies)."""
     from ..functions.text import word_tokens_spark_sql
@@ -119,9 +129,26 @@ def shared_token_hash48(
     h48 = F.expr(
         hashing.token_hashes48_spark_sql(word_tokens_spark_sql(text_col))
     )
-    return _once(ensure_parallelism(df), id_col, h48, "_th48").localCheckpoint(
-        eager=True
+    bound = _once(ensure_parallelism(df), id_col, h48, "_th48")
+    if shingle_n is None:
+        return bound.localCheckpoint(eager=True)
+    # bind the 32-bit view behind a second Generate (explode keeps the
+    # other columns) so the fold's slices read a bound array instead
+    # of re-evaluating the mod-transform per reference (fact 31)
+    b2 = bound.select(
+        F.col(id_col),
+        F.col("_th48"),
+        F.explode(
+            F.array(F.expr(f"transform(_th48, h -> h % {hashing.U32})"))
+        ).alias("_th"),
     )
+    return b2.select(
+        F.col(id_col),
+        F.col("_th48"),
+        F.expr(
+            hashing.shingle_hash_array_spark_sql("_th", shingle_n)
+        ).alias(f"_h32s{shingle_n}"),
+    ).localCheckpoint(eager=True)
 
 
 def _bound_token_hashes(
@@ -440,7 +467,16 @@ def _shingle_arrays(
     ``False`` for lazy single-consumer/streaming compositions.
     ``hashes48`` (a ``shared_token_hash48`` frame) replaces the
     tokenize→md5 part of that scan with the cross-detector shared
-    materialization — same shingle hashes bit-for-bit."""
+    materialization — same shingle hashes bit-for-bit.  When the
+    shared frame was built with a MATCHING ``shingle_n`` (its
+    ``_h32s{n}`` column), the pre-folded shingle arrays are read
+    straight from it — no second materialization pass at all."""
+    if hashes48 is not None and f"_h32s{n}" in hashes48.columns:
+        # the shared checkpoint already stores this width's folds;
+        # consumers project + filter it directly (it IS materialized)
+        return hashes48.select(
+            F.col(id_col), F.col(f"_h32s{n}").alias("_h32s")
+        ).filter(F.size(F.col("_h32s")) > 0)
     bound = _bound_token_hashes(df, text_col, id_col, hashes48=hashes48)
     harr = _once(
         bound,

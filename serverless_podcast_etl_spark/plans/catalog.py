@@ -1967,7 +1967,9 @@ def q68_neardup_pair_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     parameters mirror q56/q30 exactly; the shared-scan parity tests
     pin bit-identical detector output."""
     docs = _t(spark, sf_dir, "documents")
-    th48 = dedup.shared_token_hash48(docs, text_col="text", id_col="doc_id")
+    th48 = dedup.shared_token_hash48(
+        docs, text_col="text", id_col="doc_id", shingle_n=3
+    )
     exact = dedup.ngram_jaccard_pairs(
         docs, text_col="text", id_col="doc_id", n=2, threshold=0.3,
         max_doc_freq=50, hashes48=th48,
@@ -3401,7 +3403,9 @@ def _ensemble_sources(
             "embedding", lambda x: (x * F.lit(2.0)).cast("float")
         ).alias("embedding"),
     )
-    th48 = dedup.shared_token_hash48(docs, text_col="text", id_col="doc_id")
+    th48 = dedup.shared_token_hash48(
+        docs, text_col="text", id_col="doc_id", shingle_n=3
+    )
     return docs, {
         "minhash": dedup.minhash_lsh_pairs(
             docs, text_col="text", id_col="doc_id",

@@ -212,3 +212,49 @@ def test_shared_scan_requires_materialize(spark, sf_dir):
         minhash_lsh_pairs(
             docs, "text", "doc_id", materialize=False, hashes48=th48
         )
+
+
+def test_shared_scan_with_prefolded_shingles_parity(spark, sf_dir):
+    """shingle_n on the shared scan stores the pre-folded shingle
+    arrays in the SAME checkpoint; MinHash output must stay
+    bit-identical, and a NON-matching width must fall back to folding
+    from the 48-bit hashes (the self-verifying column name)."""
+    from serverless_podcast_etl_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        shared_token_hash48,
+    )
+    from serverless_podcast_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = sorted(
+        map(tuple, minhash_lsh_pairs(
+            docs, "text", "doc_id", n=3, num_hashes=8, bands=4,
+            verify_threshold=0.3,
+        ).collect())
+    )
+    th48_match = shared_token_hash48(docs, "text", "doc_id", shingle_n=3)
+    assert "_h32s3" in th48_match.columns
+    got = sorted(
+        map(tuple, minhash_lsh_pairs(
+            docs, "text", "doc_id", n=3, num_hashes=8, bands=4,
+            verify_threshold=0.3, hashes48=th48_match,
+        ).collect())
+    )
+    assert got == base and base
+    # width mismatch: n=2 request against an n=3 pre-fold must fold
+    # its own 2-gram space from _th48 (not read the 3-gram arrays)
+    from serverless_podcast_etl_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    base2 = sorted(
+        map(tuple, ngram_jaccard_pairs(
+            docs, "text", "doc_id", n=2, threshold=0.3, max_doc_freq=50,
+        ).collect())
+    )
+    got2 = sorted(
+        map(tuple, ngram_jaccard_pairs(
+            docs, "text", "doc_id", n=2, threshold=0.3, max_doc_freq=50,
+            hashes48=th48_match,
+        ).collect())
+    )
+    assert got2 == base2 and base2
